@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers for the driver-generated testdata (schemas in FIXTURES.md).
+  *
+  * All tables are single parquet files per scale-factor directory. Two
+  * type quirks are handled centrally here so every operator downstream
+  * sees clean, oracle-comparable types:
+  *
+  *  1. `events.ts` is parquet `TIMESTAMP(NANOS, isAdjustedToUTC=false)`,
+  *     which Spark's vectorized reader rejects outright
+  *     ([PARQUET_TYPE_ILLEGAL]). We read it via
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` (int64 nanoseconds)
+  *     and floor-truncate to microseconds, matching DuckDB's native
+  *     ns→µs parquet conversion bit-for-bit.
+  *  2. `orders.o_orderdate` / `lineitem.l_shipdate` are parquet
+  *     MILLIS with isAdjustedToUTC=false → Spark `TimestampNTZType`.
+  *     Comparisons must use NTZ literals (see [[Tables.ntz]]).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, sfDir)
+      case n        => spark.read.parquet(s"$sfDir/$n.parquet")
+    }
+
+  def region(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = apply(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+
+  /** events with `ts` converted to a clean `TIMESTAMP_NTZ` (µs).
+    * `ts DIV 1000` floor-truncates ns→µs exactly as DuckDB's parquet
+    * reader does, so oracle comparisons are exact.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts",
+        expr("CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"))
+  }
+
+  // ---- determinism-protocol helpers (SURVEY §7d) ----
+
+  /** Money values (DOUBLE ~< 1e6, 2dp) cast exact for associative sums. */
+  val D12_2: DecimalType = DecimalType(12, 2)
+  /** Rates (discount/tax, 2dp in [0,1)) cast exact. */
+  val D4_2: DecimalType = DecimalType(4, 2)
+
+  def money(c: Column): Column = c.cast(D12_2)
+  def rate(c: Column): Column  = c.cast(D4_2)
+
+  /** NTZ timestamp literal — safe to compare against MILLIS-NTZ columns. */
+  def ntz(s: String): Column = expr(s"TIMESTAMP_NTZ '$s'")
+}

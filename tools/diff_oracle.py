@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle compare.
+
+Usage: diff_oracle.py <sfDir> <verifyOutDir> [query ...]
+
+For each query in <verifyOutDir>/oracle_sql.json (or just the named
+ones): load the Spark parquet result, run the oracle SQL in DuckDB
+against views over <sfDir>, sort columns by name (driver protocol),
+and value-compare cell by cell. Exit 1 on any mismatch.
+"""
+import sys, json, math, datetime
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            scols = [d[0] for d in sdf.description]
+            srows = sdf.fetchall()
+            odf = con.execute(sql)
+            ocols = [d[0] for d in odf.description]
+            orows = odf.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1
+            continue
+        sidx = [scols.index(c) for c in sorted(scols)]
+        oidx = [ocols.index(c) for c in sorted(ocols)]
+        sv = [tuple(norm(r[i]) for i in sidx) for r in srows]
+        ov = [tuple(norm(r[i]) for i in oidx) for r in orows]
+        if len(sv) != len(ov):
+            print(f"FAIL {name}: rowcount spark={len(sv)} oracle={len(ov)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(sv)} rows differ; first at {i}:")
+            print(f"  cols:   {sorted(scols)}")
+            print(f"  spark:  {a}")
+            print(f"  oracle: {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sv)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
