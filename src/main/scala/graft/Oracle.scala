@@ -10,25 +10,175 @@ package graft
   *     sides (a single identical double division).
   *   - timestamps: DuckDB reads the same parquet as naive TIMESTAMP;
   *     Spark side is TIMESTAMP_NTZ with UTC session — compare as-is.
+  *   - JSON: `props->>'$.k'` then CAST, matching get_json_object.
+  *   - null-safe equality: IS NOT DISTINCT FROM ↔ Spark <=>.
   */
 object Oracle {
 
-  val aggHashGroupby: String = """
+  private val moneyD = "DECIMAL(12,2)"
+  private val rateD  = "DECIMAL(4,2)"
+  private def m(c: String)   = s"CAST($c AS $moneyD)"
+  private def rt(c: String)  = s"CAST($c AS $rateD)"
+  private val oneR           = s"CAST(1 AS $rateD)"
+  /** per-lineitem net revenue, exact decimal */
+  private val netExpr = s"${m("l_extendedprice")} * ($oneR - ${rt("l_discount")})"
+
+  val aggHashGroupby: String = s"""
     SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-               * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
-      CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      CAST(sum(${m("l_quantity")}) AS DOUBLE) AS sum_qty,
+      CAST(sum(${m("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+      CAST(sum($netExpr) AS DOUBLE) AS sum_disc_price,
+      CAST(sum($netExpr * ($oneR + ${rt("l_tax")})) AS DOUBLE) AS sum_charge,
+      CAST(sum(${m("l_quantity")}) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(${m("l_extendedprice")}) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(${rt("l_discount")}) AS DOUBLE) / count(*) AS avg_disc,
       count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
+  """
+
+  // ---- §2a ----
+
+  val scanParquetFull: String = """
+    SELECT * FROM lineitem
+    ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+    LIMIT 1000
+  """
+
+  val scanProjectionPruning: String =
+    "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity"
+
+  val scanFilterPushdown: String = """
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ORDER BY l_orderkey, l_linenumber
+  """
+
+  val sourceJsonLines: String = """
+    SELECT event_id, event_type, CAST(props->>'$.k' AS INTEGER) AS k
+    FROM events ORDER BY event_id
+  """
+
+  // ---- §2b ----
+
+  val projectExpressions: String = s"""
+    SELECT l_orderkey, l_linenumber,
+      CAST($netExpr AS DOUBLE) AS net_price,
+      CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS qty_class,
+      l_returnflag || '-' || l_linestatus AS flag_status
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+  """
+
+  val filterComplexPredicate: String = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O','F')
+      AND o_totalprice BETWEEN 10000 AND 200000
+      AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '%HIGH%')
+      AND NOT (o_custkey % 10 = 3)
+    ORDER BY o_orderkey
+  """
+
+  val filterNullSemantics: String = """
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st,
+      NULLIF(o_orderstatus, 'P') IS NULL AS st_is_null,
+      NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O' AS st_nse_o,
+      coalesce(NULLIF(o_orderstatus, 'P'), '?') AS st_coal
+    FROM orders ORDER BY o_orderkey
+  """
+
+  // ---- §2c ----
+
+  val joinBroadcastInner: String = s"""
+    SELECT c_custkey, c_name, count(*) AS n_orders,
+      CAST(sum(${m("o_totalprice")}) AS DOUBLE) AS sum_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+  """
+
+  val joinShuffleInner: String = s"""
+    SELECT o_orderstatus, count(*) AS n_items,
+      CAST(sum($netExpr) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+  """
+
+  val joinMultiwayStar: String = s"""
+    SELECT n_name, CAST(sum($netExpr) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+  """
+
+  val joinLeftOuter: String = """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+  """
+
+  val joinFullOuter: String = """
+    SELECT lkey, rkey FROM
+      (SELECT c_custkey AS lkey FROM customer WHERE c_custkey % 2 = 0) l
+      FULL OUTER JOIN
+      (SELECT DISTINCT o_custkey AS rkey FROM orders WHERE o_orderkey % 3 = 0) r
+      ON lkey = rkey
+    ORDER BY coalesce(lkey, rkey)
+  """
+
+  val joinSemi: String = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+  """
+
+  val joinAnti: String = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+    ORDER BY c_custkey
+  """
+
+  val joinThetaRange: String = """
+    SELECT o1.o_custkey AS custkey, o1.o_orderkey AS k1, o2.o_orderkey AS k2
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+     AND o2.o_orderdate >= o1.o_orderdate
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+    ORDER BY k1, k2
+  """
+
+  val joinCrossSmall: String = """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+  """
+
+  val joinAsofLastEvent: String = """
+    SELECT p.event_id AS purchase_id, p.user_id,
+      (SELECT c.event_id FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id
   """
 }
