@@ -171,6 +171,159 @@ object Oracle {
     ORDER BY r_name, n_name
   """
 
+  // ---- §2d ----
+
+  val aggCountDistinct: String = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+  """
+
+  val aggRollup: String = s"""
+    SELECT GROUPING(l_returnflag, l_linestatus) AS gid, l_returnflag, l_linestatus,
+      CAST(sum($netExpr) AS DOUBLE) AS revenue, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+  """
+
+  val aggCube: String = s"""
+    SELECT GROUPING(l_returnflag, l_linestatus) AS gid, l_returnflag, l_linestatus,
+      CAST(sum($netExpr) AS DOUBLE) AS revenue, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+  """
+
+  val aggGroupingSets: String = s"""
+    SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid, o_orderstatus, o_orderpriority,
+      count(*) AS n,
+      CAST(sum(${m("o_totalprice")}) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+  """
+
+  val aggStats: String = """
+    SELECT l_returnflag,
+      ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+      ROUND(var_samp(l_quantity), 4) AS var_qty,
+      ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+      count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """
+
+  val aggPercentiles: String = """
+    SELECT o_orderstatus,
+      ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_price,
+      ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_price,
+      count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """
+
+  val aggMinmaxBy: String = """
+    SELECT o_custkey,
+      first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS max_order,
+      first(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS min_order,
+      max(o_totalprice) AS max_price,
+      min(o_totalprice) AS min_price
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+  """
+
+  val aggCollectSorted: String = """
+    SELECT o_custkey, list(o_totalprice ORDER BY o_totalprice) AS prices
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+  """
+
+  // ---- §2e windows ----
+
+  val winRanking: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn,
+      rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+      dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+    FROM orders ORDER BY o_custkey, rn
+  """
+
+  val winTopkPerGroup: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY o_custkey, rn
+  """
+
+  val winRunningFrame: String = s"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(sum(${m("o_totalprice")}) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      count(*) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near
+    FROM orders ORDER BY o_custkey, o_orderkey
+  """
+
+  val winLeadLag: String = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      lag(o_orderdate)  OVER w AS prev_date,
+      lead(o_orderdate) OVER w AS next_date,
+      date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+  """
+
+  val winNtileDist: String = """
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+      ntile(4)       OVER w AS quartile,
+      percent_rank() OVER w AS pr,
+      cume_dist()    OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, o_totalprice, o_orderkey
+  """
+
+  // ---- §2f sorts / limits / set ops ----
+
+  val sortMultiKey: String = """
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st, o_orderpriority
+    FROM orders
+    ORDER BY st DESC NULLS LAST, o_orderpriority ASC, o_orderkey DESC
+  """
+
+  val limitTopk: String = s"""
+    SELECT l_orderkey, l_linenumber, CAST($netExpr AS DOUBLE) AS net_price
+    FROM lineitem
+    ORDER BY net_price DESC, l_orderkey, l_linenumber
+    LIMIT 20
+  """
+
+  private val sliceA = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000"
+  private val sliceB = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'"
+
+  val setUnionAll: String =
+    s"SELECT * FROM ($sliceA UNION ALL $sliceB) ORDER BY o_orderkey, o_totalprice"
+
+  val setUnionDistinct: String =
+    s"SELECT * FROM ($sliceA UNION $sliceB) ORDER BY o_orderkey"
+
+  val setIntersect: String = """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY c_custkey
+  """
+
+  val setExcept: String = """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    ORDER BY c_custkey
+  """
+
   val joinAsofLastEvent: String = """
     SELECT p.event_id AS purchase_id, p.user_id,
       (SELECT c.event_id FROM events c

@@ -31,7 +31,29 @@ object SparkEntry {
     "join_cross_small"     -> (Relational.joinCrossSmall _),
     "join_asof_last_event" -> (Relational.joinAsofLastEvent _),
     // §2d aggregations
-    "agg_hash_groupby" -> (Relational.aggHashGroupby _),
+    "agg_hash_groupby"          -> (Relational.aggHashGroupby _),
+    "agg_count_distinct"        -> (Aggregates.aggCountDistinct _),
+    "agg_approx_count_distinct" -> (Aggregates.aggApproxCountDistinct _),
+    "agg_rollup"                -> (Aggregates.aggRollup _),
+    "agg_cube"                  -> (Aggregates.aggCube _),
+    "agg_grouping_sets"         -> (Aggregates.aggGroupingSets _),
+    "agg_stats"                 -> (Aggregates.aggStats _),
+    "agg_percentiles"           -> (Aggregates.aggPercentiles _),
+    "agg_minmax_by"             -> (Aggregates.aggMinmaxBy _),
+    "agg_collect_sorted"        -> (Aggregates.aggCollectSorted _),
+    // §2e windows
+    "win_ranking"       -> (Analytic.winRanking _),
+    "win_topk_per_group" -> (Analytic.winTopkPerGroup _),
+    "win_running_frame" -> (Analytic.winRunningFrame _),
+    "win_lead_lag"      -> (Analytic.winLeadLag _),
+    "win_ntile_dist"    -> (Analytic.winNtileDist _),
+    // §2f sorts / limits / set ops
+    "sort_multi_key"     -> (Analytic.sortMultiKey _),
+    "limit_topk"         -> (Analytic.limitTopk _),
+    "set_union_all"      -> (Analytic.setUnionAll _),
+    "set_union_distinct" -> (Analytic.setUnionDistinct _),
+    "set_intersect"      -> (Analytic.setIntersect _),
+    "set_except"         -> (Analytic.setExcept _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +77,26 @@ object SparkEntry {
     "join_cross_small"         -> Oracle.joinCrossSmall,
     "join_asof_last_event"     -> Oracle.joinAsofLastEvent,
     "agg_hash_groupby"         -> Oracle.aggHashGroupby,
+    // agg_approx_count_distinct: NO oracle — HLL is engine-specific;
+    // verified in AggregatesSpec against exact counts.
+    "agg_count_distinct"       -> Oracle.aggCountDistinct,
+    "agg_rollup"               -> Oracle.aggRollup,
+    "agg_cube"                 -> Oracle.aggCube,
+    "agg_grouping_sets"        -> Oracle.aggGroupingSets,
+    "agg_stats"                -> Oracle.aggStats,
+    "agg_percentiles"          -> Oracle.aggPercentiles,
+    "agg_minmax_by"            -> Oracle.aggMinmaxBy,
+    "agg_collect_sorted"       -> Oracle.aggCollectSorted,
+    "win_ranking"              -> Oracle.winRanking,
+    "win_topk_per_group"       -> Oracle.winTopkPerGroup,
+    "win_running_frame"        -> Oracle.winRunningFrame,
+    "win_lead_lag"             -> Oracle.winLeadLag,
+    "win_ntile_dist"           -> Oracle.winNtileDist,
+    "sort_multi_key"           -> Oracle.sortMultiKey,
+    "limit_topk"               -> Oracle.limitTopk,
+    "set_union_all"            -> Oracle.setUnionAll,
+    "set_union_distinct"       -> Oracle.setUnionDistinct,
+    "set_intersect"            -> Oracle.setIntersect,
+    "set_except"               -> Oracle.setExcept,
   )
 }

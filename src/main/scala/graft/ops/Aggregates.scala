@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation operators (SURVEY §2d). All money sums use exact
+  * DECIMAL accumulation (order-independent) per SURVEY §7d; doubles
+  * appear only as final casts or single bounded-magnitude ROUNDs.
+  */
+object Aggregates {
+
+  private def one = lit(1).cast(D4_2)
+
+  /** Exact distinct: Catalyst rewrites to Expand + two-phase agg, so
+    * the distinct set is partitioned across executors, never collected.
+    */
+  def aggCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** HLL sketch — constant memory per group at any scale (the 100 TB
+    * path for distinct counts). No oracle: HLL implementations differ
+    * across engines; bounds vs exact asserted in AggregatesSpec.
+    */
+  def aggApproxCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"),
+        countDistinct($"user_id").as("exact_users"))
+      .orderBy($"event_type")
+  }
+
+  private def rollupCubeBase(spark: SparkSession, sfDir: String, cube: Boolean): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, sfDir)
+    val grouped =
+      if (cube) li.cube($"l_returnflag", $"l_linestatus")
+      else li.rollup($"l_returnflag", $"l_linestatus")
+    grouped
+      .agg(grouping_id().as("gid"),
+        sum(money($"l_extendedprice") * (one - rate($"l_discount"))).as("_rev"),
+        count(lit(1)).as("n"))
+      .select($"gid", $"l_returnflag", $"l_linestatus",
+        $"_rev".cast(DoubleType).as("revenue"), $"n")
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** ROLLUP subtotals via Expand — one pass over the data, each input
+    * row expanded to its grouping-set variants before the partial agg.
+    */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    rollupCubeBase(spark, sfDir, cube = false)
+
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    rollupCubeBase(spark, sfDir, cube = true)
+
+  /** Explicit GROUPING SETS with grouping_id disambiguating the NULL
+    * markers from real NULLs (SQL surface — E2 lifecycle path).
+    */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT grouping_id() AS gid, o_orderstatus, o_orderpriority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders_v
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+  }
+
+  /** Moment-based statistics; bounded magnitudes, ROUND 4dp (§7d:
+    * acceptable for scalars, unlike raw money sums).
+    */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 4).as("covar_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** percentile_cont WITHIN GROUP (SQL surface; Spark ≥3.4). Linear
+    * interpolation lands on ≤4-decimal exact values for 2dp money, so
+    * ROUND 4dp is bit-stable across engines.
+    */
+  def aggPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT o_orderstatus,
+        ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_price,
+        ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_price,
+        count(*) AS n
+      FROM orders_v
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)
+  }
+
+  /** Deterministic argmax/argmin: the ordering struct carries the key
+    * as tiebreak, so ties cannot flap between engines.
+    */
+  def aggMinmaxBy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(
+        max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("max_order"),
+        min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("min_order"),
+        max($"o_totalprice").as("max_price"),
+        min($"o_totalprice").as("min_price"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Per-group sorted array output. */
+  def aggCollectSorted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_list($"o_totalprice")).as("prices"))
+      .orderBy($"o_custkey")
+  }
+}
