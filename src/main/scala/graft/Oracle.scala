@@ -324,6 +324,104 @@ object Oracle {
     ORDER BY c_custkey
   """
 
+  // ---- §2g scalar surface ----
+  // Dialect notes: len()/EXTRACT return BIGINT (Spark side casts to
+  // match); DuckDB dow is 0=Sunday vs Spark 1=Sunday (+1); ceil/floor
+  // stay DOUBLE here, Spark casts its LONG result; `//` = int div.
+
+  val fnString: String = """
+    SELECT c_custkey,
+      substring(c_name, 1, 8) AS sub8,
+      upper(c_mktsegment) AS seg_up,
+      lower(c_name) AS name_lo,
+      trim('  ' || c_mktsegment || '  ') AS seg_trim,
+      lpad(c_name, 25, '*') AS name_pad,
+      concat_ws('|', c_mktsegment, c_name) AS joined,
+      replace(c_name, 'Customer', 'Cust') AS name_repl,
+      len(string_split(c_name, '#')) AS n_parts,
+      c_name LIKE '%42%' AS has42,
+      regexp_extract(c_name, '[0-9]+') AS digits
+    FROM customer ORDER BY c_custkey
+  """
+
+  val fnDateTime: String = """
+    SELECT o_orderkey, o_orderdate,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      EXTRACT(year FROM o_orderdate) AS yr,
+      EXTRACT(month FROM o_orderdate) AS mo,
+      EXTRACT(dow FROM o_orderdate) + 1 AS dow,
+      o_orderdate + INTERVAL 3 MONTH AS plus3m,
+      date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+      last_day(o_orderdate) AS month_end
+    FROM orders ORDER BY o_orderkey
+  """
+
+  val fnMath: String = """
+    SELECT o_orderkey,
+      ROUND(o_totalprice / 7, 4) AS ratio4,
+      abs(-o_totalprice) AS abs_neg,
+      ceil(o_totalprice) AS ceil_p,
+      floor(o_totalprice) AS floor_p,
+      ROUND(sqrt(o_totalprice), 6) AS sqrt6,
+      ROUND(ln(o_totalprice), 6) AS ln6,
+      ROUND(log10(o_totalprice), 6) AS log10_6,
+      power(o_custkey % 10, 2) AS pow2,
+      ((o_orderkey - 100) % 7 + 7) % 7 AS pm7,
+      o_orderkey // 7 AS idiv7,
+      o_orderkey / 7 AS fdiv7
+    FROM orders ORDER BY o_orderkey
+  """
+
+  val fnConditional: String = """
+    SELECT o_orderkey,
+      CASE WHEN o_totalprice > 300000 THEN 'high'
+           WHEN o_totalprice > 100000 THEN 'mid'
+           ELSE 'low' END AS bucket,
+      coalesce(NULLIF(o_orderstatus, 'P'), 'pending') AS status_c,
+      least(o_totalprice, 250000.0) AS capped,
+      greatest(o_custkey % 7, o_custkey % 5, 2) AS g
+    FROM orders ORDER BY o_orderkey
+  """
+
+  val fnArray: String = """
+    SELECT vec_id,
+      len(embedding) AS dim,
+      (embedding::DOUBLE[])[1] AS first_d,
+      list_max(embedding::DOUBLE[]) AS max_d,
+      ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS sum_d,
+      len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
+      list_transform((embedding::DOUBLE[])[1:3], x -> x * 2) AS first3_x2,
+      list_sort((embedding::DOUBLE[])[1:4]) AS first4_sorted
+    FROM embeddings ORDER BY vec_id
+  """
+
+  // fn_map: the oracle constructs the expected sorted-key/value arrays
+  // directly (DuckDB has no str_to_map); semantics are identical.
+  val fnMap: String = """
+    SELECT o_orderkey,
+      ['prio', 'status'] AS keys,
+      [string_split(o_orderpriority, '-')[1], o_orderstatus] AS vals,
+      o_orderstatus AS status_val
+    FROM orders ORDER BY o_orderkey
+  """
+
+  val fnJson: String = """
+    SELECT event_id,
+      CAST(props->>'$.k' AS INTEGER) AS k,
+      '{"u":' || user_id || ',"t":"' || event_type || '"}' AS js,
+      user_id AS u,
+      event_type AS t
+    FROM events ORDER BY event_id
+  """
+
+  val fnStruct: String = """
+    SELECT o_orderkey,
+      o_orderstatus AS s_field,
+      to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS js,
+      (o_orderkey, o_orderstatus) < (5000, 'Z') AS cmp
+    FROM orders ORDER BY o_orderkey
+  """
+
   val joinAsofLastEvent: String = """
     SELECT p.event_id AS purchase_id, p.user_id,
       (SELECT c.event_id FROM events c

@@ -47,6 +47,15 @@ object SparkEntry {
     "win_running_frame" -> (Analytic.winRunningFrame _),
     "win_lead_lag"      -> (Analytic.winLeadLag _),
     "win_ntile_dist"    -> (Analytic.winNtileDist _),
+    // §2g scalar surface
+    "fn_string"      -> (Scalars.fnString _),
+    "fn_date_time"   -> (Scalars.fnDateTime _),
+    "fn_math"        -> (Scalars.fnMath _),
+    "fn_conditional" -> (Scalars.fnConditional _),
+    "fn_array"       -> (Scalars.fnArray _),
+    "fn_map"         -> (Scalars.fnMap _),
+    "fn_json"        -> (Scalars.fnJson _),
+    "fn_struct"      -> (Scalars.fnStruct _),
     // §2f sorts / limits / set ops
     "sort_multi_key"     -> (Analytic.sortMultiKey _),
     "limit_topk"         -> (Analytic.limitTopk _),
@@ -87,6 +96,14 @@ object SparkEntry {
     "agg_percentiles"          -> Oracle.aggPercentiles,
     "agg_minmax_by"            -> Oracle.aggMinmaxBy,
     "agg_collect_sorted"       -> Oracle.aggCollectSorted,
+    "fn_string"                -> Oracle.fnString,
+    "fn_date_time"             -> Oracle.fnDateTime,
+    "fn_math"                  -> Oracle.fnMath,
+    "fn_conditional"           -> Oracle.fnConditional,
+    "fn_array"                 -> Oracle.fnArray,
+    "fn_map"                   -> Oracle.fnMap,
+    "fn_json"                  -> Oracle.fnJson,
+    "fn_struct"                -> Oracle.fnStruct,
     "win_ranking"              -> Oracle.winRanking,
     "win_topk_per_group"       -> Oracle.winTopkPerGroup,
     "win_running_frame"        -> Oracle.winRunningFrame,
