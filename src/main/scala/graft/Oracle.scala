@@ -422,6 +422,68 @@ object Oracle {
     FROM orders ORDER BY o_orderkey
   """
 
+  // ---- §2h streaming batch-equivalents ----
+
+  val streamTumblingWindow: String = s"""
+    SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
+      CAST(sum(${m("value")}) AS DOUBLE) AS sum_value,
+      count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
+  // Epoch-grid reconstruction of Spark's sliding window(ts,'1h','15m'):
+  // each event belongs to the 4 windows starting at
+  // floor(epoch/900)*900 - {0,900,1800,2700} seconds.
+  val streamSlidingWindow: String = """
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(floor(epoch(ts)/900)*900 - off AS BIGINT)) AS win_start,
+           event_type, count(*) AS n
+    FROM events, (SELECT unnest([0, 900, 1800, 2700]) AS off) offs
+    GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
+  // Gaps-and-islands mirror of session_window(ts, '30 minutes'):
+  // a gap of exactly 30 min starts a new session (half-open windows).
+  val streamSessionWindow: String = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS last_event,
+      count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+  """
+
+  val streamDedup: String = """
+    SELECT event_type, count(*) AS n
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events)
+    GROUP BY event_type ORDER BY event_type
+  """
+
+  val streamWatermarkLateData: String = """
+    SELECT event_type, count(*) AS n_total,
+      count(CASE WHEN is_late THEN 1 END) AS n_late
+    FROM (
+      SELECT event_type,
+        ts < max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             - INTERVAL 10 MINUTE AS is_late
+      FROM events)
+    GROUP BY event_type ORDER BY event_type
+  """
+
   val joinAsofLastEvent: String = """
     SELECT p.event_id AS purchase_id, p.user_id,
       (SELECT c.event_id FROM events c

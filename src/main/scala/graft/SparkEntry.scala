@@ -56,6 +56,13 @@ object SparkEntry {
     "fn_map"         -> (Scalars.fnMap _),
     "fn_json"        -> (Scalars.fnJson _),
     "fn_struct"      -> (Scalars.fnStruct _),
+    // §2h streaming batch-equivalents (real streaming paths in
+    // Streaming.*Stream, exercised via MemoryStream in StreamingSpec)
+    "stream_tumbling_window"    -> (Streaming.streamTumblingWindow _),
+    "stream_sliding_window"     -> (Streaming.streamSlidingWindow _),
+    "stream_session_window"     -> (Streaming.streamSessionWindow _),
+    "stream_dedup"              -> (Streaming.streamDedup _),
+    "stream_watermark_late_data" -> (Streaming.streamWatermarkLateData _),
     // §2f sorts / limits / set ops
     "sort_multi_key"     -> (Analytic.sortMultiKey _),
     "limit_topk"         -> (Analytic.limitTopk _),
@@ -104,6 +111,11 @@ object SparkEntry {
     "fn_map"                   -> Oracle.fnMap,
     "fn_json"                  -> Oracle.fnJson,
     "fn_struct"                -> Oracle.fnStruct,
+    "stream_tumbling_window"   -> Oracle.streamTumblingWindow,
+    "stream_sliding_window"    -> Oracle.streamSlidingWindow,
+    "stream_session_window"    -> Oracle.streamSessionWindow,
+    "stream_dedup"             -> Oracle.streamDedup,
+    "stream_watermark_late_data" -> Oracle.streamWatermarkLateData,
     "win_ranking"              -> Oracle.winRanking,
     "win_topk_per_group"       -> Oracle.winTopkPerGroup,
     "win_running_frame"        -> Oracle.winRunningFrame,

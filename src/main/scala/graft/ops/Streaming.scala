@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming operators (SURVEY §2h).
+  *
+  * Each capability exists twice:
+  *  - a batch-equivalent over events.parquet, registered in
+  *    SparkEntry.queries so the DuckDB oracle checks the windowing
+  *    arithmetic (Structured Streaming runs the same DataFrame program
+  *    incrementally, so result semantics are identical); and
+  *  - a streaming plan builder ([[tumblingStream]] etc.) applied to a
+  *    `readStream` source, exercised with MemoryStream in
+  *    StreamingSpec (watermarks, late data, incremental state).
+  */
+object Streaming {
+
+  // ---- batch equivalents (oracle-checked) ----
+
+  /** 1-hour tumbling windows: count, exact 2dp-decimal value sum,
+    * distinct users per (window, type).
+    */
+  def streamTumblingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(money($"value")).as("_sv"),
+        countDistinct($"user_id").as("n_users"))
+      .select($"window.start".as("win_start"), $"event_type", $"n",
+        $"_sv".cast(DoubleType).as("sum_value"), $"n_users")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  /** 1-hour windows sliding every 15 min — each event lands in exactly
+    * 4 windows (epoch-aligned grid, matching Spark's window()).
+    */
+  def streamSlidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win_start"), $"event_type", $"n")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  /** Per-user sessions with a 30-min inactivity gap. An event exactly
+    * at prev_ts + 30min starts a NEW session (session windows are
+    * half-open [start, last+gap)).
+    */
+  def streamSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("last_event"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_start", $"last_event", $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Exact dedup on event_id (unique in the batch data — the streaming
+    * path injects real duplicates in StreamingSpec), then a stable agg.
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .dropDuplicates(Seq("event_id"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Batch-equivalent of watermark lateness: an event is late iff it
+    * arrives (event_id = arrival order) after the running max event
+    * time has passed it by > 10 min — exactly the events a 10-min
+    * watermark would drop from closed windows. The true streaming drop
+    * behavior is asserted in StreamingSpec.
+    *
+    * Scale note: the running max over arrival order is a global
+    * prefix-scan here (fine as a correctness mirror); the streaming
+    * engine tracks the watermark as one scalar per trigger, which is
+    * the actual 100 TB path.
+    */
+  def streamWatermarkLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"event_id").rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, sfDir)
+      .withColumn("is_late",
+        $"ts" < max($"ts").over(w) - expr("INTERVAL '10' MINUTE"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        count(when($"is_late", 1)).as("n_late"))
+      .orderBy($"event_type")
+  }
+
+  // ---- streaming plan builders (MemoryStream / readStream sources) ----
+
+  /** Append-mode tumbling counts; windows emit once the 10-min
+    * watermark passes their end, later events are dropped.
+    */
+  def tumblingStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+
+  /** Streaming exact dedup with bounded state: watermark lets the
+    * engine expire seen-keys older than the horizon.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates(Seq("event_id"))
+
+  def sessionStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+}

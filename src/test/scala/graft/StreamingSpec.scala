@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Real Structured Streaming paths (SURVEY §2h): MemoryStream-driven
+  * micro-batches asserting watermark advancement, late-data drop, and
+  * stateful dedup — semantics the batch oracle cannot check.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long = 1, typ: String = "click") =
+    Ev(id, ts(t), user, typ, 1.0)
+
+  test("tumbling window append mode emits only after watermark passes, drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.tumblingStream(ms.toDF())
+      .select($"window.start".as("ws"), $"event_type", $"count")
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events inside hour-0
+      ms.addData(ev(1, "2024-01-01 00:05:00"), ev(2, "2024-01-01 00:20:00"))
+      q.processAllAvailable()
+      assert(spark.table("tumble").count() === 0,
+        "append mode must hold the window open before the watermark passes its end")
+
+      // batch 2: event at 01:30 -> event-time max 01:30
+      ms.addData(ev(3, "2024-01-01 01:30:00"))
+      q.processAllAvailable()
+      // batch 3: watermark (01:20) now past hour-0 end -> hour-0 emits
+      ms.addData(ev(4, "2024-01-01 01:31:00"))
+      q.processAllAvailable()
+      val emitted = spark.table("tumble")
+        .where($"ws" === ts("2024-01-01 00:00:00")).collect()
+      assert(emitted.length === 1 && emitted.head.getAs[Long]("count") === 2)
+
+      // batch 4: late event inside the CLOSED hour-0 window -> dropped
+      ms.addData(ev(5, "2024-01-01 00:40:00"))
+      q.processAllAvailable()
+      val after = spark.table("tumble")
+        .where($"ws" === ts("2024-01-01 00:00:00")).collect()
+      assert(after.length === 1 && after.head.getAs[Long]("count") === 2,
+        "late event must be dropped from the closed window")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event_ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.dedupStream(ms.toDF())
+      .select($"event_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(10, "2024-01-01 00:01:00"), ev(11, "2024-01-01 00:02:00"))
+      q.processAllAvailable()
+      ms.addData(ev(10, "2024-01-01 00:03:00"), ev(12, "2024-01-01 00:04:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
+  test("session window merges events within gap, splits on >= gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.sessionStream(ms.toDF())
+      .select($"session_window.start".as("ss"), $"user_id", $"count")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:10:00"),
+        ev(3, "2024-01-01 00:39:00"),                  // 29 min gap: merges
+        ev(4, "2024-01-01 01:30:00"))                  // 51 min gap: new session
+      q.processAllAvailable()
+      val rows = spark.table("sess").orderBy($"ss").collect()
+      assert(rows.map(_.getAs[Long]("count")).toSeq === Seq(3L, 1L))
+    } finally q.stop()
+  }
+
+  test("batch-equivalent sliding window puts each event in exactly 4 windows") {
+    import spark.implicits._
+    val n = Tables.events(spark, sf).count()
+    val total = Streaming.streamSlidingWindow(spark, sf)
+      .agg(sum($"n")).as[Long].head()
+    assert(total === 4 * n)
+  }
+}
