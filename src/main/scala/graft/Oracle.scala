@@ -484,6 +484,14 @@ object Oracle {
     GROUP BY event_type ORDER BY event_type
   """
 
+  // ---- §2i ML (only the SQL-expressible split has an oracle) ----
+
+  val mlTrainTestSplit: String = """
+    SELECT vec_id, label,
+      CASE WHEN vec_id % 5 = 0 THEN 'test' ELSE 'train' END AS split
+    FROM embeddings ORDER BY vec_id
+  """
+
   val joinAsofLastEvent: String = """
     SELECT p.event_id AS purchase_id, p.user_id,
       (SELECT c.event_id FROM events c

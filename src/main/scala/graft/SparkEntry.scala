@@ -63,6 +63,13 @@ object SparkEntry {
     "stream_session_window"     -> (Streaming.streamSessionWindow _),
     "stream_dedup"              -> (Streaming.streamDedup _),
     "stream_watermark_late_data" -> (Streaming.streamWatermarkLateData _),
+    // §2i ML surface (no oracle except the modulo split; verified by
+    // metric floors + determinism in MLSpec)
+    "ml_rf_train_predict"      -> (ML.mlRfTrainPredict _),
+    "ml_rf_accuracy"           -> (ML.mlRfAccuracy _),
+    "ml_rf_feature_importance" -> (ML.mlRfFeatureImportance _),
+    "ml_rf_regression"         -> (ML.mlRfRegression _),
+    "ml_train_test_split"      -> (ML.mlTrainTestSplit _),
     // §2f sorts / limits / set ops
     "sort_multi_key"     -> (Analytic.sortMultiKey _),
     "limit_topk"         -> (Analytic.limitTopk _),
@@ -116,6 +123,9 @@ object SparkEntry {
     "stream_session_window"    -> Oracle.streamSessionWindow,
     "stream_dedup"             -> Oracle.streamDedup,
     "stream_watermark_late_data" -> Oracle.streamWatermarkLateData,
+    // ml_rf_*: NO oracle — not SQL-expressible (MLSpec asserts metric
+    // floors and fixed-seed determinism); the split IS oracle-checked:
+    "ml_train_test_split"      -> Oracle.mlTrainTestSplit,
     "win_ranking"              -> Oracle.winRanking,
     "win_topk_per_group"       -> Oracle.winTopkPerGroup,
     "win_running_frame"        -> Oracle.winRunningFrame,

@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.concurrent.TrieMap
+
+/** ML surface (SURVEY §2i) — the reference capability (random forest
+  * on a distributed runtime) re-expressed on Spark MLlib's
+  * histogram-based distributed tree induction (PLANET-style: one pass
+  * per tree level over the data, no per-tree data movement).
+  *
+  * Determinism protocol: fixed seeds, hash-free modulo train/test
+  * split (vec_id % 5 — NOT randomSplit, which depends on partitioning),
+  * fixed repartitioning before fit. No DuckDB oracle (not
+  * SQL-expressible); metric floors asserted in MLSpec.
+  */
+object ML {
+
+  private val toVec = udf((a: Seq[Float]) =>
+    Vectors.dense(a.map(_.toDouble).toArray))
+  private val toVecD = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+
+  /** Test hook: the prepared embeddings frame (features + split). */
+  def mlRfTrainPredictInput(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+
+  /** embeddings with MLlib features + deterministic split. */
+  private def prepared(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embeddings(spark, sfDir)
+      .withColumn("features", toVec($"embedding"))
+      .withColumn("split",
+        when(pmod($"vec_id", lit(5)) === 0, "test").otherwise("train"))
+      // fixed partitioning => identical per-partition sampling under a
+      // fixed seed, run to run
+      .repartition(8, $"vec_id")
+  }
+
+  private val clsCache = TrieMap.empty[String, RandomForestClassificationModel]
+
+  private def classifier(spark: SparkSession, sfDir: String): RandomForestClassificationModel =
+    clsCache.getOrElseUpdate(sfDir, {
+      val train = prepared(spark, sfDir).filter(col("split") === "train")
+      new RandomForestClassifier()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setNumTrees(50).setMaxDepth(8).setSeed(42L)
+        .fit(train)
+    })
+
+  /** Held-out predictions: (vec_id, label, prediction). */
+  def mlRfTrainPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val test = prepared(spark, sfDir).filter($"split" === "test")
+    classifier(spark, sfDir).transform(test)
+      .select($"vec_id", $"label", $"prediction".cast(IntegerType).as("prediction"))
+      .orderBy($"vec_id")
+  }
+
+  /** Overall accuracy + per-class test counts/hits. */
+  def mlRfAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pred = mlRfTrainPredict(spark, sfDir).cache()
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy")
+      .evaluate(pred.select($"label".cast(DoubleType),
+        $"prediction".cast(DoubleType)))
+    pred.groupBy($"label")
+      .agg(count(lit(1)).as("n_test"),
+        count(when($"prediction" === $"label", 1)).as("n_correct"))
+      .withColumn("accuracy_overall", round(lit(acc), 4))
+      .orderBy($"label")
+  }
+
+  /** Top-10 feature importances (stable under the fixed seed). */
+  def mlRfFeatureImportance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imp = classifier(spark, sfDir).featureImportances.toArray
+    spark.createDataFrame(imp.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("feature_idx", "importance")
+      .orderBy($"importance".desc, $"feature_idx")
+      .limit(10)
+      .select($"feature_idx", round($"importance", 6).as("importance"))
+  }
+
+  private val regCache = TrieMap.empty[String, RandomForestRegressionModel]
+
+  /** Regression: predict events.value from time/type features. */
+  def mlRfRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val typeIdx = map_from_arrays(
+      array(Seq("signup", "click", "error", "view", "purchase").map(lit): _*),
+      array((0 until 5).map(i => lit(i.toDouble)): _*))
+    val feat = events(spark, sfDir)
+      .withColumn("features", toVecD(array(
+        hour($"ts").cast(DoubleType),
+        dayofweek($"ts").cast(DoubleType),
+        element_at(typeIdx, $"event_type"),
+        pmod($"user_id", lit(16)).cast(DoubleType))))
+      .withColumn("split",
+        when(pmod($"event_id", lit(5)) === 0, "test").otherwise("train"))
+      .repartition(8, $"event_id")
+    val model = regCache.getOrElseUpdate(sfDir,
+      new RandomForestRegressor()
+        .setLabelCol("value").setFeaturesCol("features")
+        .setNumTrees(30).setMaxDepth(6).setSeed(42L)
+        .fit(feat.filter($"split" === "train")))
+    model.transform(feat.filter($"split" === "test"))
+      .select($"event_id", $"value", round($"prediction", 6).as("prediction"))
+      .orderBy($"event_id")
+  }
+
+  /** Deterministic modulo split — SQL-expressible, oracle-checked. */
+  def mlTrainTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embeddings(spark, sfDir)
+      .select($"vec_id", $"label",
+        when($"vec_id" % 5 === 0, "test").otherwise("train").as("split"))
+      .orderBy($"vec_id")
+  }
+}

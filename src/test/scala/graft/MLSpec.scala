@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.ML
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2i verification: oracle-less ML ops get metric floors + fixed-seed
+  * determinism checks (SURVEY §5).
+  */
+class MLSpec extends AnyFunSuite with SparkFixture {
+
+  // Measured fact (2026-08-12): the synthetic embeddings carry NO label
+  // signal — 1-NN cosine scores 0.07 vs the 0.1 random baseline, so no
+  // classifier can beat random on the real labels. The pipeline's
+  // ability to learn is therefore proven on a derived target with true
+  // signal (sign of dimension 0); the real-label run just asserts
+  // evaluator consistency.
+  test("rf accuracy metric is consistent with per-class counts") {
+    import spark.implicits._
+    val df = ML.mlRfAccuracy(spark, sf)
+    val acc = df.select($"accuracy_overall").as[Double].head()
+    val (hits, tot) = df.agg(sum($"n_correct"), sum($"n_test"))
+      .as[(Long, Long)].head()
+    assert(math.abs(acc - hits.toDouble / tot) < 1e-3)
+  }
+
+  test("rf learns a real signal: sign-of-dim0 target reaches high accuracy") {
+    import spark.implicits._
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    val base = ML.mlRfTrainPredictInput(spark, sf)
+      .withColumn("label2", (element_at($"embedding", 1) > 0f).cast("int"))
+    val model = new RandomForestClassifier()
+      .setLabelCol("label2").setFeaturesCol("features")
+      .setNumTrees(30).setMaxDepth(6).setSeed(42L)
+      .fit(base.filter($"split" === "train"))
+    val pred = model.transform(base.filter($"split" === "test"))
+    val acc = pred.filter($"prediction" === $"label2").count().toDouble /
+      pred.count()
+    assert(acc > 0.85, s"derived-signal accuracy $acc should be high")
+  }
+
+  test("rf predictions are deterministic across runs (fixed seed + fixed split)") {
+    val a = ML.mlRfTrainPredict(spark, sf).collect().toSeq
+    val b = ML.mlRfTrainPredict(spark, sf).collect().toSeq
+    assert(a === b)
+  }
+
+  test("per-class counts cover the test split exactly") {
+    import spark.implicits._
+    val nTest = ML.mlTrainTestSplit(spark, sf)
+      .filter($"split" === "test").count()
+    val summed = ML.mlRfAccuracy(spark, sf)
+      .agg(sum($"n_test")).as[Long].head()
+    assert(summed === nTest)
+  }
+
+  test("feature importances: top-10, non-negative, sum <= 1") {
+    import spark.implicits._
+    val imp = ML.mlRfFeatureImportance(spark, sf)
+      .select($"importance").as[Double].collect()
+    assert(imp.length === 10)
+    assert(imp.forall(_ >= 0))
+    assert(imp.sum <= 1.0 + 1e-6)
+  }
+
+  test("rf regression produces finite predictions on the test split") {
+    import spark.implicits._
+    val pred = ML.mlRfRegression(spark, sf)
+    assert(pred.count() > 0)
+    assert(pred.filter($"prediction".isNull || isnan($"prediction")).count() === 0)
+  }
+}
