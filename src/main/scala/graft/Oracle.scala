@@ -492,6 +492,85 @@ object Oracle {
     FROM embeddings ORDER BY vec_id
   """
 
+  // ---- §2j LLM-data-pipeline ops ----
+  // Cosine oracles use explicit ::DOUBLE[] math (list_dot_product on
+  // double lists + sqrt norms) — NEVER list_cosine_similarity, which
+  // computes in float32 and diverges at 6dp (SURVEY §2j).
+
+  val dedupExactHash: String = """
+    SELECT md5(text) AS hash, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) ORDER BY hash
+  """
+
+  val dedupNearJaccard: String = """
+    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents)
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_distinct(list_intersect(a.toks, b.toks)))::DOUBLE /
+          (len(a.toks) + len(b.toks)
+           - len(list_distinct(list_intersect(a.toks, b.toks)))) AS jac
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE jac >= 0.8
+    ORDER BY id_a, id_b
+  """
+
+  private val cosExpr =
+    """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+  val simCosineTopk: String = s"""
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosExpr AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      ORDER BY cos DESC, id_a, id_b LIMIT 20)
+    ORDER BY cos DESC, id_a, id_b
+  """
+
+  val simKnnQuery: String = s"""
+    SELECT vec_id, ROUND(cos, 6) AS cosine FROM (
+      SELECT a.vec_id AS vec_id, $cosExpr AS cos
+      FROM embeddings a CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+      WHERE a.vec_id != 0
+      ORDER BY cos DESC, vec_id LIMIT 10)
+    ORDER BY cos DESC, vec_id
+  """
+
+  val textTokenizeTf: String = """
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term ORDER BY n DESC, term LIMIT 50
+  """
+
+  val textNgramBigrams: String = """
+    WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT lang,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM toks WHERE len(t) >= 2),
+    cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram)
+    SELECT lang, bigram, n, rn FROM (
+      SELECT lang, bigram, n,
+        row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+      FROM cnt)
+    WHERE rn <= 30 ORDER BY lang, rn
+  """
+
+  val textStatsPerSource: String = """
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      count(DISTINCT lang) AS n_langs,
+      first(doc_id ORDER BY n_chars DESC, doc_id DESC) AS longest_doc
+    FROM documents GROUP BY source ORDER BY source
+  """
+
+  val multimodalStructJson: String = """
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+      to_json(struct_pack(id := doc_id, lang := lang,
+        n_tokens := len(string_split(text, ' ')), n_chars := n_chars)) AS js
+    FROM documents ORDER BY doc_id
+  """
+
   val joinAsofLastEvent: String = """
     SELECT p.event_id AS purchase_id, p.user_id,
       (SELECT c.event_id FROM events c

@@ -70,6 +70,16 @@ object SparkEntry {
     "ml_rf_feature_importance" -> (ML.mlRfFeatureImportance _),
     "ml_rf_regression"         -> (ML.mlRfRegression _),
     "ml_train_test_split"      -> (ML.mlTrainTestSplit _),
+    // §2j LLM-data-pipeline ops
+    "dedup_exact_hash"      -> (LlmOps.dedupExactHash _),
+    "dedup_near_jaccard"    -> (LlmOps.dedupNearJaccard _),
+    "dedup_minhash_lsh"     -> (LlmOps.dedupMinhashLsh _),
+    "sim_cosine_topk"       -> (LlmOps.simCosineTopk _),
+    "sim_knn_query"         -> (LlmOps.simKnnQuery _),
+    "text_tokenize_tf"      -> (LlmOps.textTokenizeTf _),
+    "text_ngram_bigrams"    -> (LlmOps.textNgramBigrams _),
+    "text_stats_per_source" -> (LlmOps.textStatsPerSource _),
+    "multimodal_struct_json" -> (LlmOps.multimodalStructJson _),
     // §2f sorts / limits / set ops
     "sort_multi_key"     -> (Analytic.sortMultiKey _),
     "limit_topk"         -> (Analytic.limitTopk _),
@@ -126,6 +136,16 @@ object SparkEntry {
     // ml_rf_*: NO oracle — not SQL-expressible (MLSpec asserts metric
     // floors and fixed-seed determinism); the split IS oracle-checked:
     "ml_train_test_split"      -> Oracle.mlTrainTestSplit,
+    // dedup_minhash_lsh: NO oracle — hash-family specific; recall vs
+    // exact jaccard asserted in LlmSpec.
+    "dedup_exact_hash"         -> Oracle.dedupExactHash,
+    "dedup_near_jaccard"       -> Oracle.dedupNearJaccard,
+    "sim_cosine_topk"          -> Oracle.simCosineTopk,
+    "sim_knn_query"            -> Oracle.simKnnQuery,
+    "text_tokenize_tf"         -> Oracle.textTokenizeTf,
+    "text_ngram_bigrams"       -> Oracle.textNgramBigrams,
+    "text_stats_per_source"    -> Oracle.textStatsPerSource,
+    "multimodal_struct_json"   -> Oracle.multimodalStructJson,
     "win_ranking"              -> Oracle.winRanking,
     "win_topk_per_group"       -> Oracle.winTopkPerGroup,
     "win_running_frame"        -> Oracle.winRunningFrame,

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.LlmOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2j verification for the oracle-less ops + semantic properties. */
+class LlmSpec extends AnyFunSuite with SparkFixture {
+
+  test("minhash LSH recovers most exact near-dup pairs (recall vs jaccard)") {
+    import spark.implicits._
+    // exact same-lang pairs at jaccard >= 0.8 (the oracle-checked op)
+    val exact = LlmOps.dedupNearJaccard(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // LSH candidates at jaccard distance <= 0.5 (i.e. jaccard >= 0.5 —
+    // a superset threshold, so every exact pair should be recallable)
+    val lsh = LlmOps.dedupMinhashLsh(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain near-dup pairs")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall should be >= 0.8 (5 hash tables)")
+  }
+
+  test("cosine top-k: scores within [-1, 1], strictly ordered, k rows") {
+    import spark.implicits._
+    val rows = LlmOps.simCosineTopk(spark, sf)
+      .select($"cosine").as[Double].collect()
+    assert(rows.length === 20)
+    assert(rows.forall(c => c >= -1.0 && c <= 1.0))
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+  }
+
+  test("knn of probe vector excludes the probe and returns k ordered neighbors") {
+    import spark.implicits._
+    val rows = LlmOps.simKnnQuery(spark, sf)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect()
+    assert(rows.length === 10)
+    assert(!rows.map(_._1).contains(0L))
+    val cs = rows.map(_._2)
+    assert(cs.sameElements(cs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("exact dedup groups cover every document exactly once") {
+    import spark.implicits._
+    val total = Tables.documents(spark, sf).count()
+    val grouped = LlmOps.dedupExactHash(spark, sf)
+      .agg(sum($"n_docs")).as[Long].head()
+    assert(grouped === total)
+  }
+
+  test("jaccard is symmetric-free (a<b) and within (0, 1]") {
+    import spark.implicits._
+    val rows = LlmOps.dedupNearJaccard(spark, sf)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, j) => a < b && j > 0 && j <= 1.0 })
+  }
+}
