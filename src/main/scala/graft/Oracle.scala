@@ -571,6 +571,103 @@ object Oracle {
     FROM documents ORDER BY doc_id
   """
 
+  // ---- §2j wave 2: training-data-pipeline extras ----
+
+  val textLangId: String = """
+    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+    c AS (SELECT doc_id, lang,
+      len(list_intersect(toks, ['the','fast','data']))      AS c_en,
+      len(list_intersect(toks, ['table','scan','order']))   AS c_de,
+      len(list_intersect(toks, ['sort','merge','value']))   AS c_fr,
+      len(list_intersect(toks, ['batch','window','row']))   AS c_es,
+      len(list_intersect(toks, ['spark','column','hash']))  AS c_zh
+      FROM t)
+    SELECT doc_id, c_en, c_de, c_fr, c_es, c_zh,
+      CASE
+        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+        WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+        WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+        WHEN c_es >= c_zh THEN 'es'
+        ELSE 'zh'
+      END AS predicted,
+      (CASE
+        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+        WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+        WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+        WHEN c_es >= c_zh THEN 'es'
+        ELSE 'zh'
+      END) = lang AS matches_label
+    FROM c ORDER BY doc_id
+  """
+
+  val textQualityScore: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+      len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_uniq,
+      len(list_filter(toks, x -> list_contains(
+        ['the','a','of','and','to','in','is','it','key','data'], x))) AS n_stop
+      FROM t)
+    SELECT doc_id, n_tokens, n_uniq, n_stop,
+      ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+      ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      ROUND(least(n_tokens / 50.0, 1.0) * 0.3
+            + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.4
+            + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3, 6) AS score
+    FROM s ORDER BY doc_id
+  """
+
+  val textTokenCount: String = """
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS ws_tokens,
+      len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+      len(list_distinct(string_split(text, ' '))) AS uniq_tokens,
+      ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+        AS chars_per_token
+    FROM documents ORDER BY doc_id
+  """
+
+  val textFingerprint: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp_content,
+      list_aggregate(list_transform(
+        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+        x -> md5(x)), 'min') AS fp_min_shingle,
+      len(t) - 1 AS n_shingles
+    FROM t WHERE len(t) >= 2 ORDER BY doc_id
+  """
+
+  val dedupSimhash: String = """
+    WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h
+          FROM toks),
+    bits AS (SELECT doc_id, h, unnest(range(0, 32)) AS bit FROM h),
+    s AS (SELECT doc_id, bit,
+            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sc
+          FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+      sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM s GROUP BY doc_id ORDER BY doc_id
+  """
+
+  val dedupNearEmbedding: String = s"""
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosExpr AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    WHERE cos >= 0.4
+    ORDER BY id_a, id_b
+  """
+
+  val multimodalBinaryFeatures: String = """
+    SELECT doc_id, len(text) AS payload_len,
+      ascii(substring(text, 1, 1)) AS first_byte,
+      md5(substring(text, 1, 16)) AS head_md5
+    FROM documents ORDER BY doc_id
+  """
+
   val joinAsofLastEvent: String = """
     SELECT p.event_id AS purchase_id, p.user_id,
       (SELECT c.event_id FROM events c

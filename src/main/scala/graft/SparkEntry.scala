@@ -80,6 +80,15 @@ object SparkEntry {
     "text_ngram_bigrams"    -> (LlmOps.textNgramBigrams _),
     "text_stats_per_source" -> (LlmOps.textStatsPerSource _),
     "multimodal_struct_json" -> (LlmOps.multimodalStructJson _),
+    // §2j wave 2: training-data-pipeline extras
+    "text_lang_id"        -> (LlmOps2.textLangId _),
+    "text_quality_score"  -> (LlmOps2.textQualityScore _),
+    "text_token_count"    -> (LlmOps2.textTokenCount _),
+    "text_fingerprint"    -> (LlmOps2.textFingerprint _),
+    "dedup_simhash"       -> (LlmOps2.dedupSimhash _),
+    "dedup_near_embedding" -> (LlmOps2.dedupNearEmbedding _),
+    "sim_ann_lsh"         -> (LlmOps2.simAnnLsh _),
+    "multimodal_binary_features" -> (LlmOps2.multimodalBinaryFeatures _),
     // §2f sorts / limits / set ops
     "sort_multi_key"     -> (Analytic.sortMultiKey _),
     "limit_topk"         -> (Analytic.limitTopk _),
@@ -146,6 +155,15 @@ object SparkEntry {
     "text_ngram_bigrams"       -> Oracle.textNgramBigrams,
     "text_stats_per_source"    -> Oracle.textStatsPerSource,
     "multimodal_struct_json"   -> Oracle.multimodalStructJson,
+    // sim_ann_lsh: NO oracle — LSH bucketing is hash-family specific;
+    // recall vs brute force asserted in LlmSpec.
+    "text_lang_id"             -> Oracle.textLangId,
+    "text_quality_score"       -> Oracle.textQualityScore,
+    "text_token_count"         -> Oracle.textTokenCount,
+    "text_fingerprint"         -> Oracle.textFingerprint,
+    "dedup_simhash"            -> Oracle.dedupSimhash,
+    "dedup_near_embedding"     -> Oracle.dedupNearEmbedding,
+    "multimodal_binary_features" -> Oracle.multimodalBinaryFeatures,
     "win_ranking"              -> Oracle.winRanking,
     "win_topk_per_group"       -> Oracle.winTopkPerGroup,
     "win_running_frame"        -> Oracle.winRunningFrame,

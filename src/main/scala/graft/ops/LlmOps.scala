@@ -102,7 +102,13 @@ object LlmOps {
 
   // ---- similarity search ----
 
+  /** Shared compiled dot-product kernel (also used by LlmOps2). */
+  private[ops] def dot = dotUdf
+
   /** embeddings with the norm precomputed once per side. */
+  private[ops] def embeddingsWithNorm(spark: SparkSession, sfDir: String): DataFrame =
+    withNorm(spark, sfDir)
+
   private def withNorm(spark: SparkSession, sfDir: String): DataFrame =
     embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), normUdf(col("embedding")).as("nrm"))

@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators, wave 2 (task north star beyond
+  * SURVEY §2j's core): language ID, quality scoring, token counting,
+  * document fingerprinting, SimHash, embedding near-dup, ANN, and
+  * multimodal binary-column plumbing.
+  */
+object LlmOps2 {
+
+  // Marker-token profiles for the language-ID heuristic. The synthetic
+  // corpus shares one vocabulary across langs, so this demonstrates the
+  // *mechanism* (profile-overlap scoring with deterministic argmax) —
+  // on real multilingual text the profiles would be per-language
+  // character n-grams.
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "fast", "data"),
+    "de" -> Seq("table", "scan", "order"),
+    "fr" -> Seq("sort", "merge", "value"),
+    "es" -> Seq("batch", "window", "row"),
+    "zh" -> Seq("spark", "column", "hash"))
+  private val langs = Seq("en", "de", "fr", "es", "zh")
+
+  /** Language ID: count marker-profile overlap per language, argmax
+    * with a fixed preference order (en,de,fr,es,zh) on ties.
+    */
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = array_distinct(split($"text", " "))
+    val withCounts = langs.foldLeft(
+      documents(spark, sfDir).withColumn("toks", toks)) { (df, l) =>
+      df.withColumn(s"c_$l",
+        size(array_intersect($"toks",
+          array(markers(l).map(lit): _*))).cast(LongType))
+    }
+    // CASE-chain argmax: first lang in preference order that is >= all
+    // later ones (identical text on the oracle side)
+    val predicted = expr("""
+      CASE
+        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+        WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+        WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+        WHEN c_es >= c_zh THEN 'es'
+        ELSE 'zh'
+      END""")
+    withCounts
+      .select($"doc_id", $"c_en", $"c_de", $"c_fr", $"c_es", $"c_zh",
+        predicted.as("predicted"),
+        (predicted === $"lang").as("matches_label"))
+      .orderBy($"doc_id")
+  }
+
+  /** Heuristic quality score: length saturation, lexical diversity,
+    * stopword penalty — identical double expression tree on both sides.
+    */
+  def textQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stoplist = array(Seq("the", "a", "of", "and", "to", "in", "is",
+      "it", "key", "data").map(lit): _*)
+    documents(spark, sfDir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast(LongType))
+      .withColumn("n_uniq", size(array_distinct($"toks")).cast(LongType))
+      .withColumn("n_stop",
+        size(filter($"toks", t => array_contains(stoplist, t))).cast(LongType))
+      .withColumn("uniq_ratio", $"n_uniq".cast(DoubleType) / $"n_tokens")
+      .withColumn("stop_ratio", $"n_stop".cast(DoubleType) / $"n_tokens")
+      .withColumn("score", round(
+        least($"n_tokens" / 50.0, lit(1.0)) * 0.3 +
+          $"uniq_ratio" * 0.4 + (lit(1.0) - $"stop_ratio") * 0.3, 6))
+      .select($"doc_id", $"n_tokens", $"n_uniq", $"n_stop",
+        round($"uniq_ratio", 6).as("uniq_ratio"),
+        round($"stop_ratio", 6).as("stop_ratio"), $"score")
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace split vs a BPE-ish regex tokenizer
+    * ([a-z0-9]+ word pieces), plus chars-per-token.
+    */
+  def textTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z0-9]+"), lit(0)))
+          .cast(LongType).as("re_tokens"),
+        size(array_distinct(split($"text", " "))).cast(LongType).as("uniq_tokens"),
+        round($"n_chars".cast(DoubleType) / size(split($"text", " ")), 6)
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprints: md5 over the sorted distinct-token bag
+    * (content fingerprint, order-insensitive) + the minimum shingle
+    * hash (2-token shingles — the rolling-window fingerprint used for
+    * near-dup sketching).
+    */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .withColumn("t", split($"text", " "))
+      .filter(size($"t") >= 2)
+      .withColumn("bgs", expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+      .select($"doc_id",
+        md5(array_join(array_sort(array_distinct($"t")), " ")).as("fp_content"),
+        array_min(expr("transform(bgs, x -> md5(x))")).as("fp_min_shingle"),
+        size($"bgs").cast(LongType).as("n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash32 from per-token md5 prefixes: majority vote per bit over
+    * the distinct token set. Pure portable integer math (md5 hex →
+    * int, shifts, signs) so the oracle reproduces it exactly.
+    * Shape: |docs|×|tokens|×32 rows through two partial aggregations —
+    * linear in corpus size, no pairwise work.
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = documents(spark, sfDir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      .withColumn("h", conv(substring(md5($"tok"), 1, 8), 16, 10).cast(LongType))
+    tok
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy($"doc_id", $"bit")
+      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("sc"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"sc" > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (>= 0.4; the synthetic corpus's
+    * max pairwise cosine is ~0.6). Same compiled kernels as sim_*.
+    */
+  def dedupNearEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = LlmOps.embeddingsWithNorm(spark, sfDir)
+    val a = t.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = t.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
+    a.join(broadcast(b), $"id_a" < $"id_b")
+      .withColumn("cos", LlmOps.dot($"ea", $"eb") / ($"na" * $"nb"))
+      .filter($"cos" >= 0.4)
+      .select($"id_a", $"id_b", round($"cos", 6).as("cosine"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** ANN scale path: random-hyperplane bucketing (BucketedRandomProjection
+    * LSH) — probe lookup touches only colliding buckets instead of the
+    * full corpus. No oracle (bucketing is hash-family specific); recall
+    * vs brute force asserted in LlmSpec.
+    */
+  def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = embeddings(spark, sfDir)
+      .withColumn("fvec", toVec($"embedding"))
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("fvec").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+      .fit(feat)
+    val probe = Vectors.dense(
+      feat.filter($"vec_id" === 0).select($"fvec").head()
+        .getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+    model.approxNearestNeighbors(feat.filter($"vec_id" =!= 0), probe, 10, "dist")
+      .select($"vec_id", round($"dist", 6).as("dist"))
+      .orderBy($"dist", $"vec_id")
+  }
+
+  /** Multimodal binary-column plumbing: documents as opaque payloads
+    * (binary) + typed metadata, "decoded" per partition in a compiled
+    * imperative pass — the stand-in for image/audio feature extraction.
+    * The DECODE STEP IS A STUB (no media libs in this container): it
+    * emits deterministic byte-level features; the Spark-side schema,
+    * partition batching, and typed mapPartitions plumbing are real.
+    */
+  def multimodalBinaryFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = documents(spark, sfDir)
+      .select($"doc_id", $"text".cast(BinaryType).as("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      // one digest instance per partition batch — the shape a real
+      // decoder pool would take
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, payload) =>
+        // STUB decode: byte-level features in place of pixel/sample
+        // decoding
+        val head = payload.take(16)
+        md.reset()
+        val hex = md.digest(head).map("%02x".format(_)).mkString
+        (id, payload.length.toLong, payload(0).toInt & 0xff, hex)
+      }
+    }.toDF("doc_id", "payload_len", "first_byte", "head_md5")
+      .orderBy($"doc_id")
+  }
+}

@@ -40,6 +40,38 @@ class LlmSpec extends AnyFunSuite with SparkFixture {
     assert(cs.sameElements(cs.sorted(Ordering[Double].reverse)))
   }
 
+  test("ANN (random-projection LSH) finds most true euclidean neighbors") {
+    import spark.implicits._
+    import graft.ops.LlmOps2
+    val ann = LlmOps2.simAnnLsh(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    // brute-force euclidean top-10 of probe vec 0
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val probe = rows.find(_._1 == 0L).get._2
+    val exact = rows.filter(_._1 != 0L)
+      .map { case (id, e) =>
+        val d = e.zip(probe).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+        (id, math.sqrt(d))
+      }
+      .sortBy(r => (r._2, r._1)).take(10).map(_._1).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall vs brute force should be >= 0.5")
+  }
+
+  test("simhash: near-identical token sets have small hamming distance") {
+    import spark.implicits._
+    import graft.ops.{LlmOps, LlmOps2}
+    val sh = LlmOps2.dedupSimhash(spark, sf)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    // the strongest exact near-dup pair should be close in simhash space
+    val top = LlmOps.dedupNearJaccard(spark, sf)
+      .orderBy($"jaccard".desc).select($"id_a", $"id_b")
+      .as[(Long, Long)].head()
+    val ham = java.lang.Long.bitCount(sh(top._1) ^ sh(top._2))
+    assert(ham <= 12, s"hamming distance $ham for a >=0.8-jaccard pair should be small")
+  }
+
   test("exact dedup groups cover every document exactly once") {
     import spark.implicits._
     val total = Tables.documents(spark, sf).count()
