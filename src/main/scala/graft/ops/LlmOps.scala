@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -41,6 +40,38 @@ object LlmOps {
     s
   }
 
+  /** Sorted-long-array intersection size — two-pointer merge over
+    * primitive arrays (Spark passes ArrayType(LongType,false) as
+    * Array[Long]: no boxing, no per-element string conversion). Token
+    * sets are pre-hashed to 64-bit once per document; with a ~100-word
+    * vocabulary the collision probability is ~1e-15, so the count
+    * equals the exact string-set intersection.
+    */
+  private[ops] val intersectSizeUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** (doc_id, lang, sz, th): distinct-token count + sorted hashed
+    * token set — the compact per-doc sketch all pair ops verify
+    * against. ~40 B/doc of longs instead of ~500 B of strings, small
+    * enough to BROADCAST, so pair verification never shuffles arrays.
+    */
+  private[ops] def tokenHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        size(array_distinct(split($"text", " "))).as("sz"),
+        sort_array(transform(array_distinct(split($"text", " ")),
+          t => xxhash64(t))).as("th"))
+  }
+
   // ---- dedup ----
 
   /** Exact dedup: content hash → group, keep min doc_id. One shuffle
@@ -63,40 +94,75 @@ object LlmOps {
     */
   def dedupNearJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = documents(spark, sfDir)
-      .select($"doc_id", $"lang", array_distinct(split($"text", " ")).as("toks"))
-    val a = t.select($"doc_id".as("id_a"), $"lang", $"toks".as("toks_a"))
-    val b = t.select($"doc_id".as("id_b"), $"lang".as("lang_b"), $"toks".as("toks_b"))
-    a.join(b, $"lang" === $"lang_b" && $"id_a" < $"id_b")
-      .withColumn("inter", size(array_intersect($"toks_a", $"toks_b")))
-      .withColumn("jac", $"inter".cast(DoubleType) /
-        (size($"toks_a") + size($"toks_b") - $"inter"))
+    val nBuckets = 32
+    val t = tokenHashes(spark, sfDir)
+    // Pair generation: the a side is exploded across nBuckets salt
+    // values and repartitioned (parallel at any cluster size); the b
+    // side — the compact hashed sketch — is BROADCAST, so the O(pairs)
+    // work is a broadcast hash probe with zero array shuffling.
+    val b = t.select($"doc_id".as("id_b"), $"lang".as("lang_b"),
+      $"th".as("th_b"), $"sz".as("sz_b"),
+      pmod($"doc_id", lit(nBuckets)).as("bkt_b"))
+    val a = t.withColumn("bkt", explode(array((0 until nBuckets).map(lit): _*)))
+      .repartition(col("bkt"))
+      .select($"doc_id".as("id_a"), $"lang", $"th".as("th_a"),
+        $"sz".as("sz_a"), $"bkt")
+    a.join(broadcast(b),
+        $"lang" === $"lang_b" && $"bkt" === $"bkt_b" && $"id_a" < $"id_b" &&
+        // size-ratio prefilter: jaccard >= 0.8 forces 5*min >= 4*max
+        $"sz_a" * 5 >= $"sz_b" * 4 && $"sz_b" * 5 >= $"sz_a" * 4)
+      .withColumn("inter", intersectSizeUdf($"th_a", $"th_b"))
+      .withColumn("jac", $"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jac" >= 0.8)
       .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Scalable near-dup: MinHash banding. Each doc is hashed to
-    * `numHashTables` buckets; only bucket-colliding pairs are compared
-    * — candidate count scales with true-duplicate density, not n².
-    * No oracle (hash-family specific); recall vs exact jaccard is
-    * asserted in LlmSpec.
+  /** Scalable near-dup: banded MinHash (shingle → minhash → band →
+    * bucket-join), built from first principles because MLlib's
+    * MinHashLSH only OR-amplifies (r=1) — on a self-similar corpus
+    * that degenerates to an all-pairs join. Here r=4 rows per band ×
+    * b=3 bands: a pair collides in a band only if all 4 minhashes
+    * agree (P = j^4 per band), so candidate volume tracks the true
+    * near-dup density, not n². Candidates are then verified with the
+    * exact two-pointer jaccard and filtered at 0.8 — output is a
+    * high-recall subset of dedup_near_jaccard (recall asserted in
+    * LlmSpec). No oracle: bucketing is hash-family specific.
     */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = documents(spark, sfDir)
-      .select($"doc_id", split($"text", " ").as("words"))
-    val tf = new HashingTF().setInputCol("words").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(docs)
-    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(5).setSeed(42L)
-      .fit(feat)
-    model.approxSimilarityJoin(feat, feat, 0.5, "dist")
-      .select(col("datasetA.doc_id").as("id_a"),
-        col("datasetB.doc_id").as("id_b"),
-        round(col("dist"), 6).as("jaccard_dist"))
-      .filter($"id_a" < $"id_b")
+    val rows = 4; val bands = 3; val k = rows * bands
+    val toks = tokenHashes(spark, sfDir)
+    // k minhashes in one pass: explode tokens once, min() over k
+    // seeded xxhash64 values per doc
+    val hashCols = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+    val minhashes = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      .groupBy($"doc_id")
+      .agg(hashCols.head, hashCols.tail: _*)
+    // band signatures: AND of `rows` minhashes
+    val bandCols = (0 until bands).map { bd =>
+      val sig = concat_ws(":",
+        (0 until rows).map(r => col(s"h${bd * rows + r}")): _*)
+      minhashes.select($"doc_id", lit(bd).as("band"), sig.as("sig"))
+    }
+    val buckets = bandCols.reduce(_ unionAll _)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // exact verification of the candidate set only — both sketch
+    // sides broadcast, so candidates stream through hash probes
+    val ta = toks.select($"doc_id".as("id_a"), $"th".as("th_a"), $"sz".as("sz_a"))
+    val tb = toks.select($"doc_id".as("id_b"), $"th".as("th_b"), $"sz".as("sz_b"))
+    cand.join(broadcast(ta), "id_a").join(broadcast(tb), "id_b")
+      .withColumn("inter", intersectSizeUdf($"th_a", $"th_b"))
+      .withColumn("jac", $"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"))
+      .filter($"jac" >= 0.8)
+      .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -121,7 +187,10 @@ object LlmOps {
   def simCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = withNorm(spark, sfDir)
-    val a = t.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    // single-file parquet reads as one partition — spread the probe
+    // side so the O(n^2/2) pair loop parallelizes
+    val a = t.repartition(col("vec_id"))
+      .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
     val b = t.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
     a.join(broadcast(b), $"id_a" < $"id_b")
       .withColumn("cos", dotUdf($"ea", $"eb") / ($"na" * $"nb"))

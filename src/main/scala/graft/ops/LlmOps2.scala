@@ -124,6 +124,8 @@ object LlmOps2 {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tok = documents(spark, sfDir)
+      // spread the single-file read before the 32x bit expansion
+      .repartition(col("doc_id"))
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
       .withColumn("h", conv(substring(md5($"tok"), 1, 8), 16, 10).cast(LongType))
     tok
@@ -142,7 +144,8 @@ object LlmOps2 {
   def dedupNearEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = LlmOps.embeddingsWithNorm(spark, sfDir)
-    val a = t.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val a = t.repartition(col("vec_id"))
+      .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
     val b = t.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
     a.join(broadcast(b), $"id_a" < $"id_b")
       .withColumn("cos", LlmOps.dot($"ea", $"eb") / ($"na" * $"nb"))

@@ -7,18 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 /** §2j verification for the oracle-less ops + semantic properties. */
 class LlmSpec extends AnyFunSuite with SparkFixture {
 
-  test("minhash LSH recovers most exact near-dup pairs (recall vs jaccard)") {
+  test("banded minhash recovers most exact near-dup pairs (recall), no false positives") {
     import spark.implicits._
-    // exact same-lang pairs at jaccard >= 0.8 (the oracle-checked op)
+    // exact same-lang pairs at jaccard >= 0.8 (the oracle-checked op);
+    // the LSH op is cross-lang, so exact pairs are a recall target set
     val exact = LlmOps.dedupNearJaccard(spark, sf)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    // LSH candidates at jaccard distance <= 0.5 (i.e. jaccard >= 0.5 —
-    // a superset threshold, so every exact pair should be recallable)
     val lsh = LlmOps.dedupMinhashLsh(spark, sf)
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
     assert(exact.nonEmpty, "corpus should contain near-dup pairs")
-    val recall = exact.count(lsh.contains).toDouble / exact.size
-    assert(recall >= 0.8, s"LSH recall $recall should be >= 0.8 (5 hash tables)")
+    val lshPairs = lsh.map(r => (r._1, r._2)).toSet
+    val recall = exact.count(lshPairs.contains).toDouble / exact.size
+    // r=4,b=3 banding: P(candidate) = 1-(1-j^4)^3 = 0.79 at j=0.8,
+    // higher above — expect strong but not perfect recall
+    assert(recall >= 0.7, s"banded-minhash recall $recall should be >= 0.7")
+    // verification stage guarantees zero false positives below 0.8
+    assert(lsh.forall(_._3 >= 0.8))
   }
 
   test("cosine top-k: scores within [-1, 1], strictly ordered, k rows") {
