@@ -47,7 +47,7 @@ object LlmOps {
     * vocabulary the collision probability is ~1e-15, so the count
     * equals the exact string-set intersection.
     */
-  private[ops] val intersectSizeUdf = udf { (a: Array[Long], b: Array[Long]) =>
+  private[graft] val intersectSizeUdf = udf { (a: Array[Long], b: Array[Long]) =>
     var i = 0; var j = 0; var n = 0
     while (i < a.length && j < b.length) {
       val x = a(i); val y = b(j)

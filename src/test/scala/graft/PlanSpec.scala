@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Analytic, Relational}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions (SURVEY §4): the properties that
+  * decide whether a query survives a 100x scale-up — pushdown reaching
+  * the parquet scan, column pruning shrinking ReadSchema, the intended
+  * join strategies, top-k avoiding global sorts, codegen fusing the
+  * hot path.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize THIS plan so AQE finalizes + codegen ids appear
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("projection pruning reaches the parquet reader (2-column ReadSchema)") {
+    val p = plan(Relational.scanProjectionPruning(spark, sf))
+    assert(p.contains("ReadSchema"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"pruned scan must not read unused columns:\n$readSchema")
+  }
+
+  test("shipdate range filter is pushed down to the scan") {
+    val p = plan(Relational.scanFilterPushdown(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") ,
+      s"expected shipdate pushdown in:\n${p.take(2000)}")
+  }
+
+  test("dimension join broadcasts, big-big join sort-merges") {
+    assert(plan(Relational.joinBroadcastInner(spark, sf))
+      .contains("BroadcastHashJoin"))
+    assert(plan(Relational.joinShuffleInner(spark, sf))
+      .contains("SortMergeJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Analytic.limitTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("Q1 aggregation is a partial+final HashAggregate inside codegen") {
+    val p = plan(Relational.aggHashGroupby(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected two-phase (partial + final) hash aggregation")
+    // formatted explain marks fused operators with "[codegen id : N]"
+    assert(p.contains("codegen id"), "scan→filter→partial-agg must be codegen-fused")
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti (no row explosion)") {
+    assert(plan(Relational.joinSemi(spark, sf)).contains("LeftSemi"))
+    assert(plan(Relational.joinAnti(spark, sf)).contains("LeftAnti"))
+  }
+}
