@@ -1,0 +1,42 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for the engine's native Catalyst functions.
+  *
+  * Two paths:
+  *  - [[GraftFunctions.ensureRegistered]] — direct session-registry
+  *    injection, used by the ops themselves (works on any session,
+  *    including the driver-owned ones in Verify/Bench);
+  *  - [[GraftExtensions]] — the `spark.sql.extensions` entry point for
+  *    cluster deployments (`--conf spark.sql.extensions=graft.expressions.GraftExtensions`).
+  */
+object GraftFunctions {
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[FloatDotProduct].getName, "graft_dot")
+
+  private def dotBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_dot takes exactly 2 arguments")
+    FloatDotProduct(children(0), children(1))
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("graft_dot")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(id, dotInfo, dotBuilder _)
+    }
+  }
+}
+
+/** `SparkSessionExtensions` hook injecting the native functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,31 +14,20 @@ import org.apache.spark.sql.types._
   *  - exact near-dup (all-pairs jaccard) is the VERIFY path, blocked by
   *    language so cost is Σ|block|², not |corpus|²; the 100 TB path is
   *    [[dedupMinhashLsh]] (MinHash banding → candidates only).
-  *  - cosine uses compiled UDFs with per-side precomputed norms — SQL
-  *    HOF lambdas are interpreted per element and were measured 170×
-  *    slower (SURVEY §6).
+  *  - cosine uses the native codegen kernel graft_dot with per-side
+  *    precomputed norms — SQL HOF lambdas are interpreted per element
+  *    and were measured 170× slower (SURVEY §6).
   */
 object LlmOps {
 
-  // ---- compiled vector kernels (codegen-adjacent: primitive float
-  // arrays in, one double out, no boxing in the loop) ----
+  // ---- native vector kernel: graft_dot is a custom Catalyst
+  // Expression with doGenCode (graft.expressions.FloatDotProduct) —
+  // the dot loop runs inside whole-stage codegen with no UDF
+  // indirection, accumulating left-to-right in double (bit-identical
+  // to DuckDB's list math on ::DOUBLE[] casts). ----
 
-  /** L2 norm of a float embedding, accumulated left-to-right in double
-    * (bit-identical to DuckDB's list math on ::DOUBLE[] casts).
-    */
-  private val normUdf = udf { (a: Array[Float]) =>
-    var s = 0.0; var i = 0
-    while (i < a.length) { val x = a(i).toDouble; s += x * x; i += 1 }
-    math.sqrt(s)
-  }
-
-  /** Left-to-right double dot product of two float embeddings. */
-  private val dotUdf = udf { (a: Array[Float], b: Array[Float]) =>
-    var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  private[ops] def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
 
   /** Sorted-long-array intersection size — two-pointer merge over
     * primitive arrays (Spark passes ArrayType(LongType,false) as
@@ -88,9 +77,7 @@ object LlmOps {
 
   /** Exact near-dup: token-set Jaccard >= 0.8 over same-language pairs
     * (language = natural blocking key; the synthetic corpus's tiny
-    * vocabulary makes 0.5 catch ~99% of pairs). array_intersect is a
-    * native codegen expression — no interpreted lambdas in the O(pairs)
-    * loop.
+    * vocabulary makes 0.5 catch ~99% of pairs).
     */
   def dedupNearJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -168,16 +155,16 @@ object LlmOps {
 
   // ---- similarity search ----
 
-  /** Shared compiled dot-product kernel (also used by LlmOps2). */
-  private[ops] def dot = dotUdf
-
   /** embeddings with the norm precomputed once per side. */
   private[ops] def embeddingsWithNorm(spark: SparkSession, sfDir: String): DataFrame =
     withNorm(spark, sfDir)
 
-  private def withNorm(spark: SparkSession, sfDir: String): DataFrame =
+  private def withNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
     embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), normUdf(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+  }
 
   /** Brute-force cosine top-20 pairs — the exactness baseline for ANN.
     * Broadcast one side; 2k×2k pairs at bench scale. The declared
@@ -193,7 +180,7 @@ object LlmOps {
       .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
     val b = t.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
     a.join(broadcast(b), $"id_a" < $"id_b")
-      .withColumn("cos", dotUdf($"ea", $"eb") / ($"na" * $"nb"))
+      .withColumn("cos", dot($"ea", $"eb") / ($"na" * $"nb"))
       .orderBy($"cos".desc, $"id_a", $"id_b")
       .limit(20)
       .select($"id_a", $"id_b", round($"cos", 6).as("cosine"))
@@ -207,7 +194,7 @@ object LlmOps {
       .select($"embedding".as("pe"), $"nrm".as("pn"))
     t.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(probe))
-      .withColumn("cos", dotUdf($"embedding", $"pe") / ($"nrm" * $"pn"))
+      .withColumn("cos", dot($"embedding", $"pe") / ($"nrm" * $"pn"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
       .select($"vec_id", round($"cos", 6).as("cosine"))
