@@ -4,9 +4,13 @@ import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The Q5-shaped star join exercises the full relational
+    * stack: broadcast dims, fact shuffle, Catalyst join reorder,
+    * decimal-exact aggregation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.aggHashGroupby(spark, "/root/testdata/sf0.001")
+    Relational.joinMultiwayStar(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -118,4 +118,29 @@ object Streaming {
     events.withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .count()
+
+  /** Custom stateful operator via flatMapGroupsWithState: per-user
+    * running totals (event count + value sum) emitted on every update.
+    * This is the arbitrary-state escape hatch for semantics windowed
+    * aggregation can't express; state lives in the per-executor
+    * StateStore, partitioned by the group key, so it scales with
+    * executors, not with stream length.
+    */
+  def statefulUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events.select($"user_id".as[Long], $"value".as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Double)],
+              state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          Iterator((user, n, s))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
 }

@@ -91,6 +91,26 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.statefulUserTotals(spark, ms.toDF())
+      .writeStream.format("memory").queryName("stateful")
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(1, ts("2024-01-01 00:01:00"), 7, "click", 2.0),
+        Ev(2, ts("2024-01-01 00:02:00"), 7, "click", 3.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, ts("2024-01-01 00:03:00"), 7, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful")
+        .orderBy($"n_events").as[(Long, Long, Double)].collect()
+      // batch 1 emitted (7, 2, 5.0); batch 2 carried state -> (7, 3, 10.0)
+      assert(rows.toSeq === Seq((7L, 2L, 5.0), (7L, 3L, 10.0)))
+    } finally q.stop()
+  }
+
   test("batch-equivalent sliding window puts each event in exactly 4 windows") {
     import spark.implicits._
     val n = Tables.events(spark, sf).count()
