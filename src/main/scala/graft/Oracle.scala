@@ -203,14 +203,29 @@ object Oracle {
     ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
   """
 
+  // Stats from exact decimal moment sums (see Aggregates.aggStats):
+  // same closed-form double arithmetic as the Spark side, so results
+  // are bit-identical under any partitioning on either engine.
   val aggStats: String = """
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+        sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+        sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sqq,
+        sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+        sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
+        sum(CAST(l_discount AS DECIMAL(4,2))) AS sd,
+        sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp,
+        sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS sqd
+      FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-      ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
-      ROUND(var_samp(l_quantity), 4) AS var_qty,
-      ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-      ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
-      count(*) AS n
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      ROUND(sqrt((CAST(sqq AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / (n * (n - 1))), 4) AS sd_qty,
+      ROUND((CAST(sqq AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / (n * (n - 1)), 4) AS var_qty,
+      ROUND((CAST(sqp AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        (sqrt(CAST(sqq AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+         sqrt(CAST(spp AS DOUBLE) * n - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 4) AS corr_qty_price,
+      ROUND((CAST(sqd AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) / (n * (n - 1)), 4) AS covar_qty_disc,
+      n
+    FROM m ORDER BY l_returnflag
   """
 
   val aggPercentiles: String = """

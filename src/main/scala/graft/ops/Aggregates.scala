@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -76,19 +76,41 @@ object Aggregates {
     """)
   }
 
-  /** Moment-based statistics; bounded magnitudes, ROUND 4dp (§7d:
-    * acceptable for scalars, unlike raw money sums).
+  /** Moment-based statistics (stddev/var/corr/covar semantics),
+    * computed from EXACT decimal moment sums rather than the built-in
+    * Welford-merge aggregates: the built-ins' low bits depend on the
+    * partition merge order, so their 4dp rounding could flip if the
+    * harness changes parallelism. Decimal sums are order-independent;
+    * the closed-form double arithmetic is then bit-identical on both
+    * engines under any partitioning. (StatsSpec asserts agreement with
+    * the built-ins to 1e-6.)
     */
   def aggStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val q  = $"l_quantity".cast(DecimalType(12, 2))
+    val p  = $"l_extendedprice".cast(DecimalType(12, 2))
+    val d  = $"l_discount".cast(DecimalType(4, 2))
+    val dbl = (c: Column) => c.cast(DoubleType)
     lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(
-        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
-        round(var_samp($"l_quantity"), 4).as("var_qty"),
-        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
-        round(covar_samp($"l_quantity", $"l_discount"), 4).as("covar_qty_disc"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(q * q).as("sqq"),
+        sum(p).as("sp"), sum(p * p).as("spp"),
+        sum(d).as("sd"),
+        sum(q * p).as("sqp"), sum(q * d).as("sqd"))
+      .select($"l_returnflag",
+        round(sqrt((dbl($"sqq") * $"n" - dbl($"sq") * dbl($"sq")) /
+          ($"n" * ($"n" - 1))), 4).as("sd_qty"),
+        round((dbl($"sqq") * $"n" - dbl($"sq") * dbl($"sq")) /
+          ($"n" * ($"n" - 1)), 4).as("var_qty"),
+        round((dbl($"sqp") * $"n" - dbl($"sq") * dbl($"sp")) /
+          (sqrt(dbl($"sqq") * $"n" - dbl($"sq") * dbl($"sq")) *
+           sqrt(dbl($"spp") * $"n" - dbl($"sp") * dbl($"sp"))), 4)
+          .as("corr_qty_price"),
+        round((dbl($"sqd") * $"n" - dbl($"sq") * dbl($"sd")) /
+          ($"n" * ($"n" - 1)), 4).as("covar_qty_disc"),
+        $"n")
       .orderBy($"l_returnflag")
   }
 
