@@ -59,6 +59,12 @@ object Oracle {
     ORDER BY l_orderkey, l_linenumber
   """
 
+  // csv/json round trips must reproduce the original rows exactly
+  val sourceRoundtrip: String = """
+    SELECT event_id, event_type, user_id, value
+    FROM events ORDER BY event_id
+  """
+
   val sourceJsonLines: String = """
     SELECT event_id, event_type, CAST(props->>'$.k' AS INTEGER) AS k
     FROM events ORDER BY event_id

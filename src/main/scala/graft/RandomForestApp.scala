@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference workflow as a library/CLI facade `[RECONSTRUCTED —
+  * SURVEY §0: the reference checkout is empty; this mirrors the
+  * canonical Hadoop-MR random-forest tool surface]`: read a feature
+  * file (CSV rows of numeric features + integer label, or parquet with
+  * an array column), train a forest, score a test file by majority
+  * vote, write per-record predictions and report accuracy.
+  *
+  * Hadoop-MR mapping: per-mapper tree building + reduce-side forest
+  * assembly + map-only scoring job collapse into MLlib's distributed
+  * histogram-based induction and a single predict projection — no
+  * hand-wired job chaining, and the "DistributedCache model shipping"
+  * is Spark's broadcast of the fitted model.
+  *
+  * Usage: RandomForestApp <trainPath> <testPath> <outPath>
+  *   paths ending .csv are parsed as headerless CSV (features...,label);
+  *   otherwise parquet with columns (id, features array<float|double>,
+  *   label int) — e.g. the embeddings table renamed.
+  */
+object RandomForestApp {
+
+  private val toVecD = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+
+  /** Read either format into (id, features vector, label). */
+  def readFeatures(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    if (path.endsWith(".csv")) {
+      val raw = spark.read.option("inferSchema", "true").csv(path)
+      val featCols = raw.columns.dropRight(1)
+      val labelCol = raw.columns.last
+      raw.select(
+        monotonically_increasing_id().as("id"),
+        toVecD(array(featCols.map(c => col(c).cast(DoubleType)): _*))
+          .as("features"),
+        col(labelCol).cast(IntegerType).as("label"))
+    } else {
+      val raw = spark.read.parquet(path)
+      // accept the testdata embeddings schema directly
+      val (idCol, featCol, labelCol) =
+        if (raw.columns.contains("vec_id")) ("vec_id", "embedding", "label")
+        else ("id", "features", "label")
+      raw.select(col(idCol).cast(LongType).as("id"),
+        toVecD(col(featCol).cast(ArrayType(DoubleType))).as("features"),
+        col(labelCol).cast(IntegerType).as("label"))
+    }
+  }
+
+  /** Train + score; returns (id, label, prediction) for the test set. */
+  def trainAndScore(spark: SparkSession, trainPath: String, testPath: String,
+      numTrees: Int = 50, maxDepth: Int = 8, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val train = readFeatures(spark, trainPath).repartition(8, col("id"))
+    val test = readFeatures(spark, testPath)
+    val model = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(train)
+    model.transform(test)
+      .select($"id", $"label",
+        $"prediction".cast(IntegerType).as("prediction"))
+      .orderBy($"id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(trainPath, testPath, outPath) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val pred = trainAndScore(spark, trainPath, testPath)
+    pred.coalesce(1).write.mode("overwrite").parquet(outPath)
+    val n = pred.count()
+    val hits = pred.filter(col("prediction") === col("label")).count()
+    println(s"""{"records":$n,"correct":$hits,"accuracy":${hits.toDouble / n}}""")
+    spark.stop()
+  }
+}

@@ -19,6 +19,8 @@ object SparkEntry {
     "scan_projection_pruning" -> (Relational.scanProjectionPruning _),
     "scan_filter_pushdown"    -> (Relational.scanFilterPushdown _),
     "source_json_lines"       -> (Relational.sourceJsonLines _),
+    "source_csv_roundtrip"    -> (Sources.sourceCsvRoundtrip _),
+    "source_json_roundtrip"   -> (Sources.sourceJsonRoundtrip _),
     // §2b projections / filters
     "project_expressions"      -> (Relational.projectExpressions _),
     "filter_complex_predicate" -> (Relational.filterComplexPredicate _),
@@ -109,6 +111,8 @@ object SparkEntry {
     "scan_projection_pruning"  -> Oracle.scanProjectionPruning,
     "scan_filter_pushdown"     -> Oracle.scanFilterPushdown,
     "source_json_lines"        -> Oracle.sourceJsonLines,
+    "source_csv_roundtrip"     -> Oracle.sourceRoundtrip,
+    "source_json_roundtrip"    -> Oracle.sourceRoundtrip,
     "project_expressions"      -> Oracle.projectExpressions,
     "filter_complex_predicate" -> Oracle.filterComplexPredicate,
     "filter_null_semantics"    -> Oracle.filterNullSemantics,

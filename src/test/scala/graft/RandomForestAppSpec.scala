@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference-workflow facade: train from a feature file, score a
+  * test file — both the CSV and parquet ingest paths.
+  */
+class RandomForestAppSpec extends AnyFunSuite with SparkFixture {
+
+  test("csv ingest: train/score on expanded embedding columns") {
+    import spark.implicits._
+    // materialize embeddings as headerless CSV (64 features + label) —
+    // the reference's native input shape; dir name carries the .csv hint
+    val csvDir = "/tmp/graft_rfapp.csv"
+    val cols = (0 until 64).map(i => element_at($"embedding", i + 1)) :+ $"label"
+    Tables.embeddings(spark, sf)
+      .select(cols: _*)
+      .coalesce(1).write.mode("overwrite").csv(csvDir)
+    val pred = RandomForestApp.trainAndScore(spark, csvDir, csvDir,
+      numTrees = 5, maxDepth = 3)
+    assert(pred.count() === Tables.embeddings(spark, sf).count())
+    assert(pred.columns.toSeq === Seq("id", "label", "prediction"))
+  }
+
+  test("parquet ingest: accepts the embeddings schema and scores") {
+    import spark.implicits._
+    val p = s"$sf/embeddings.parquet"
+    val pred = RandomForestApp.trainAndScore(spark, p, p,
+      numTrees = 10, maxDepth = 4)
+    assert(pred.count() === Tables.embeddings(spark, sf).count())
+    assert(pred.columns.toSeq === Seq("id", "label", "prediction"))
+    // predictions land in the label domain
+    val dom = pred.select($"prediction").distinct().as[Int].collect()
+    assert(dom.forall(p => p >= 0 && p <= 9))
+  }
+}
