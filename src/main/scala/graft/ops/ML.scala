@@ -49,7 +49,7 @@ object ML {
       val train = prepared(spark, sfDir).filter(col("split") === "train")
       new RandomForestClassifier()
         .setLabelCol("label").setFeaturesCol("features")
-        .setNumTrees(50).setMaxDepth(8).setSeed(42L)
+        .setNumTrees(50).setMaxDepth(6).setSeed(42L)
         .fit(train)
     })
 
