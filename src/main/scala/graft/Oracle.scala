@@ -689,6 +689,27 @@ object Oracle {
     FROM documents ORDER BY doc_id
   """
 
+  // ---- scale techniques (results equal the naive formulations) ----
+
+  val skewSaltedAgg: String = s"""
+    SELECT user_id, count(*) AS n_events,
+      CAST(sum(${m("value")}) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+  """
+
+  val joinBucketedColocated: String = s"""
+    SELECT o_orderpriority, count(*) AS n_items,
+      CAST(sum($netExpr) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """
+
+  val scanPartitionPruning: String = """
+    SELECT event_id, user_id, value, event_type
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY event_id
+  """
+
   val joinAsofLastEvent: String = """
     SELECT p.event_id AS purchase_id, p.user_id,
       (SELECT c.event_id FROM events c

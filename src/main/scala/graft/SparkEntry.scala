@@ -95,6 +95,11 @@ object SparkEntry {
     "dedup_near_embedding" -> (LlmOps2.dedupNearEmbedding _),
     "sim_ann_lsh"         -> (LlmOps2.simAnnLsh _),
     "multimodal_binary_features" -> (LlmOps2.multimodalBinaryFeatures _),
+    // scale techniques (SURVEY §2k follow-on): skew salting, bucketed
+    // co-located join, partition pruning over a partitioned layout
+    "skew_salted_agg"         -> (ScaleTechniques.skewSaltedAgg _),
+    "join_bucketed_colocated" -> (ScaleTechniques.joinBucketedColocated _),
+    "scan_partition_pruning"  -> (ScaleTechniques.scanPartitionPruning _),
     // §2f sorts / limits / set ops
     "sort_multi_key"     -> (Analytic.sortMultiKey _),
     "limit_topk"         -> (Analytic.limitTopk _),
@@ -172,6 +177,9 @@ object SparkEntry {
     "dedup_simhash"            -> Oracle.dedupSimhash,
     "dedup_near_embedding"     -> Oracle.dedupNearEmbedding,
     "multimodal_binary_features" -> Oracle.multimodalBinaryFeatures,
+    "skew_salted_agg"          -> Oracle.skewSaltedAgg,
+    "join_bucketed_colocated"  -> Oracle.joinBucketedColocated,
+    "scan_partition_pruning"   -> Oracle.scanPartitionPruning,
     "win_ranking"              -> Oracle.winRanking,
     "win_topk_per_group"       -> Oracle.winTopkPerGroup,
     "win_running_frame"        -> Oracle.winRunningFrame,

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Named 100 TB-scale techniques as first-class, oracle-checked
+  * operators: each produces results identical to its naive form while
+  * demonstrating the plan shape that survives skew / shuffle pressure
+  * at cluster scale.
+  */
+object ScaleTechniques {
+
+  /** Two-phase salted aggregation: phase 1 spreads each hot key over
+    * 16 salt shards (bounded per-task state even if one user owns half
+    * the stream), phase 2 merges shard partials. Result is identical
+    * to the direct groupBy — the oracle proves it.
+    */
+  def skewSaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .withColumn("salt", pmod($"event_id", lit(16)))
+      .groupBy($"user_id", $"salt")
+      .agg(count(lit(1)).as("pn"), sum(money($"value")).as("ps"))
+      .groupBy($"user_id")
+      .agg(sum($"pn").as("n_events"), sum($"ps").cast(DoubleType).as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  /** Co-located join via Hive-style bucketing: both fact tables are
+    * written bucketed (8 buckets) + sorted on the join key, so the
+    * sort-merge join reads matching buckets directly — no Exchange on
+    * either side (asserted in PlanSpec). This is the pre-partitioning
+    * pattern that amortizes one shuffle across every future join on
+    * the key.
+    */
+  def joinBucketedColocated(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tag = sfDir.hashCode.toHexString
+    val (to, tl) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+    if (!spark.catalog.tableExists(to)) {
+      orders(spark, sfDir)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"/tmp/graft_bucketed/$to")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(to)
+      lineitem(spark, sfDir)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"/tmp/graft_bucketed/$tl")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tl)
+    }
+    val one = lit(1).cast(D4_2)
+    // isolated session: at toy scale AQE would runtime-convert even a
+    // hinted SMJ to broadcast and hide the bucket mechanics; big-big
+    // (never-broadcastable) is the shape this op models. newSession
+    // shares the catalog but scopes the conf to this query only.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.table(tl).join(s2.table(to), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(money($"l_extendedprice") * (one - rate($"l_discount"))).as("_rev"))
+      .select($"o_orderpriority", $"n_items", $"_rev".cast(DoubleType).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Directory-partitioned layout + static partition pruning: the
+    * predicate on the partition column becomes a PartitionFilter (no
+    * data files of other partitions are even listed), the 100 TB
+    * analogue of reading one day/type out of years of data.
+    */
+  def scanPartitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = "/tmp/graft_part_events_" + sfDir.hashCode.toHexString
+    events(spark, sfDir)
+      .select($"event_id", $"user_id", $"value", $"event_type")
+      .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
+    spark.read.parquet(out)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value", $"event_type")
+      .orderBy($"event_id")
+  }
+}

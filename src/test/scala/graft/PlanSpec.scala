@@ -53,6 +53,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("codegen id"), "scan→filter→partial-agg must be codegen-fused")
   }
 
+  test("bucketed tables join without exchanges on the join key") {
+    import graft.ops.ScaleTechniques
+    val p = plan(ScaleTechniques.joinBucketedColocated(spark, sf))
+    assert(p.contains("SortMergeJoin"))
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"),
+      "both scans must read bucket metadata")
+    // only the post-join groupBy + final sort may exchange (2 real
+    // exchanges, each appearing once in the final and once in the
+    // initial plan's detail sections = 4 entries); shuffling the join
+    // inputs would add 4 more
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 4,
+      s"bucketed join must not shuffle its inputs; saw $exchanges Exchange nodes:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("partition-column predicate becomes a PartitionFilter") {
+    import graft.ops.ScaleTechniques
+    val p = plan(ScaleTechniques.scanPartitionPruning(spark, sf))
+    assert(p.contains("PartitionFilters") && p.contains("purchase"),
+      s"expected partition pruning in:\n${p.take(1500)}")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti (no row explosion)") {
     assert(plan(Relational.joinSemi(spark, sf)).contains("LeftSemi"))
     assert(plan(Relational.joinAnti(spark, sf)).contains("LeftAnti"))
