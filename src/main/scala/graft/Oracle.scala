@@ -710,6 +710,26 @@ object Oracle {
     ORDER BY event_id
   """
 
+  val aggTypedAggregator: String = s"""
+    SELECT l_returnflag,
+      CAST(sum(${m("l_quantity")} * ${m("l_extendedprice")}) AS DOUBLE)
+        / CAST(sum(${m("l_quantity")}) AS DOUBLE) AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """
+
+  val joinQ3Topk: String = s"""
+    SELECT l_orderkey, o_orderdate, CAST(sum($netExpr) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+  """
+
   val joinAsofLastEvent: String = """
     SELECT p.event_id AS purchase_id, p.user_id,
       (SELECT c.event_id FROM events c

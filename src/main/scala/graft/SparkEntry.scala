@@ -100,6 +100,9 @@ object SparkEntry {
     "skew_salted_agg"         -> (ScaleTechniques.skewSaltedAgg _),
     "join_bucketed_colocated" -> (ScaleTechniques.joinBucketedColocated _),
     "scan_partition_pruning"  -> (ScaleTechniques.scanPartitionPruning _),
+    // typed Dataset surface + the BASELINE q3 anchor
+    "agg_typed_aggregator" -> (TypedOps.aggTypedAggregator _),
+    "join_q3_topk"         -> (TypedOps.joinQ3Topk _),
     // §2f sorts / limits / set ops
     "sort_multi_key"     -> (Analytic.sortMultiKey _),
     "limit_topk"         -> (Analytic.limitTopk _),
@@ -177,6 +180,8 @@ object SparkEntry {
     "dedup_simhash"            -> Oracle.dedupSimhash,
     "dedup_near_embedding"     -> Oracle.dedupNearEmbedding,
     "multimodal_binary_features" -> Oracle.multimodalBinaryFeatures,
+    "agg_typed_aggregator"     -> Oracle.aggTypedAggregator,
+    "join_q3_topk"             -> Oracle.joinQ3Topk,
     "skew_salted_agg"          -> Oracle.skewSaltedAgg,
     "join_bucketed_colocated"  -> Oracle.joinBucketedColocated,
     "scan_partition_pruning"   -> Oracle.scanPartitionPruning,
