@@ -146,6 +146,9 @@ object LlmOps {
     val ta = toks.select($"doc_id".as("id_a"), $"th".as("th_a"), $"sz".as("sz_a"))
     val tb = toks.select($"doc_id".as("id_b"), $"th".as("th_b"), $"sz".as("sz_b"))
     cand.join(broadcast(ta), "id_a").join(broadcast(tb), "id_b")
+      // size-ratio prefilter (j >= 0.8 forces 5*min >= 4*max): skips
+      // the merge kernel for hopeless candidates
+      .filter($"sz_a" * 5 >= $"sz_b" * 4 && $"sz_b" * 5 >= $"sz_a" * 4)
       .withColumn("inter", intersectSizeUdf($"th_a", $"th_b"))
       .withColumn("jac", $"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jac" >= 0.8)
