@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself: the no-oracle set stays
+  * exactly the documented one, and every oracle key has a query.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  private val documentedNoOracle = Set(
+    "agg_approx_count_distinct", // HLL is engine-specific
+    "ml_rf_train_predict", "ml_rf_accuracy", // not SQL-expressible
+    "ml_rf_feature_importance", "ml_rf_regression",
+    "dedup_minhash_lsh", // hash-family specific (recall asserted)
+    "sim_ann_lsh") // hash-family specific (recall asserted)
+
+  test("every query is oracle-checked unless documented otherwise") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing === documentedNoOracle,
+      s"undocumented oracle-less queries: ${missing -- documentedNoOracle}; " +
+        s"stale no-oracle entries: ${documentedNoOracle -- missing}")
+  }
+
+  test("every oracle key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("query names are snake_case and unique per contract") {
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"non-snake-case names: $bad")
+  }
+}

@@ -63,6 +63,25 @@ class MLSpec extends AnyFunSuite with SparkFixture {
     assert(imp.sum <= 1.0 + 1e-6)
   }
 
+  test("model persistence round trip: saved forest predicts identically") {
+    import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+    import org.apache.spark.sql.functions.col
+    // the reference serialized forests to HDFS between its train and
+    // score jobs; the Spark equivalent is parquet-backed ML persistence
+    val base = ML.mlRfTrainPredictInput(spark, sf)
+    val model = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(10).setMaxDepth(4).setSeed(42L)
+      .fit(base.filter(col("split") === "train"))
+    val path = "/tmp/graft_rf_model"
+    model.write.overwrite().save(path)
+    val loaded = RandomForestClassificationModel.load(path)
+    val test = base.filter(col("split") === "test")
+    val a = model.transform(test).select("vec_id", "prediction").collect().toSeq
+    val b = loaded.transform(test).select("vec_id", "prediction").collect().toSeq
+    assert(a === b)
+  }
+
   test("rf regression produces finite predictions on the test split") {
     import spark.implicits._
     val pred = ML.mlRfRegression(spark, sf)

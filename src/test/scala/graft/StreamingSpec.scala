@@ -111,6 +111,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: per-batch parquet appends land exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = "/tmp/graft_fb_sink"
+    val ckDir = "/tmp/graft_fb_ck"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(outDir), true)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(ckDir), true)
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        batch.select($"event_id", $"event_type")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 00:03:00"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(outDir)
+        .select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("batch-equivalent sliding window puts each event in exactly 4 windows") {
     import spark.implicits._
     val n = Tables.events(spark, sf).count()
