@@ -39,7 +39,10 @@ object ScaleTechniques {
     import spark.implicits._
     val tag = sfDir.hashCode.toHexString
     val (to, tl) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
-    if (!spark.catalog.tableExists(to)) {
+    // metastore entries can outlive /tmp — require both to skip the write
+    val pathsOk = new java.io.File(s"/tmp/graft_bucketed/$to").exists() &&
+      new java.io.File(s"/tmp/graft_bucketed/$tl").exists()
+    if (!spark.catalog.tableExists(to) || !pathsOk) {
       orders(spark, sfDir)
         .write.mode(SaveMode.Overwrite)
         .option("path", s"/tmp/graft_bucketed/$to")
