@@ -40,6 +40,7 @@ object SparkEntry {
     "agg_hash_groupby"          -> (Relational.aggHashGroupby _),
     "agg_count_distinct"        -> (Aggregates.aggCountDistinct _),
     "agg_approx_count_distinct" -> (Aggregates.aggApproxCountDistinct _),
+    "agg_approx_quantiles"      -> (Aggregates.aggApproxQuantiles _),
     "agg_rollup"                -> (Aggregates.aggRollup _),
     "agg_cube"                  -> (Aggregates.aggCube _),
     "agg_grouping_sets"         -> (Aggregates.aggGroupingSets _),

@@ -37,6 +37,23 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Mergeable quantile sketch (Greenwald–Khanna variant backing
+    * percentile_approx) — with HLL, the second member of the
+    * constant-memory sketch family for 100 TB profiling. No oracle
+    * (sketch internals are engine-specific); error bound vs the exact
+    * percentile asserted in AggregatesSpec.
+    */
+  def aggApproxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        percentile_approx($"o_totalprice", array(lit(0.5), lit(0.9)), lit(10000))
+          .as("approx_p50_p90"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   private def rollupCubeBase(spark: SparkSession, sfDir: String, cube: Boolean): DataFrame = {
     import spark.implicits._
     val li = lineitem(spark, sfDir)

@@ -105,8 +105,9 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Scalable near-dup: banded MinHash (shingle → minhash → band →
-    * bucket-join), built from first principles because MLlib's
+  /** Scalable near-dup: banded MinHash (Broder's min-wise hashing with
+    * the classic r×b AND/OR band amplification — shingle → minhash →
+    * band → bucket-join), built from first principles because MLlib's
     * MinHashLSH only OR-amplifies (r=1) — on a self-similar corpus
     * that degenerates to an all-pairs join. Here r=4 rows per band ×
     * b=3 bands: a pair collides in a band only if all 4 minhashes

@@ -115,8 +115,9 @@ object LlmOps2 {
       .orderBy($"doc_id")
   }
 
-  /** SimHash32 from per-token md5 prefixes: majority vote per bit over
-    * the distinct token set. Pure portable integer math (md5 hex →
+  /** SimHash32 (Charikar's random-hyperplane sketch, realized over
+    * token hash bits) from per-token md5 prefixes: majority vote per
+    * bit over the distinct token set. Pure portable integer math (md5 hex →
     * int, shifts, signs) so the oracle reproduces it exactly.
     * Shape: |docs|×|tokens|×32 rows through two partial aggregations —
     * linear in corpus size, no pairwise work.

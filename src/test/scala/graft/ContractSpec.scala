@@ -9,6 +9,7 @@ class ContractSpec extends AnyFunSuite {
 
   private val documentedNoOracle = Set(
     "agg_approx_count_distinct", // HLL is engine-specific
+    "agg_approx_quantiles", // GK sketch is engine-specific
     "ml_rf_train_predict", "ml_rf_accuracy", // not SQL-expressible
     "ml_rf_feature_importance", "ml_rf_regression",
     "dedup_minhash_lsh", // hash-family specific (recall asserted)
