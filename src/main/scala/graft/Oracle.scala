@@ -682,6 +682,16 @@ object Oracle {
     ORDER BY id_a, id_b
   """
 
+  // ASCII text: byte frames == character substrings, so md5 agrees
+  val multimodalFrameSample: String = """
+    SELECT doc_id,
+      len(text) // 32 AS n_frames,
+      len([f FOR f IN range(0, len(text) // 32) IF f % 4 = 0]) AS n_sampled,
+      [md5(substring(text, f * 32 + 1, 32))
+         FOR f IN range(0, len(text) // 32) IF f % 4 = 0] AS frame_hashes
+    FROM documents ORDER BY doc_id
+  """
+
   val multimodalBinaryFeatures: String = """
     SELECT doc_id, len(text) AS payload_len,
       ascii(substring(text, 1, 1)) AS first_byte,

@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_near_embedding" -> (LlmOps2.dedupNearEmbedding _),
     "sim_ann_lsh"         -> (LlmOps2.simAnnLsh _),
     "multimodal_binary_features" -> (LlmOps2.multimodalBinaryFeatures _),
+    "multimodal_frame_sample"    -> (LlmOps2.multimodalFrameSample _),
     // scale techniques (SURVEY §2k follow-on): skew salting, bucketed
     // co-located join, partition pruning over a partitioned layout
     "skew_salted_agg"         -> (ScaleTechniques.skewSaltedAgg _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "dedup_simhash"            -> Oracle.dedupSimhash,
     "dedup_near_embedding"     -> Oracle.dedupNearEmbedding,
     "multimodal_binary_features" -> Oracle.multimodalBinaryFeatures,
+    "multimodal_frame_sample"    -> Oracle.multimodalFrameSample,
     "agg_typed_aggregator"     -> Oracle.aggTypedAggregator,
     "join_q3_topk"             -> Oracle.joinQ3Topk,
     "skew_salted_agg"          -> Oracle.skewSaltedAgg,

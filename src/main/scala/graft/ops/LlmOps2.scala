@@ -184,6 +184,33 @@ object LlmOps2 {
     * emits deterministic byte-level features; the Spark-side schema,
     * partition batching, and typed mapPartitions plumbing are real.
     */
+  /** Multimodal frame sampling: treat the payload as fixed-size frames
+    * (32 B), keep every 4th, fingerprint each — the deterministic
+    * stand-in for video frame-sampling / audio chunking. STUB decode
+    * (no codecs in container); the per-partition imperative batch pass
+    * over binary columns is the real plumbing.
+    */
+  def multimodalFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 32; val stride = 4
+    val src = documents(spark, sfDir)
+      .select($"doc_id", $"text".cast(BinaryType).as("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, payload) =>
+        val nFrames = payload.length / frameLen // full frames only
+        val sampled = (0 until nFrames by stride).map { f =>
+          md.reset()
+          md.digest(payload.slice(f * frameLen, (f + 1) * frameLen))
+            .map("%02x".format(_)).mkString
+        }
+        (id, nFrames.toLong, sampled.length.toLong, sampled)
+      }
+    }.toDF("doc_id", "n_frames", "n_sampled", "frame_hashes")
+      .orderBy($"doc_id")
+  }
+
   def multimodalBinaryFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val src = documents(spark, sfDir)
