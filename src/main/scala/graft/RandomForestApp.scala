@@ -69,6 +69,10 @@ object RandomForestApp {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: RandomForestApp <trainPath> <testPath> <outPath>")
+      sys.exit(2)
+    }
     val Array(trainPath, testPath, outPath) = args.take(3)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -78,11 +82,16 @@ object RandomForestApp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val pred = trainAndScore(spark, trainPath, testPath)
-    pred.coalesce(1).write.mode("overwrite").parquet(outPath)
-    val n = pred.count()
-    val hits = pred.filter(col("prediction") === col("label")).count()
-    println(s"""{"records":$n,"correct":$hits,"accuracy":${hits.toDouble / n}}""")
-    spark.stop()
+    val pred = trainAndScore(spark, trainPath, testPath).cache()
+    try {
+      pred.coalesce(1).write.mode("overwrite").parquet(outPath)
+      val n = pred.count()
+      val hits = pred.filter(col("prediction") === col("label")).count()
+      val acc = if (n == 0) 0.0 else hits.toDouble / n
+      println(s"""{"records":$n,"correct":$hits,"accuracy":$acc}""")
+    } finally {
+      pred.unpersist()
+      spark.stop()
+    }
   }
 }

@@ -45,6 +45,11 @@ object Tables {
   /** events with `ts` converted to a clean `TIMESTAMP_NTZ` (µs).
     * `ts DIV 1000` floor-truncates ns→µs exactly as DuckDB's parquet
     * reader does, so oracle comparisons are exact.
+    *
+    * NOTE: setting `nanosAsLong` is session-global by necessity — the
+    * flag is read at scan execution, not plan time, so it cannot be
+    * scoped per-read. It only affects parquet files with NANOS
+    * timestamps (which Spark would otherwise refuse to read at all).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

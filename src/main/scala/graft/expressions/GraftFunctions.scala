@@ -15,10 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private val dotInfo = new ExpressionInfo(
+  private[expressions] val dotInfo = new ExpressionInfo(
     classOf[FloatDotProduct].getName, "graft_dot")
 
-  private def dotBuilder(children: Seq[Expression]): Expression = {
+  private[expressions] def dotBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 2, "graft_dot takes exactly 2 arguments")
     FloatDotProduct(children(0), children(1))
   }
@@ -35,8 +35,8 @@ object GraftFunctions {
 /** `SparkSessionExtensions` hook injecting the native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // reuse the guarded builder so bad arity fails analysis cleanly
     ext.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
+      GraftFunctions.dotInfo, GraftFunctions.dotBuilder _))
   }
 }

@@ -226,7 +226,9 @@ object LlmOps2 {
         val head = payload.take(16)
         md.reset()
         val hex = md.digest(head).map("%02x".format(_)).mkString
-        (id, payload.length.toLong, payload(0).toInt & 0xff, hex)
+        // empty payloads: first byte 0 (matches DuckDB ascii('') = 0)
+        val first = if (payload.isEmpty) 0 else payload(0).toInt & 0xff
+        (id, payload.length.toLong, first, hex)
       }
     }.toDF("doc_id", "payload_len", "first_byte", "head_md5")
       .orderBy($"doc_id")

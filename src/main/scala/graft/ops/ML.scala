@@ -66,16 +66,22 @@ object ML {
   def mlRfAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pred = mlRfTrainPredict(spark, sfDir).cache()
-    val acc = new MulticlassClassificationEvaluator()
-      .setLabelCol("label").setPredictionCol("prediction")
-      .setMetricName("accuracy")
-      .evaluate(pred.select($"label".cast(DoubleType),
-        $"prediction".cast(DoubleType)))
-    pred.groupBy($"label")
-      .agg(count(lit(1)).as("n_test"),
-        count(when($"prediction" === $"label", 1)).as("n_correct"))
-      .withColumn("accuracy_overall", round(lit(acc), 4))
-      .orderBy($"label")
+    try {
+      val acc = new MulticlassClassificationEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction")
+        .setMetricName("accuracy")
+        .evaluate(pred.select($"label".cast(DoubleType),
+          $"prediction".cast(DoubleType)))
+      // materialize before unpersisting so the returned frame doesn't
+      // recompute the evaluator's input
+      val out = pred.groupBy($"label")
+        .agg(count(lit(1)).as("n_test"),
+          count(when($"prediction" === $"label", 1)).as("n_correct"))
+        .withColumn("accuracy_overall", round(lit(acc), 4))
+        .orderBy($"label")
+      out.cache().count()
+      out
+    } finally pred.unpersist()
   }
 
   /** Top-10 feature importances (stable under the fixed seed). */

@@ -42,7 +42,8 @@ object ScaleTechniques {
     // metastore entries can outlive /tmp — require both to skip the write
     val pathsOk = new java.io.File(s"/tmp/graft_bucketed/$to").exists() &&
       new java.io.File(s"/tmp/graft_bucketed/$tl").exists()
-    if (!spark.catalog.tableExists(to) || !pathsOk) {
+    if (!spark.catalog.tableExists(to) || !spark.catalog.tableExists(tl) ||
+        !pathsOk) {
       orders(spark, sfDir)
         .write.mode(SaveMode.Overwrite)
         .option("path", s"/tmp/graft_bucketed/$to")

@@ -22,9 +22,14 @@ object Sources {
     events(spark, sfDir).select($"event_id", $"event_type", $"user_id", $"value")
   }
 
+  // per-session-unique path component: concurrent sessions on the same
+  // sfDir must not overwrite each other's files mid-read
+  private def tag(spark: SparkSession, sfDir: String): String =
+    sfDir.hashCode.toHexString + "_" + spark.sparkContext.applicationId
+
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = "/tmp/graft_roundtrip_csv_" + sfDir.hashCode.toHexString
+    val out = "/tmp/graft_roundtrip_csv_" + tag(spark, sfDir)
     slice(spark, sfDir).write.mode("overwrite")
       .option("header", "true").csv(out)
     spark.read.option("header", "true").schema(schema).csv(out)
@@ -33,7 +38,7 @@ object Sources {
 
   def sourceJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = "/tmp/graft_roundtrip_json_" + sfDir.hashCode.toHexString
+    val out = "/tmp/graft_roundtrip_json_" + tag(spark, sfDir)
     slice(spark, sfDir).write.mode("overwrite").json(out)
     spark.read.schema(schema).json(out)
       .orderBy($"event_id")

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,23 +15,31 @@ import org.apache.spark.sql.types._
   */
 object TypedOps {
 
-  /** buffer = (Σ qty_cents × price_cents  [1e-4 units], Σ qty_cents). */
+  /** buffer = (Σ qty×price [exact 4dp], Σ qty [exact 2dp]) as
+    * BigDecimal — arbitrary precision, so the accumulator cannot
+    * overflow at any corpus size (a Long-cents buffer would wrap past
+    * ~2e9 rows per group).
+    */
   object WeightedAvgPrice
-      extends Aggregator[(Double, Double), (Long, Long), Double] {
-    override def zero: (Long, Long) = (0L, 0L)
-    override def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) = {
-      val qc = math.round(in._1 * 100) // 2dp values: exact cents
-      val pc = math.round(in._2 * 100)
-      (b._1 + qc * pc, b._2 + qc)
+      extends Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+    private def d2(v: Double): BigDecimal =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    override def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+    override def reduce(b: (BigDecimal, BigDecimal),
+        in: (Double, Double)): (BigDecimal, BigDecimal) = {
+      val q = d2(in._1); val p = d2(in._2)
+      (b._1 + q * p, b._2 + q)
     }
-    override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+    override def merge(x: (BigDecimal, BigDecimal),
+        y: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
       (x._1 + y._1, x._2 + y._2)
-    // (units/1e4) / (cents/1e2): each step correctly rounded once —
-    // bit-identical to the oracle's decimal-sum-to-double division
-    override def finish(b: (Long, Long)): Double =
-      (b._1.toDouble / 10000.0) / (b._2.toDouble / 100.0)
-    override def bufferEncoder: Encoder[(Long, Long)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    // double(exact sum) / double(exact sum): one correctly-rounded
+    // conversion each + one division — bit-identical to the oracle's
+    // CAST(sum_decimal AS DOUBLE) division
+    override def finish(b: (BigDecimal, BigDecimal)): Double =
+      b._1.toDouble / b._2.toDouble
+    override def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
+      Encoders.tuple(ExpressionEncoder[BigDecimal](), ExpressionEncoder[BigDecimal]())
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
