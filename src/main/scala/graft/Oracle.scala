@@ -305,6 +305,54 @@ object Oracle {
     ORDER BY o_orderstatus, o_totalprice, o_orderkey
   """
 
+  val winFirstLast: String = """
+    SELECT o_custkey, o_orderkey,
+      first_value(o_orderkey) OVER w AS first_order,
+      last_value(o_orderkey)  OVER w AS last_order,
+      nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+  """
+
+  val textTfidf: String = """
+    SELECT term, df, ROUND(ln(n_docs / df), 6) AS idf FROM (
+      SELECT term, count(*) AS df,
+        (SELECT count(*) FROM documents) AS n_docs
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+            FROM documents)
+      GROUP BY term)
+    ORDER BY term
+  """
+
+  val aggHistogram: String = s"""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+      count(*) AS n, CAST(sum(${m("o_totalprice")}) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY bucket ORDER BY bucket
+  """
+
+  // DuckDB: ^ is power — xor() is the function; shifts are operators
+  val fnBitwise: String = """
+    SELECT o_orderkey,
+      o_orderkey & 255 AS band,
+      o_orderkey | 16 AS bor,
+      xor(o_orderkey, 85) AS bxor,
+      o_orderkey << 2 AS shl,
+      o_orderkey >> 3 AS shr,
+      CAST(bit_count(o_orderkey) AS BIGINT) AS bcnt
+    FROM orders ORDER BY o_orderkey
+  """
+
+  private val msetA = "SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'"
+  private val msetB = "SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'"
+
+  val setIntersectAll: String =
+    s"SELECT * FROM ($msetA INTERSECT ALL $msetB) ORDER BY l_orderkey"
+
+  val setExceptAll: String =
+    s"SELECT * FROM ($msetA EXCEPT ALL $msetB) ORDER BY l_orderkey"
+
   // ---- §2f sorts / limits / set ops ----
 
   val sortMultiKey: String = """

@@ -105,6 +105,13 @@ object SparkEntry {
     // typed Dataset surface + the BASELINE q3 anchor
     "agg_typed_aggregator" -> (TypedOps.aggTypedAggregator _),
     "join_q3_topk"         -> (TypedOps.joinQ3Topk _),
+    // widened analytics surface (round-1 final batch)
+    "win_first_last"    -> (Analytic.winFirstLast _),
+    "text_tfidf"        -> (Analytic.textTfidf _),
+    "agg_histogram"     -> (Analytic.aggHistogram _),
+    "fn_bitwise"        -> (Analytic.fnBitwise _),
+    "set_intersect_all" -> (Analytic.setIntersectAll _),
+    "set_except_all"    -> (Analytic.setExceptAll _),
     // §2f sorts / limits / set ops
     "sort_multi_key"     -> (Analytic.sortMultiKey _),
     "limit_topk"         -> (Analytic.limitTopk _),
@@ -188,6 +195,12 @@ object SparkEntry {
     "skew_salted_agg"          -> Oracle.skewSaltedAgg,
     "join_bucketed_colocated"  -> Oracle.joinBucketedColocated,
     "scan_partition_pruning"   -> Oracle.scanPartitionPruning,
+    "win_first_last"           -> Oracle.winFirstLast,
+    "text_tfidf"               -> Oracle.textTfidf,
+    "agg_histogram"            -> Oracle.aggHistogram,
+    "fn_bitwise"               -> Oracle.fnBitwise,
+    "set_intersect_all"        -> Oracle.setIntersectAll,
+    "set_except_all"           -> Oracle.setExceptAll,
     "win_ranking"              -> Oracle.winRanking,
     "win_topk_per_group"       -> Oracle.winTopkPerGroup,
     "win_running_frame"        -> Oracle.winRunningFrame,

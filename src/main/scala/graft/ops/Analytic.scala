@@ -83,6 +83,63 @@ object Analytic {
       .orderBy($"o_orderstatus", $"o_totalprice", $"o_orderkey")
   }
 
+  /** first_value / last_value / nth_value over an explicit
+    * full-partition frame (the default running frame would make
+    * last_value trivially equal the current row).
+    */
+  def winFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wFull = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        first($"o_orderkey").over(wFull).as("first_order"),
+        last($"o_orderkey").over(wFull).as("last_order"),
+        nth_value($"o_orderkey", 2).over(wFull).as("second_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Per-doc-frequency table with inverse document frequency — the
+    * TF-IDF weighting backbone; the corpus size joins in lazily (no
+    * driver-side count).
+    */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, sfDir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(explode(array_distinct(split($"text", " "))).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select($"term", $"df", round(log($"n_docs" / $"df"), 6).as("idf"))
+      .orderBy($"term")
+  }
+
+  /** Histogram binning via floor-division buckets (portable across
+    * engines, unlike width_bucket which DuckDB lacks).
+    */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .groupBy(floor($"o_totalprice" / 25000).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(money($"o_totalprice")).as("_s"))
+      .select($"bucket", $"n", $"_s".cast(DoubleType).as("sum_price"))
+      .orderBy($"bucket")
+  }
+
+  def fnBitwise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .select($"o_orderkey",
+        ($"o_orderkey".bitwiseAND(255)).as("band"),
+        ($"o_orderkey".bitwiseOR(16)).as("bor"),
+        ($"o_orderkey".bitwiseXOR(85)).as("bxor"),
+        expr("shiftleft(o_orderkey, 2)").as("shl"),
+        expr("shiftright(o_orderkey, 3)").as("shr"),
+        bit_count($"o_orderkey").cast(LongType).as("bcnt"))
+      .orderBy($"o_orderkey")
+  }
+
   // ---- §2f sorts / limits / set ops ----
 
   def sortMultiKey(spark: SparkSession, sfDir: String): DataFrame = {
@@ -127,6 +184,29 @@ object Analytic {
     import spark.implicits._
     sliceA(spark, sfDir).union(sliceB(spark, sfDir)).distinct()
       .orderBy($"o_orderkey")
+  }
+
+  private def multisetA(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, sfDir).filter($"l_returnflag" === "A").select($"l_orderkey")
+  }
+  private def multisetB(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, sfDir).filter($"l_linestatus" === "F").select($"l_orderkey")
+  }
+
+  /** Multiset semantics: min multiplicities survive. */
+  def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    multisetA(spark, sfDir).intersectAll(multisetB(spark, sfDir))
+      .orderBy($"l_orderkey")
+  }
+
+  /** Multiset difference: multiplicities subtract. */
+  def setExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    multisetA(spark, sfDir).exceptAll(multisetB(spark, sfDir))
+      .orderBy($"l_orderkey")
   }
 
   def setIntersect(spark: SparkSession, sfDir: String): DataFrame = {
