@@ -1,6 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point (driver contract): runs every registered query
+  * against SPARK_GRAFT_SF_DIR and prints ONE compact JSON line.
+  *
+  * The line MUST stay well under 2000 characters: the driver harness
+  * captures only the tail of the sbt output, and a line carrying all ~90
+  * per-query timings at full double precision gets its head truncated
+  * and fails to parse (observed in round 1: BENCH_r01.json parsed=null).
+  * So stdout carries the total plus a fixed headline subset (the
+  * BASELINE.md anchor queries + the historically slowest ops) rounded to
+  * 3dp; the full per-query map goes to `bench_full.json` and stderr.
+  */
 object Bench {
+
+  /** BASELINE.md anchors first, then the ops worth watching per round. */
+  private val headline: Seq[String] = Seq(
+    "agg_hash_groupby",      // q1 pricing summary
+    "join_q3_topk",          // q3 join+agg+top-k
+    "join_multiway_star",    // q5 six-table star join
+    "win_topk_per_group",    // window rank top-3/cust
+    "fn_json",               // events JSON-extract agg
+    "text_lang_id",          // documents per-lang agg
+    "sim_cosine_topk",       // cosine top-20 self-join
+    "stream_tumbling_window",
+    "stream_session_window",
+    "scan_parquet_full",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "dedup_simhash",
+    "ml_rf_train_predict",
+    "ml_rf_regression",
+    "agg_typed_aggregator",
+    "join_bucketed_colocated")
+
+  // Locale.ROOT: a comma decimal separator would corrupt the JSON
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,10 +52,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${fmt(v)}"))
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+    System.err.println(fullLine)
+    println(line)
     spark.stop()
   }
 }

@@ -251,8 +251,13 @@ object Oracle {
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
   """
 
+  // joined DECIMAL(12,2) strings, not a raw list — the driver's pandas
+  // harness cannot sort/hash ndarray cells
   val aggCollectSorted: String = """
-    SELECT o_custkey, list(o_totalprice ORDER BY o_totalprice) AS prices
+    SELECT o_custkey,
+      array_to_string(
+        list_transform(list(o_totalprice ORDER BY o_totalprice),
+          x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',') AS prices
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
   """
 
@@ -459,8 +464,11 @@ object Oracle {
       list_max(embedding::DOUBLE[]) AS max_d,
       ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS sum_d,
       len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
-      list_transform((embedding::DOUBLE[])[1:3], x -> x * 2) AS first3_x2,
-      list_sort((embedding::DOUBLE[])[1:4]) AS first4_sorted
+      list_transform((embedding::DOUBLE[])[1:3], x -> x * 2)[1] AS x2_1,
+      list_transform((embedding::DOUBLE[])[1:3], x -> x * 2)[2] AS x2_2,
+      list_transform((embedding::DOUBLE[])[1:3], x -> x * 2)[3] AS x2_3,
+      list_sort((embedding::DOUBLE[])[1:4])[1] AS srt_1,
+      list_sort((embedding::DOUBLE[])[1:4])[4] AS srt_4
     FROM embeddings ORDER BY vec_id
   """
 
@@ -468,8 +476,8 @@ object Oracle {
   // directly (DuckDB has no str_to_map); semantics are identical.
   val fnMap: String = """
     SELECT o_orderkey,
-      ['prio', 'status'] AS keys,
-      [string_split(o_orderpriority, '-')[1], o_orderstatus] AS vals,
+      'prio,status' AS keys,
+      string_split(o_orderpriority, '-')[1] || ',' || o_orderstatus AS vals,
       o_orderstatus AS status_val
     FROM orders ORDER BY o_orderkey
   """
@@ -718,7 +726,9 @@ object Oracle {
             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sc
           FROM bits GROUP BY doc_id, bit)
     SELECT doc_id,
-      sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+      -- CAST: DuckDB sum(BIGINT) yields HUGEINT, which the driver's pandas
+      -- harness coerces to float64 and hash-mismatches Spark's BIGINT.
+      CAST(sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM s GROUP BY doc_id ORDER BY doc_id
   """
 
@@ -735,8 +745,9 @@ object Oracle {
     SELECT doc_id,
       len(text) // 32 AS n_frames,
       len([f FOR f IN range(0, len(text) // 32) IF f % 4 = 0]) AS n_sampled,
-      [md5(substring(text, f * 32 + 1, 32))
-         FOR f IN range(0, len(text) // 32) IF f % 4 = 0] AS frame_hashes
+      array_to_string(
+        [md5(substring(text, f * 32 + 1, 32))
+           FOR f IN range(0, len(text) // 32) IF f % 4 = 0], ',') AS frame_hashes
     FROM documents ORDER BY doc_id
   """
 

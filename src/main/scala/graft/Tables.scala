@@ -53,9 +53,14 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // floor division in exact integer math (ts - pmod(ts,1000) is a
+    // multiple of 1000): plain DIV truncates toward zero and would be
+    // 1µs off DuckDB's floored ns→µs conversion for pre-1970 (negative)
+    // nanosecond timestamps. No double round-trip — int64 ns exceeds
+    // double's 53-bit mantissa.
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts",
-        expr("CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"))
+        expr("CAST(timestamp_micros(CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"))
   }
 
   // ---- determinism-protocol helpers (SURVEY §7d) ----

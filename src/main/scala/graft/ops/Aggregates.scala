@@ -49,8 +49,14 @@ object Aggregates {
       .groupBy($"o_orderstatus")
       .agg(
         percentile_approx($"o_totalprice", array(lit(0.5), lit(0.9)), lit(10000))
-          .as("approx_p50_p90"),
+          .as("q"),
         count(lit(1)).as("n"))
+      // scalar columns, not an array: the driver harness hashes float64
+      // scalars fine but cannot sort/hash ndarray cells
+      .select($"o_orderstatus",
+        element_at($"q", 1).as("approx_p50"),
+        element_at($"q", 2).as("approx_p90"),
+        $"n")
       .orderBy($"o_orderstatus")
   }
 
@@ -163,12 +169,18 @@ object Aggregates {
       .orderBy($"o_custkey")
   }
 
-  /** Per-group sorted array output. */
+  /** Per-group sorted list output, serialized to one exact string: each
+    * element goes through DECIMAL(12,2) (money protocol — bit-identical
+    * in both engines) so the joined string hashes stably in the driver's
+    * pandas compare (ndarray cells are unhashable there).
+    */
   def aggCollectSorted(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     orders(spark, sfDir)
       .groupBy($"o_custkey")
-      .agg(sort_array(collect_list($"o_totalprice")).as("prices"))
+      .agg(array_join(
+        transform(sort_array(collect_list($"o_totalprice")),
+          x => x.cast("decimal(12,2)").cast("string")), ",").as("prices"))
       .orderBy($"o_custkey")
   }
 }

@@ -205,7 +205,8 @@ object LlmOps2 {
           md.digest(payload.slice(f * frameLen, (f + 1) * frameLen))
             .map("%02x".format(_)).mkString
         }
-        (id, nFrames.toLong, sampled.length.toLong, sampled)
+        // joined string, not an array — driver-harness-hashable
+        (id, nFrames.toLong, sampled.length.toLong, sampled.mkString(","))
       }
     }.toDF("doc_id", "n_frames", "n_sampled", "frame_hashes")
       .orderBy($"doc_id")

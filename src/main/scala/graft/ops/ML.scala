@@ -9,6 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 /** ML surface (SURVEY §2i) — the reference capability (random forest
   * on a distributed runtime) re-expressed on Spark MLlib's
@@ -42,9 +43,15 @@ object ML {
       .repartition(8, $"vec_id")
   }
 
+  /** Bound on the per-sfDir model caches: a long-lived session cycling
+    * through many data dirs must not accumulate forests without limit.
+    */
+  private val MaxCachedModels = 4
+
   private val clsCache = TrieMap.empty[String, RandomForestClassificationModel]
 
-  private def classifier(spark: SparkSession, sfDir: String): RandomForestClassificationModel =
+  private def classifier(spark: SparkSession, sfDir: String): RandomForestClassificationModel = {
+    if (clsCache.size >= MaxCachedModels && !clsCache.contains(sfDir)) clsCache.clear()
     clsCache.getOrElseUpdate(sfDir, {
       val train = prepared(spark, sfDir).filter(col("split") === "train")
       new RandomForestClassifier()
@@ -52,6 +59,7 @@ object ML {
         .setNumTrees(50).setMaxDepth(6).setSeed(42L)
         .fit(train)
     })
+  }
 
   /** Held-out predictions: (vec_id, label, prediction). */
   def mlRfTrainPredict(spark: SparkSession, sfDir: String): DataFrame = {
@@ -72,15 +80,14 @@ object ML {
         .setMetricName("accuracy")
         .evaluate(pred.select($"label".cast(DoubleType),
           $"prediction".cast(DoubleType)))
-      // materialize before unpersisting so the returned frame doesn't
-      // recompute the evaluator's input
-      val out = pred.groupBy($"label")
+      // collect the tiny per-class summary to the driver and rebuild a
+      // local frame — no lingering cached blocks after we return
+      val rows = pred.groupBy($"label")
         .agg(count(lit(1)).as("n_test"),
           count(when($"prediction" === $"label", 1)).as("n_correct"))
         .withColumn("accuracy_overall", round(lit(acc), 4))
         .orderBy($"label")
-      out.cache().count()
-      out
+      spark.createDataFrame(rows.collect().toSeq.asJava, rows.schema)
     } finally pred.unpersist()
   }
 
@@ -112,6 +119,7 @@ object ML {
       .withColumn("split",
         when(pmod($"event_id", lit(5)) === 0, "test").otherwise("train"))
       .repartition(8, $"event_id")
+    if (regCache.size >= MaxCachedModels && !regCache.contains(sfDir)) regCache.clear()
     val model = regCache.getOrElseUpdate(sfDir,
       new RandomForestRegressor()
         .setLabelCol("value").setFeaturesCol("features")

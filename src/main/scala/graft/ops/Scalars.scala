@@ -97,8 +97,13 @@ object Scalars {
         array_max(d).as("max_d"),
         round(aggregate(d, lit(0.0), (acc, x) => acc + x), 6).as("sum_d"),
         size(filter(d, x => x > 0)).cast(LongType).as("n_pos"),
-        transform(slice(d, 1, 3), x => x * 2).as("first3_x2"),
-        sort_array(slice(d, 1, 4)).as("first4_sorted"))
+        // flattened to scalar doubles (still exercising transform /
+        // sort_array): the driver harness cannot hash ndarray cells
+        element_at(transform(slice(d, 1, 3), x => x * 2), 1).as("x2_1"),
+        element_at(transform(slice(d, 1, 3), x => x * 2), 2).as("x2_2"),
+        element_at(transform(slice(d, 1, 3), x => x * 2), 3).as("x2_3"),
+        element_at(sort_array(slice(d, 1, 4)), 1).as("srt_1"),
+        element_at(sort_array(slice(d, 1, 4)), 4).as("srt_4"))
       .orderBy($"vec_id")
   }
 
@@ -111,9 +116,11 @@ object Scalars {
     orders(spark, sfDir)
       .withColumn("m", expr(
         "str_to_map(concat('status=', o_orderstatus, ',prio=', split_part(o_orderpriority, '-', 1)), ',', '=')"))
-      .withColumn("keys", sort_array(map_keys($"m")))
-      .select($"o_orderkey", $"keys",
-        transform($"keys", k => element_at($"m", k)).as("vals"),
+      .withColumn("k", sort_array(map_keys($"m")))
+      .select($"o_orderkey",
+        // joined strings, not arrays — driver-harness-hashable
+        array_join($"k", ",").as("keys"),
+        array_join(transform($"k", k => element_at($"m", k)), ",").as("vals"),
         element_at($"m", "status").as("status_val"))
       .orderBy($"o_orderkey")
   }

@@ -22,8 +22,9 @@ class AggregatesSpec extends AnyFunSuite with SparkFixture {
   test("approx quantiles land within 2% of the exact percentiles") {
     import spark.implicits._
     val approx = Aggregates.aggApproxQuantiles(spark, sf)
-      .select($"o_orderstatus", $"approx_p50_p90")
-      .as[(String, Seq[Double])].collect().toMap
+      .select($"o_orderstatus", $"approx_p50", $"approx_p90")
+      .as[(String, Double, Double)].collect()
+      .map { case (st, a50, a90) => st -> Seq(a50, a90) }.toMap
     val exact = Aggregates.aggPercentiles(spark, sf)
       .select($"o_orderstatus", $"median_price", $"p90_price")
       .as[(String, Double, Double)].collect()
