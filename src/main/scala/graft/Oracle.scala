@@ -809,4 +809,130 @@ object Oracle {
     WHERE p.event_type = 'purchase'
     ORDER BY purchase_id
   """
+
+  // ---- round-2 widening: reshape ops ----
+
+  // pivot as conditional aggregation — portable across engines (DuckDB
+  // PIVOT syntax would also work but desugars to exactly this)
+  val aggPivot: String = s"""
+    SELECT o_orderpriority,
+      count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN ${m("o_totalprice")} END) AS DOUBLE) AS f_rev,
+      count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+      CAST(sum(CASE WHEN o_orderstatus = 'O' THEN ${m("o_totalprice")} END) AS DOUBLE) AS o_rev,
+      count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt,
+      CAST(sum(CASE WHEN o_orderstatus = 'P' THEN ${m("o_totalprice")} END) AS DOUBLE) AS p_rev
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """
+
+  val aggUnpivot: String = s"""
+    WITH wide AS (
+      SELECT l_returnflag,
+        CAST(sum(${m("l_quantity")}) AS DOUBLE) AS sum_qty,
+        CAST(sum(${m("l_extendedprice")}) AS DOUBLE) AS sum_price,
+        CAST(count(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+    ORDER BY l_returnflag, metric
+  """
+
+  val aggStringAgg: String = """
+    SELECT o_custkey,
+      string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+      count(*) AS n_orders
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+  """
+
+  val aggMode: String = """
+    WITH counts AS (
+      SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, k AS mode_k, n AS n_occurrences FROM (
+      SELECT event_type, k, n,
+        row_number() OVER (PARTITION BY event_type ORDER BY n DESC, k ASC) AS rn
+      FROM counts)
+    WHERE rn = 1 ORDER BY event_type
+  """
+
+  // zipped unnests (DuckDB zips parallel unnests in one SELECT) mirror
+  // posexplode's (pos, value) pairs
+  val fnExplode: String = """
+    SELECT doc_id,
+      unnest(range(len(string_split(text, ' ')))) AS pos,
+      unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos
+  """
+
+  // ---- round-2 widening: pipeline composites ----
+
+  val sampleStratified: String = """
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+      CASE event_type WHEN 'purchase' THEN '80'
+                      WHEN 'click' THEN '20'
+                      ELSE '40' END
+    ORDER BY event_id
+  """
+
+  val textPiiMask: String = """
+    WITH t AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents)
+    SELECT doc_id,
+      length(raw) AS raw_len,
+      length(masked) AS masked_len,
+      masked
+    FROM (SELECT doc_id, raw,
+            regexp_replace(
+              regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+              '\+[0-9][0-9-]{5,}', '<PHONE>', 'g') AS masked
+          FROM t)
+    ORDER BY doc_id
+  """
+
+  // score formula shared verbatim with textQualityScore above
+  val pipelineQualityFilter: String = """
+    WITH s AS (
+      SELECT doc_id, lang, text,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        len(list_filter(string_split(text, ' '), x -> list_contains(
+          ['the','a','of','and','to','in','is','it','key','data'], x))) AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, text, n_tokens,
+        least(n_tokens / 50.0, 1.0) * 0.3
+          + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.4
+          + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 AS score,
+        min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM s)
+    SELECT doc_id, lang, n_tokens, ROUND(score, 6) AS score
+    FROM scored
+    WHERE doc_id = keep_id
+      AND lang IN ('en', 'de', 'fr')
+      AND n_tokens BETWEEN 20 AND 400
+      AND score >= 0.55
+    ORDER BY doc_id
+  """
+
+  // ---- round-2 widening: stream-stream interval join (batch mirror) ----
+
+  val streamIntervalJoin: String = """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY c.user_id, click_id, purchase_id
+  """
 }

@@ -119,6 +119,19 @@ object SparkEntry {
     "set_union_distinct" -> (Analytic.setUnionDistinct _),
     "set_intersect"      -> (Analytic.setIntersect _),
     "set_except"         -> (Analytic.setExcept _),
+    // round-2 widening: reshape surface
+    "agg_pivot"      -> (Reshape.aggPivot _),
+    "agg_unpivot"    -> (Reshape.aggUnpivot _),
+    "agg_string_agg" -> (Reshape.aggStringAgg _),
+    "agg_mode"       -> (Reshape.aggMode _),
+    "fn_explode"     -> (Reshape.fnExplode _),
+    // round-2 widening: sources + pipeline composites + streaming join
+    "source_orc_roundtrip"    -> (Sources.sourceOrcRoundtrip _),
+    "sample_stratified"       -> (Pipeline.sampleStratified _),
+    "text_pii_mask"           -> (Pipeline.textPiiMask _),
+    "pipeline_quality_filter" -> (Pipeline.pipelineQualityFilter _),
+    "sim_ann_ivf"             -> (Pipeline.simAnnIvf _),
+    "stream_interval_join"    -> (Streaming.streamIntervalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -212,5 +225,17 @@ object SparkEntry {
     "set_union_distinct"       -> Oracle.setUnionDistinct,
     "set_intersect"            -> Oracle.setIntersect,
     "set_except"               -> Oracle.setExcept,
+    "agg_pivot"                -> Oracle.aggPivot,
+    "agg_unpivot"              -> Oracle.aggUnpivot,
+    "agg_string_agg"           -> Oracle.aggStringAgg,
+    "agg_mode"                 -> Oracle.aggMode,
+    "fn_explode"               -> Oracle.fnExplode,
+    "source_orc_roundtrip"     -> Oracle.sourceRoundtrip,
+    "sample_stratified"        -> Oracle.sampleStratified,
+    "text_pii_mask"            -> Oracle.textPiiMask,
+    "pipeline_quality_filter"  -> Oracle.pipelineQualityFilter,
+    // sim_ann_ivf: NO oracle — centroid assignment is engine-specific;
+    // recall vs exact kNN asserted in PipelineSpec.
+    "stream_interval_join"     -> Oracle.streamIntervalJoin,
   )
 }

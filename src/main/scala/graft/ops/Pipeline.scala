@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline composites (round-2 widening of SURVEY §2k):
+  * deterministic stratified sampling, PII masking, the end-to-end
+  * quality-filter pipeline, and an IVF-style ANN probe.
+  */
+object Pipeline {
+
+  /** Stratified Bernoulli sampling with a content-derived coin:
+    * md5(event_id) prefix compared against a per-stratum hex threshold
+    * ('80' ≈ 50% purchases, '20' ≈ 12.5% clicks, '40' ≈ 25% rest).
+    * Unlike rand()/randomSplit, the sample is a pure function of the
+    * row — identical under re-partitioning, retries, and engine swaps,
+    * which is what a reproducible 100 TB training-set cut requires.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val threshold = when($"event_type" === "purchase", lit("80"))
+      .when($"event_type" === "click", lit("20"))
+      .otherwise(lit("40"))
+    events(spark, sfDir)
+      .filter(substring(md5($"event_id".cast(StringType)), 1, 2) < threshold)
+      .select($"event_id", $"event_type", $"user_id")
+      .orderBy($"event_id")
+  }
+
+  /** PII masking: regexp_replace of email/phone shapes. The corpus is
+    * synthetic lowercase tokens, so a deterministic email+phone suffix
+    * derived from doc_id is appended first — the masking pass itself is
+    * the operator under test. Patterns stay in the Java∩RE2 common
+    * subset (char classes + escaped '+'), per the fn_string rule.
+    */
+  def textPiiMask(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val synth = concat($"text",
+      lit(" contact user"), $"doc_id", lit("@example.com or +1-555-"),
+      lpad(pmod($"doc_id", lit(10000)).cast(StringType), 4, "0"))
+    documents(spark, sfDir)
+      .withColumn("raw", synth)
+      .withColumn("masked",
+        regexp_replace(
+          regexp_replace($"raw", "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          "\\+[0-9][0-9-]{5,}", "<PHONE>"))
+      .select($"doc_id",
+        length($"raw").as("raw_len"),
+        length($"masked").as("masked_len"),
+        $"masked")
+      .orderBy($"doc_id")
+  }
+
+  private val stoplist = Seq("the", "a", "of", "and", "to", "in", "is",
+    "it", "key", "data")
+
+  /** The end-to-end training-data filter: exact-dedup (keep the lowest
+    * doc_id per content hash), language allowlist, token-count bounds,
+    * quality-score floor — one declarative pass, so Catalyst fuses the
+    * scoring into the scan and the only shuffle is the dedup window's
+    * hash partition. Score formula is shared verbatim with
+    * text_quality_score (already oracle-checked).
+    */
+  def pipelineQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stop = array(stoplist.map(lit): _*)
+    val scored = documents(spark, sfDir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast(LongType))
+      .withColumn("n_uniq", size(array_distinct($"toks")).cast(LongType))
+      .withColumn("n_stop",
+        size(filter($"toks", t => array_contains(stop, t))).cast(LongType))
+      .withColumn("score",
+        least($"n_tokens" / 50.0, lit(1.0)) * 0.3 +
+          ($"n_uniq".cast(DoubleType) / $"n_tokens") * 0.4 +
+          (lit(1.0) - $"n_stop".cast(DoubleType) / $"n_tokens") * 0.3)
+    scored
+      .withColumn("keep_id",
+        min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"keep_id" &&
+        $"lang".isin("en", "de", "fr") &&
+        $"n_tokens".between(20, 400) &&
+        $"score" >= 0.55)
+      .select($"doc_id", $"lang", $"n_tokens", round($"score", 6).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  /** IVF-style ANN probe (the coarse-quantizer scale path next to the
+    * random-hyperplane LSH in [[LlmOps2.simAnnLsh]]): assign every
+    * vector to its nearest of 16 deterministic centroids (the lowest
+    * vec_ids — a stand-in for k-means, keeping the partitioning logic
+    * real and the seeds portable), then search only the nProbe=4
+    * centroids closest to the query. At 100 TB the assignment is one
+    * broadcast-centroids map pass and each query touches nProbe/16 of
+    * the corpus. Recall vs the exact kNN asserted in PipelineSpec; no
+    * oracle (centroid choice is engine-specific by nature).
+    */
+  def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nCent = 16
+    val nProbe = 4
+    val t = LlmOps.embeddingsWithNorm(spark, sfDir)
+    val cents = t.filter($"vec_id" < nCent)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    // nearest-centroid assignment: broadcast the 16 centroids, keep the
+    // top-1 per vector (ties toward the smallest cid)
+    val assigned = t.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        LlmOps.dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cid")))
+      .filter($"rn" === 1)
+      .select($"cid", $"vec_id", $"embedding", $"nrm")
+    val probe = t.filter($"vec_id" === 0)
+      .select($"embedding".as("pe"), $"nrm".as("pn"))
+    val probeCids = cents.crossJoin(broadcast(probe))
+      .withColumn("cos_p", LlmOps.dot($"ce", $"pe") / ($"cn" * $"pn"))
+      .orderBy($"cos_p".desc, $"cid")
+      .limit(nProbe)
+      .select($"cid")
+    assigned
+      .join(broadcast(probeCids), "cid")
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("cos", LlmOps.dot($"embedding", $"pe") / ($"nrm" * $"pn"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", round($"cos", 6).as("cosine"))
+  }
+}

@@ -43,4 +43,15 @@ object Sources {
     spark.read.schema(schema).json(out)
       .orderBy($"event_id")
   }
+
+  /** ORC round trip — the columnar alternative to parquet; binary
+    * encoding, so doubles are trivially exact.
+    */
+  def sourceOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = "/tmp/graft_roundtrip_orc_" + tag(spark, sfDir)
+    slice(spark, sfDir).write.mode("overwrite").orc(out)
+    spark.read.schema(schema).orc(out)
+      .orderBy($"event_id")
+  }
 }

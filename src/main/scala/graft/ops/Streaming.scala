@@ -97,7 +97,48 @@ object Streaming {
       .orderBy($"event_type")
   }
 
+  /** Stream-stream interval join, batch mirror: each click paired with
+    * the same user's purchases landing within [click_ts, click_ts+10min)
+    * — the classic attribution join. Gap reported in exact microseconds
+    * (whole-second datediff truncates differently across engines on
+    * sub-second timestamps). The true streaming path is
+    * [[intervalJoinStream]]; there the time bound is what lets the
+    * engine expire join state, so memory is bounded by the interval ×
+    * rate, not by stream length.
+    */
+  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, sfDir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    clicks.join(purchases,
+        $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" < $"click_ts" + expr("INTERVAL '10' MINUTE"))
+      // UTC session: NTZ→TZ cast is instant-preserving, so unix_micros
+      // is an exact integer on both engines (DuckDB: epoch_us)
+      .select($"user_id", $"click_id", $"purchase_id",
+        (expr("unix_micros(CAST(purchase_ts AS TIMESTAMP))") -
+          expr("unix_micros(CAST(click_ts AS TIMESTAMP))")).as("gap_us"))
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
   // ---- streaming plan builders (MemoryStream / readStream sources) ----
+
+  /** Real stream-stream inner join: watermarks on both sides plus the
+    * time-range condition bound the join state the engine must retain.
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "10 minutes")
+    val p = purchases.withWatermark("purchase_ts", "20 minutes")
+    c.join(p,
+      c("user_id") === p("p_user") &&
+      p("purchase_ts") >= c("click_ts") &&
+      p("purchase_ts") < c("click_ts") + expr("INTERVAL '10' MINUTE"))
+  }
 
   /** Append-mode tumbling counts; windows emit once the 10-min
     * watermark passes their end, later events are dropped.

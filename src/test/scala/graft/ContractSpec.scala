@@ -13,7 +13,8 @@ class ContractSpec extends AnyFunSuite {
     "ml_rf_train_predict", "ml_rf_accuracy", // not SQL-expressible
     "ml_rf_feature_importance", "ml_rf_regression",
     "dedup_minhash_lsh", // hash-family specific (recall asserted)
-    "sim_ann_lsh") // hash-family specific (recall asserted)
+    "sim_ann_lsh", // hash-family specific (recall asserted)
+    "sim_ann_ivf") // centroid choice engine-specific (recall asserted)
 
   test("every query is oracle-checked unless documented otherwise") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

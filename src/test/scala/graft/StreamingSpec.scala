@@ -148,4 +148,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .agg(sum($"n")).as[Long].head()
     assert(total === 4 * n)
   }
+
+  test("stream-stream interval join pairs purchases within 10 min of a click") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val q = Streaming.intervalJoinStream(clicks.toDF(), purchases.toDF())
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Click(1, ts("2024-01-01 00:00:00"), 7),
+        Click(2, ts("2024-01-01 01:00:00"), 7),
+        Click(3, ts("2024-01-01 00:01:00"), 8))
+      purchases.addData(
+        Purchase(101, ts("2024-01-01 00:05:00"), 7),  // within 10 min of click 1
+        Purchase(102, ts("2024-01-01 00:45:00"), 7),  // matches no click
+        Purchase(103, ts("2024-01-01 01:09:00"), 7),  // within 10 min of click 2
+        Purchase(104, ts("2024-01-01 00:02:00"), 9))  // other user
+      q.processAllAvailable()
+      val pairs = spark.table("ivj")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 101L), (2L, 103L)))
+    } finally q.stop()
+  }
 }
+
+case class Click(click_id: Long, click_ts: Timestamp, user_id: Long)
+case class Purchase(purchase_id: Long, purchase_ts: Timestamp, p_user: Long)
