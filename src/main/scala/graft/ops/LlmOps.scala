@@ -129,17 +129,24 @@ object LlmOps {
       .repartition(col("doc_id"))
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
       .groupBy($"doc_id")
-      .agg(hashCols.head, hashCols.tail: _*)
-    // band signatures: AND of `rows` minhashes
+      .agg(hashCols.head, hashCols.tail :+ count(lit(1)).as("sz"): _*)
+    // band signatures: AND of `rows` minhashes; sz rides along so the
+    // size-ratio prune can run INSIDE the candidate join, before the
+    // pair volume hits the distinct shuffle or the merge kernel
     val bandCols = (0 until bands).map { bd =>
       val sig = concat_ws(":",
         (0 until rows).map(r => col(s"h${bd * rows + r}")): _*)
-      minhashes.select($"doc_id", lit(bd).as("band"), sig.as("sig"))
+      minhashes.select($"doc_id", $"sz", lit(bd).as("band"), sig.as("sig"))
     }
     val buckets = bandCols.reduce(_ unionAll _)
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // ~3 small rows per doc: broadcast the probe side so candidate
+    // generation is a map-side hash probe, not a shuffle
+    val cand = buckets.as("x").join(broadcast(buckets.as("y")),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-        col("x.doc_id") < col("y.doc_id"))
+        col("x.doc_id") < col("y.doc_id") &&
+        // size-ratio prune (j >= 0.8 forces 5*min >= 4*max)
+        col("x.sz") * 5 >= col("y.sz") * 4 &&
+        col("y.sz") * 5 >= col("x.sz") * 4)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     // exact verification of the candidate set only — both sketch
@@ -147,9 +154,6 @@ object LlmOps {
     val ta = toks.select($"doc_id".as("id_a"), $"th".as("th_a"), $"sz".as("sz_a"))
     val tb = toks.select($"doc_id".as("id_b"), $"th".as("th_b"), $"sz".as("sz_b"))
     cand.join(broadcast(ta), "id_a").join(broadcast(tb), "id_b")
-      // size-ratio prefilter (j >= 0.8 forces 5*min >= 4*max): skips
-      // the merge kernel for hopeless candidates
-      .filter($"sz_a" * 5 >= $"sz_b" * 4 && $"sz_b" * 5 >= $"sz_a" * 4)
       .withColumn("inter", intersectSizeUdf($"th_a", $"th_b"))
       .withColumn("jac", $"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jac" >= 0.8)
