@@ -851,7 +851,7 @@ object Oracle {
   val aggMode: String = """
     WITH counts AS (
       SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k, count(*) AS n
-      FROM events GROUP BY 1, 2)
+      FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL GROUP BY 1, 2)
     SELECT event_type, k AS mode_k, n AS n_occurrences FROM (
       SELECT event_type, k, n,
         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, k ASC) AS rn

@@ -23,11 +23,21 @@ object GraftFunctions {
     FloatDotProduct(children(0), children(1))
   }
 
+  private[expressions] val isectInfo = new ExpressionInfo(
+    classOf[SortedLongIntersectSize].getName, "graft_isect")
+
+  private[expressions] def isectBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_isect takes exactly 2 arguments")
+    SortedLongIntersectSize(children(0), children(1))
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("graft_dot")
-    if (!reg.functionExists(id)) {
-      reg.registerFunction(id, dotInfo, dotBuilder _)
+    Seq(
+      (FunctionIdentifier("graft_dot"), dotInfo, dotBuilder _),
+      (FunctionIdentifier("graft_isect"), isectInfo, isectBuilder _)
+    ).foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }
 }
@@ -35,8 +45,10 @@ object GraftFunctions {
 /** `SparkSessionExtensions` hook injecting the native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // reuse the guarded builder so bad arity fails analysis cleanly
+    // reuse the guarded builders so bad arity fails analysis cleanly
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       GraftFunctions.dotInfo, GraftFunctions.dotBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_isect"),
+      GraftFunctions.isectInfo, GraftFunctions.isectBuilder _))
   }
 }

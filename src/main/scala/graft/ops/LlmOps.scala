@@ -29,6 +29,13 @@ object LlmOps {
   private[ops] def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** Codegen'd two-pointer intersect-size over sorted long arrays
+    * (graft.expressions.SortedLongIntersectSize) — the pair-verify
+    * kernel, evaluated once per candidate pair inside the join stage.
+    */
+  private[ops] def isect(a: Column, b: Column): Column =
+    call_function("graft_isect", a, b)
+
   /** Sorted-long-array intersection size — two-pointer merge over
     * primitive arrays (Spark passes ArrayType(LongType,false) as
     * Array[Long]: no boxing, no per-element string conversion). Token
@@ -54,6 +61,7 @@ object LlmOps {
     */
   private[ops] def tokenHashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
     documents(spark, sfDir)
       .select($"doc_id", $"lang",
         size(array_distinct(split($"text", " "))).as("sz"),
@@ -98,7 +106,7 @@ object LlmOps {
         $"lang" === $"lang_b" && $"bkt" === $"bkt_b" && $"id_a" < $"id_b" &&
         // size-ratio prefilter: jaccard >= 0.8 forces 5*min >= 4*max
         $"sz_a" * 5 >= $"sz_b" * 4 && $"sz_b" * 5 >= $"sz_a" * 4)
-      .withColumn("inter", intersectSizeUdf($"th_a", $"th_b"))
+      .withColumn("inter", isect($"th_a", $"th_b"))
       .withColumn("jac", $"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jac" >= 0.8)
       .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"))
@@ -120,44 +128,49 @@ object LlmOps {
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rows = 4; val bands = 3; val k = rows * bands
-    val toks = tokenHashes(spark, sfDir)
-    // k minhashes in one pass: explode tokens once, min() over k
-    // seeded xxhash64 values per doc
-    val hashCols = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
-    val minhashes = documents(spark, sfDir)
-      .repartition(col("doc_id"))
-      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
-      .groupBy($"doc_id")
-      .agg(hashCols.head, hashCols.tail :+ count(lit(1)).as("sz"): _*)
-    // band signatures: AND of `rows` minhashes; sz rides along so the
-    // size-ratio prune can run INSIDE the candidate join, before the
-    // pair volume hits the distinct shuffle or the merge kernel
+    // The per-doc sketch (sz + sorted 64-bit token hashes) is the ONLY
+    // corpus pass. The k minhashes are HOF re-hashes of the token-hash
+    // array — array_min(transform(th, xxhash64(seed, _))) — computed
+    // scan-side with no explode/groupBy shuffle at all.
+    val sk = tokenHashes(spark, sfDir)
+    val minhashes = sk.select(
+      Seq($"doc_id", $"sz", $"th") ++
+        (0 until k).map(i => array_min(
+          transform($"th", h => xxhash64(lit(i), h))).as(s"h$i")): _*)
+    // band signatures: AND of `rows` minhashes; sz and th ride along so
+    // BOTH the size-ratio prune and the exact jaccard verification run
+    // inside the single candidate join — no join back to a sketch table
     val bandCols = (0 until bands).map { bd =>
       val sig = concat_ws(":",
         (0 until rows).map(r => col(s"h${bd * rows + r}")): _*)
-      minhashes.select($"doc_id", $"sz", lit(bd).as("band"), sig.as("sig"))
+      minhashes.select($"doc_id", $"sz", $"th", lit(bd).as("band"), sig.as("sig"))
     }
     val buckets = bandCols.reduce(_ unionAll _)
-    // ~3 small rows per doc: broadcast the probe side so candidate
-    // generation is a map-side hash probe, not a shuffle
-    val cand = buckets.as("x").join(broadcast(buckets.as("y")),
+    // Candidate generation is a plain (band, sig) equi-join: both sides
+    // shuffle-partition on the band signature, so each bucket's pairs
+    // are produced locally on whatever executor owns that signature.
+    // NO broadcast — buckets is corpus-sized (b rows per doc), so a
+    // broadcast would grow linearly with the corpus and break the
+    // 100TB/1000-executor contract. Shuffle volume is O(corpus × b),
+    // never O(pairs): the exact two-pointer verification runs in the
+    // projection right after the join, so only verified near-dup pairs
+    // (plus ≤ b-fold band multiplicity, removed by the distinct) ever
+    // hit a downstream shuffle. Identical-doc signature skew at scale
+    // is AQE skew-join territory (spark.sql.adaptive.skewJoin).
+    val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id") &&
         // size-ratio prune (j >= 0.8 forces 5*min >= 4*max)
         col("x.sz") * 5 >= col("y.sz") * 4 &&
         col("y.sz") * 5 >= col("x.sz") * 4)
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    // exact verification of the candidate set only — both sketch
-    // sides broadcast, so candidates stream through hash probes
-    val ta = toks.select($"doc_id".as("id_a"), $"th".as("th_a"), $"sz".as("sz_a"))
-    val tb = toks.select($"doc_id".as("id_b"), $"th".as("th_b"), $"sz".as("sz_b"))
-    cand.join(broadcast(ta), "id_a").join(broadcast(tb), "id_b")
-      .withColumn("inter", intersectSizeUdf($"th_a", $"th_b"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"),
+        isect(col("x.th"), col("y.th")).as("inter"))
+    cand
       .withColumn("jac", $"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jac" >= 0.8)
       .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"))
+      .distinct()
       .orderBy($"id_a", $"id_b")
   }
 

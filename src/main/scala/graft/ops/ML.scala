@@ -48,18 +48,30 @@ object ML {
     */
   private val MaxCachedModels = 4
 
+  /** Bounded get-or-train: evicts a single entry (never the whole map)
+    * and holds the cache's monitor across check+insert, so concurrent
+    * callers on different sfDirs can't wipe each other's just-trained
+    * models or retrain the same key twice.
+    */
+  private def cachedModel[M](cache: TrieMap[String, M], key: String)(train: => M): M =
+    cache.getOrElse(key, cache.synchronized {
+      cache.getOrElseUpdate(key, {
+        if (cache.size >= MaxCachedModels)
+          cache.headOption.foreach { case (k, _) => cache.remove(k) }
+        train
+      })
+    })
+
   private val clsCache = TrieMap.empty[String, RandomForestClassificationModel]
 
-  private def classifier(spark: SparkSession, sfDir: String): RandomForestClassificationModel = {
-    if (clsCache.size >= MaxCachedModels && !clsCache.contains(sfDir)) clsCache.clear()
-    clsCache.getOrElseUpdate(sfDir, {
+  private def classifier(spark: SparkSession, sfDir: String): RandomForestClassificationModel =
+    cachedModel(clsCache, sfDir) {
       val train = prepared(spark, sfDir).filter(col("split") === "train")
       new RandomForestClassifier()
         .setLabelCol("label").setFeaturesCol("features")
         .setNumTrees(50).setMaxDepth(6).setSeed(42L)
         .fit(train)
-    })
-  }
+    }
 
   /** Held-out predictions: (vec_id, label, prediction). */
   def mlRfTrainPredict(spark: SparkSession, sfDir: String): DataFrame = {
@@ -119,8 +131,7 @@ object ML {
       .withColumn("split",
         when(pmod($"event_id", lit(5)) === 0, "test").otherwise("train"))
       .repartition(8, $"event_id")
-    if (regCache.size >= MaxCachedModels && !regCache.contains(sfDir)) regCache.clear()
-    val model = regCache.getOrElseUpdate(sfDir,
+    val model = cachedModel(regCache, sfDir)(
       new RandomForestRegressor()
         .setLabelCol("value").setFeaturesCol("features")
         .setNumTrees(30).setMaxDepth(6).setSeed(42L)

@@ -81,6 +81,10 @@ object Reshape {
     val counts = events(spark, sfDir)
       .select($"event_type",
         get_json_object($"props", "$.k").cast(IntegerType).as("k"))
+      // drop NULL k before the argmax: Spark sorts NULLs first on ASC,
+      // DuckDB last, so a count tie against a NULL-k group would pick
+      // different mode rows per engine (oracle filters identically)
+      .filter($"k".isNotNull)
       .groupBy($"event_type", $"k")
       .agg(count(lit(1)).as("n"))
     counts
