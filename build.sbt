@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through WITHOUT sbt's [info]/[error] line
+// prefixes: the driver harness tail-captures sbt output and parses the
+// bench JSON line — a "[info] " prefix broke that parse in rounds 1-2
+// (BENCH_r{1,2}.json: parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,7 +70,9 @@ object Bench {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
-    System.err.println(fullLine)
+    // stdout only — a stderr copy of the full map landed (head-truncated)
+    // in the driver's tail window in round 2 and got in the parse's way;
+    // the full per-query map lives in bench_full.json
     println(line)
     spark.stop()
   }

@@ -935,4 +935,70 @@ object Oracle {
     WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     ORDER BY c.user_id, click_id, purchase_id
   """
+
+  // ---- round-3 widening ----
+
+  // 3-token shingle sets via list_transform over 1-based indexes
+  // (range(1, n) is end-exclusive, so range(1, len-1) yields the
+  // trigram start positions 1 .. len-2)
+  val dedupNgramJaccard: String = """
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    s AS (SELECT doc_id, lang,
+            list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+          FROM w)
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE 2 * len(a.sh) >= len(b.sh) AND 2 * len(b.sh) >= len(a.sh))
+    WHERE jac >= 0.5
+    ORDER BY id_a, id_b
+  """
+
+  // every computation in explicit double math (float32 list fns would
+  // diverge at 6dp); zip of e with reverse(e) bounded to 4 components
+  val fnVectorArith: String = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 500)
+    SELECT vec_id,
+      len(v) AS dim,
+      list_max(v) AS vmax,
+      list_min(v) AS vmin,
+      ROUND(list_dot_product(v, v), 6) AS self_dot,
+      ROUND(v[1] / sqrt(list_dot_product(v, v)), 6) AS unit0,
+      list_transform(range(1, 5),
+        i -> ROUND(v[i] + v[len(v) + 1 - i], 6)) AS addrev4
+    FROM e ORDER BY vec_id
+  """
+
+  val sqlCorrelatedScalar: String = """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders o
+    WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_custkey, o_orderkey
+  """
+
+  val joinLateralAgg: String = """
+    SELECT c.c_custkey, l.n_orders, CAST(l.max_total AS DOUBLE) AS max_total
+    FROM customer c,
+    LATERAL (SELECT count(*) AS n_orders, max(o_totalprice) AS max_total
+             FROM orders o WHERE o.o_custkey = c.c_custkey) l
+    WHERE l.n_orders > 0
+    ORDER BY c.c_custkey
+  """
+
+  val winRangeInterval: String = """
+    SELECT o_custkey, o_orderkey,
+      count(*) OVER w AS n_last7d,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS rev_last7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+  """
 }

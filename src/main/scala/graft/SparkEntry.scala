@@ -132,6 +132,17 @@ object SparkEntry {
     "pipeline_quality_filter" -> (Pipeline.pipelineQualityFilter _),
     "sim_ann_ivf"             -> (Pipeline.simAnnIvf _),
     "stream_interval_join"    -> (Streaming.streamIntervalJoin _),
+    // round-3 widening: n-gram dedup, vector arithmetic, correlated /
+    // lateral subqueries, interval range frames, HLL sketches, DT +
+    // KMeans learners
+    "dedup_ngram_jaccard"   -> (Round3Ops.dedupNgramJaccard _),
+    "fn_vector_arith"       -> (Round3Ops.fnVectorArith _),
+    "sql_correlated_scalar" -> (Round3Ops.sqlCorrelatedScalar _),
+    "join_lateral_agg"      -> (Round3Ops.joinLateralAgg _),
+    "win_range_interval"    -> (Round3Ops.winRangeInterval _),
+    "agg_hll_sketch"        -> (Round3Ops.aggHllSketch _),
+    "ml_dt_train_predict"   -> (ML.mlDtTrainPredict _),
+    "ml_kmeans_cluster"     -> (ML.mlKmeansCluster _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,5 +248,14 @@ object SparkEntry {
     // sim_ann_ivf: NO oracle — centroid assignment is engine-specific;
     // recall vs exact kNN asserted in PipelineSpec.
     "stream_interval_join"     -> Oracle.streamIntervalJoin,
+    // round-3 widening. agg_hll_sketch: NO oracle — DataSketches HLL
+    // binary is engine-specific (AggregatesSpec bounds both levels vs
+    // exact). ml_dt_train_predict / ml_kmeans_cluster: NO oracle — not
+    // SQL-expressible (MLSpec asserts determinism + structure).
+    "dedup_ngram_jaccard"      -> Oracle.dedupNgramJaccard,
+    "fn_vector_arith"          -> Oracle.fnVectorArith,
+    "sql_correlated_scalar"    -> Oracle.sqlCorrelatedScalar,
+    "join_lateral_agg"         -> Oracle.joinLateralAgg,
+    "win_range_interval"       -> Oracle.winRangeInterval,
   )
 }

@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier, RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
@@ -139,6 +140,58 @@ object ML {
     model.transform(feat.filter($"split" === "test"))
       .select($"event_id", $"value", round($"prediction", 6).as("prediction"))
       .orderBy($"event_id")
+  }
+
+  private val dtCache = TrieMap.empty[String, DecisionTreeClassificationModel]
+
+  /** Single decision tree — the reference forest's unit learner,
+    * exposed standalone (depth-bounded, fully deterministic under the
+    * fixed seed: tree induction has no per-tree bagging randomness).
+    */
+  def mlDtTrainPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val model = cachedModel(dtCache, sfDir) {
+      new DecisionTreeClassifier()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setMaxDepth(6).setSeed(42L)
+        .fit(prepared(spark, sfDir).filter(col("split") === "train"))
+    }
+    model.transform(prepared(spark, sfDir).filter($"split" === "test"))
+      .select($"vec_id", $"label", $"prediction".cast(IntegerType).as("prediction"))
+      .orderBy($"vec_id")
+  }
+
+  private val kmCache = TrieMap.empty[String, KMeansModel]
+
+  /** KMeans clustering of the embedding space (k-means|| init, fixed
+    * seed + fixed input partitioning => deterministic assignment).
+    * Output is partition-shaped: per-cluster size and the cluster
+    * centroid's L2 norm (cluster ids relabeled by size so the frame is
+    * stable even if MLlib renumbers centroids across versions).
+    */
+  def mlKmeansCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val feat = prepared(spark, sfDir)
+    val model = cachedModel(kmCache, sfDir) {
+      new KMeans().setK(8).setSeed(42L).setMaxIter(20)
+        .setFeaturesCol("features")
+        .fit(feat)
+    }
+    val norms = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, math.sqrt(c.toArray.map(x => x * x).sum))
+    }.toMap
+    val normOf = udf((c: Int) => norms(c))
+    model.transform(feat)
+      .groupBy($"prediction".as("cluster"))
+      .agg(count(lit(1)).as("n_points"))
+      .withColumn("centroid_norm", round(normOf($"cluster"), 6))
+      // relabel by (size desc, norm) so output is stable across MLlib
+      // centroid orderings
+      .withColumn("cluster_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"n_points".desc, $"centroid_norm", $"cluster")))
+      .select($"cluster_rank", $"n_points", $"centroid_norm")
+      .orderBy($"cluster_rank")
   }
 
   /** Deterministic modulo split — SQL-expressible, oracle-checked. */

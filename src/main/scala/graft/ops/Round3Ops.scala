@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-3 widening: n-gram shingle dedup, vector arithmetic surface,
+  * correlated/lateral subqueries, interval-range window frames, and
+  * mergeable HLL sketches (SURVEY §2k).
+  */
+object Round3Ops {
+
+  /** Near-dup via 3-token SHINGLE Jaccard >= 0.5 — the n-gram variant
+    * of [[LlmOps.dedupNearJaccard]]: shingles are far more
+    * discriminating than unigram token sets (a shared vocabulary no
+    * longer collides, only shared phrasing does). Same verify-tier
+    * design: per-doc sketch = sorted xxhash64 shingle set, same-lang
+    * blocked pairs, size-ratio prune inside the join, codegen'd
+    * two-pointer intersect. The 100 TB scale path remains
+    * [[LlmOps.dedupMinhashLsh]] (banding generalizes to shingles by
+    * swapping the token array for this shingle array).
+    */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val sh = documents(spark, sfDir)
+      .withColumn("t", split($"text", " "))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", $"lang",
+        sort_array(transform(
+          array_distinct(expr(
+            "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))")),
+          s => xxhash64(s))).as("sh"))
+      .withColumn("sz", size($"sh"))
+    val b = sh.select($"doc_id".as("id_b"), $"lang".as("lang_b"),
+      $"sh".as("sh_b"), $"sz".as("sz_b"))
+    val a = sh.select($"doc_id".as("id_a"), $"lang", $"sh".as("sh_a"),
+      $"sz".as("sz_a"))
+    a.join(b,
+        $"lang" === $"lang_b" && $"id_a" < $"id_b" &&
+        // j >= 0.5 forces 2*min >= max
+        $"sz_a" * 2 >= $"sz_b" && $"sz_b" * 2 >= $"sz_a")
+      .withColumn("inter", LlmOps.isect($"sh_a", $"sh_b"))
+      .withColumn("jac", $"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"))
+      .filter($"jac" >= 0.5)
+      .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Vector arithmetic over the embedding column — the scalar surface a
+    * similarity pipeline composes: dimension, exact extrema, native
+    * self-dot (graft_dot), first-component of the unit vector, and an
+    * element-wise double-precision add with the reversed vector
+    * (bounded to 4 components so the comparison payload stays small).
+    * All arithmetic is double-math so DuckDB's ::DOUBLE[] list forms
+    * agree bit-for-bit.
+    */
+  def fnVectorArith(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val dot = LlmOps.dot($"embedding", $"embedding")
+    embeddings(spark, sfDir)
+      .filter($"vec_id" < 500)
+      .select($"vec_id",
+        size($"embedding").as("dim"),
+        array_max($"embedding").cast(DoubleType).as("vmax"),
+        array_min($"embedding").cast(DoubleType).as("vmin"),
+        round(dot, 6).as("self_dot"),
+        round(element_at($"embedding", 1).cast(DoubleType) / sqrt(dot), 6)
+          .as("unit0"),
+        expr("transform(slice(zip_with(embedding, reverse(embedding), (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE)), 1, 4), v -> round(v, 6))")
+          .as("addrev4"))
+      .orderBy($"vec_id")
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelates to a join):
+    * each customer's single most expensive order. The correlated
+    * aggregate is MAX — exact under both engines, so the equality
+    * filter cannot diverge on float rounding.
+    */
+  def sqlCorrelatedScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g3_orders")
+    spark.sql("""
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+      FROM g3_orders o
+      WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                            FROM g3_orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_custkey, o_orderkey
+    """)
+  }
+
+  /** LATERAL correlated subquery join — per customer, the aggregate of
+    * that customer's orders computed in a lateral derived table (the
+    * SQL shape Catalyst plans via DecorrelateInnerQuery; DuckDB
+    * executes it natively).
+    */
+  def joinLateralAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    customer(spark, sfDir).createOrReplaceTempView("g3_customer")
+    orders(spark, sfDir).createOrReplaceTempView("g3_orders")
+    spark.sql("""
+      SELECT c.c_custkey, l.n_orders, CAST(l.max_total AS DOUBLE) AS max_total
+      FROM g3_customer c,
+      LATERAL (SELECT count(*) AS n_orders, max(o_totalprice) AS max_total
+               FROM g3_orders o WHERE o.o_custkey = c.c_custkey) l
+      WHERE l.n_orders > 0
+      ORDER BY c.c_custkey
+    """)
+  }
+
+  /** Interval RANGE frame: per customer, orders placed in the trailing
+    * 7 days (inclusive) of each order — count + exact decimal revenue.
+    * rangeBetween over a timestamp needs the interval expressed in the
+    * orderBy column's units; Spark 4 accepts `RANGE BETWEEN INTERVAL`
+    * only in SQL, so the window is declared there.
+    */
+  def winRangeInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g3_orders")
+    spark.sql("""
+      SELECT o_custkey, o_orderkey,
+        count(*) OVER w AS n_last7d,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS rev_last7d
+      FROM g3_orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey
+    """)
+  }
+
+  /** Mergeable HLL sketches (Apache DataSketches via Spark 4's
+    * hll_sketch_agg / hll_union_agg): per-type distinct-user estimates
+    * whose SKETCHES — not raw values — merge into the global estimate.
+    * This is the 100 TB cardinality pattern: partial sketches combine
+    * associatively across any partitioning, so the global count costs
+    * one tiny shuffle of fixed-size buffers. No oracle (sketch binary
+    * is engine-specific); AggregatesSpec bounds both levels against
+    * exact distinct counts.
+    */
+  def aggHllSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perType = events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+    val all = perType
+      .agg(hll_union_agg($"sk").as("sk"))
+      .select(lit("ALL").as("event_type"), $"sk")
+    perType.select($"event_type", $"sk")
+      .unionAll(all)
+      .select($"event_type", hll_sketch_estimate($"sk").as("n_users_est"))
+      .orderBy($"event_type")
+  }
+}

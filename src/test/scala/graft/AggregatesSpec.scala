@@ -34,4 +34,20 @@ class AggregatesSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(a90 - p90) / p90 <= 0.02, s"$st p90: $a90 vs $p90")
     }
   }
+
+  test("HLL sketch estimates (per-type + merged union) within 20% of exact") {
+    import spark.implicits._
+    val est = graft.ops.Round3Ops.aggHllSketch(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val exactPerType = graft.Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = graft.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    (exactPerType + ("ALL" -> exactAll)).foreach { case (t, exact) =>
+      val approx = est(t)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.2,
+        s"$t: sketch $approx vs exact $exact")
+    }
+  }
 }

@@ -14,7 +14,9 @@ class ContractSpec extends AnyFunSuite {
     "ml_rf_feature_importance", "ml_rf_regression",
     "dedup_minhash_lsh", // hash-family specific (recall asserted)
     "sim_ann_lsh", // hash-family specific (recall asserted)
-    "sim_ann_ivf") // centroid choice engine-specific (recall asserted)
+    "sim_ann_ivf", // centroid choice engine-specific (recall asserted)
+    "agg_hll_sketch", // DataSketches binary engine-specific (bounded)
+    "ml_dt_train_predict", "ml_kmeans_cluster") // not SQL-expressible
 
   test("every query is oracle-checked unless documented otherwise") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

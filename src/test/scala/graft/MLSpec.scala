@@ -88,4 +88,26 @@ class MLSpec extends AnyFunSuite with SparkFixture {
     assert(pred.count() > 0)
     assert(pred.filter($"prediction".isNull || isnan($"prediction")).count() === 0)
   }
+
+  test("decision tree predictions are deterministic and cover the test split") {
+    import spark.implicits._
+    val a = ML.mlDtTrainPredict(spark, sf).collect().toSeq
+    val b = ML.mlDtTrainPredict(spark, sf).collect().toSeq
+    assert(a === b)
+    val nTest = ML.mlRfTrainPredictInput(spark, sf)
+      .filter($"split" === "test").count()
+    assert(a.size.toLong === nTest)
+  }
+
+  test("kmeans: 8 clusters partition the dataset, sizes ordered desc") {
+    import spark.implicits._
+    val rows = ML.mlKmeansCluster(spark, sf)
+      .select($"cluster_rank", $"n_points").as[(Int, Long)].collect().toSeq
+    assert(rows.map(_._1) === (1 to rows.size))
+    assert(rows.size <= 8 && rows.nonEmpty)
+    val sizes = rows.map(_._2)
+    assert(sizes === sizes.sorted.reverse, "sizes must be descending")
+    val total = ML.mlRfTrainPredictInput(spark, sf).count()
+    assert(sizes.sum === total, "clusters must cover every vector once")
+  }
 }
