@@ -31,11 +31,25 @@ object GraftFunctions {
     SortedLongIntersectSize(children(0), children(1))
   }
 
+  private[expressions] val shinglesInfo = new ExpressionInfo(
+    classOf[ShingleHashes].getName, "graft_shingles")
+
+  private[expressions] def shinglesBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_shingles takes (text, n)")
+    val n = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles n must be an int literal, got $other")
+    }
+    ShingleHashes(children(0), n)
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(
       (FunctionIdentifier("graft_dot"), dotInfo, dotBuilder _),
-      (FunctionIdentifier("graft_isect"), isectInfo, isectBuilder _)
+      (FunctionIdentifier("graft_isect"), isectInfo, isectBuilder _),
+      (FunctionIdentifier("graft_shingles"), shinglesInfo, shinglesBuilder _)
     ).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
@@ -50,5 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.dotInfo, GraftFunctions.dotBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_isect"),
       GraftFunctions.isectInfo, GraftFunctions.isectBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      GraftFunctions.shinglesInfo, GraftFunctions.shinglesBuilder _))
   }
 }

@@ -62,11 +62,26 @@ object LlmOps {
   private[ops] def tokenHashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.expressions.GraftFunctions.ensureRegistered(spark)
+    // The repartition is an EVALUATION BARRIER, not a distribution
+    // choice: Spark's higher-order functions are interpreted (no
+    // codegen), and without an exchange between the sketch projection
+    // and its consumers, CollapseProject + filter pushdown re-inline
+    // this chain into every downstream expression that references th —
+    // measured 12+ re-evaluations per doc in the minhash plan (14 s →
+    // 2 s at sf0.1). The exchange materializes the sketch once and
+    // ReuseExchange shares it across self-join branches; its cost is
+    // one corpus-sized shuffle of ~200 B/doc sketches — cheaper than a
+    // single re-evaluation of the chain, at any scale.
+    // explicit partition count: a bare repartition(col) is an AQE
+    // coalesce target — collapsing the barrier to 1 partition would
+    // serialize every downstream sketch consumer
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     documents(spark, sfDir)
       .select($"doc_id", $"lang",
-        size(array_distinct(split($"text", " "))).as("sz"),
         sort_array(transform(array_distinct(split($"text", " ")),
           t => xxhash64(t))).as("th"))
+      .repartition(n, col("doc_id"))
+      .withColumn("sz", size($"th"))
   }
 
   // ---- dedup ----
@@ -99,17 +114,22 @@ object LlmOps {
       $"th".as("th_b"), $"sz".as("sz_b"),
       pmod($"doc_id", lit(nBuckets)).as("bkt_b"))
     val a = t.withColumn("bkt", explode(array((0 until nBuckets).map(lit): _*)))
-      .repartition(col("bkt"))
+      .repartition(nBuckets, col("bkt"))
       .select($"doc_id".as("id_a"), $"lang", $"th".as("th_a"),
         $"sz".as("sz_a"), $"bkt")
+    // jac >= 0.8 as integer math (9·|A∩B| >= 4·(|A|+|B|)) placed LAST
+    // in the join condition: a separate filter(jac >= t) gets pushed
+    // into the join as the FIRST conjunct and runs the intersect
+    // kernel before the cheap id/size prunes (see dedupNgramJaccard).
     a.join(broadcast(b),
         $"lang" === $"lang_b" && $"bkt" === $"bkt_b" && $"id_a" < $"id_b" &&
         // size-ratio prefilter: jaccard >= 0.8 forces 5*min >= 4*max
-        $"sz_a" * 5 >= $"sz_b" * 4 && $"sz_b" * 5 >= $"sz_a" * 4)
+        $"sz_a" * 5 >= $"sz_b" * 4 && $"sz_b" * 5 >= $"sz_a" * 4 &&
+        isect($"th_a", $"th_b") * 9 >= ($"sz_a" + $"sz_b") * 4)
       .withColumn("inter", isect($"th_a", $"th_b"))
-      .withColumn("jac", $"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"))
-      .filter($"jac" >= 0.8)
-      .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"))
+      .select($"id_a", $"id_b",
+        round($"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"), 6)
+          .as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -157,19 +177,24 @@ object LlmOps {
     // (plus ≤ b-fold band multiplicity, removed by the distinct) ever
     // hit a downstream shuffle. Identical-doc signature skew at scale
     // is AQE skew-join territory (spark.sql.adaptive.skewJoin).
+    // jac >= 0.8 as integer math LAST in the condition (cheap prunes
+    // short-circuit first; see dedupNearJaccard), exact value computed
+    // only for survivors, band multiplicity removed by the distinct
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id") &&
         // size-ratio prune (j >= 0.8 forces 5*min >= 4*max)
         col("x.sz") * 5 >= col("y.sz") * 4 &&
-        col("y.sz") * 5 >= col("x.sz") * 4)
+        col("y.sz") * 5 >= col("x.sz") * 4 &&
+        isect(col("x.th"), col("y.th")) * 9 >=
+          (col("x.sz") + col("y.sz")) * 4)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         col("x.sz").as("sz_a"), col("y.sz").as("sz_b"),
         isect(col("x.th"), col("y.th")).as("inter"))
     cand
-      .withColumn("jac", $"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"))
-      .filter($"jac" >= 0.8)
-      .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"))
+      .select($"id_a", $"id_b",
+        round($"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"), 6)
+          .as("jaccard"))
       .distinct()
       .orderBy($"id_a", $"id_b")
   }
