@@ -1001,4 +1001,33 @@ object Oracle {
                  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, o_orderkey
   """
+
+  val aggRegr: String = """
+    SELECT l_returnflag, count(*) AS n,
+      ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+    FROM lineitem GROUP BY 1 ORDER BY 1
+  """
+
+  // unsalted mirror — the salt must not change results
+  val skewSaltedJoin: String = s"""
+    WITH dim(event_type, category) AS (VALUES
+      ('click', 'engagement'), ('view', 'engagement'),
+      ('purchase', 'revenue'), ('signup', 'growth'), ('error', 'ops'))
+    SELECT d.category, count(*) AS n_events,
+      CAST(sum(${m("e.value")}) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1 ORDER BY 1
+  """
+
+  val fnGenerateSeries: String = """
+    WITH b AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+               FROM orders WHERE o_custkey < 50 GROUP BY 1)
+    SELECT o_custkey,
+      CAST(unnest(generate_series(CAST(date_trunc('month', f) AS DATE),
+                                  CAST(date_trunc('month', l) AS DATE),
+                                  INTERVAL 1 MONTH)) AS DATE) AS month
+    FROM b ORDER BY o_custkey, month
+  """
 }

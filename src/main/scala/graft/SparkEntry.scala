@@ -143,6 +143,10 @@ object SparkEntry {
     "agg_hll_sketch"        -> (Round3Ops.aggHllSketch _),
     "ml_dt_train_predict"   -> (ML.mlDtTrainPredict _),
     "ml_kmeans_cluster"     -> (ML.mlKmeansCluster _),
+    "agg_regr"              -> (Round3Ops.aggRegr _),
+    "skew_salted_join"      -> (Round3Ops.skewSaltedJoin _),
+    "agg_count_min_sketch"  -> (Round3Ops.aggCountMinSketch _),
+    "fn_generate_series"    -> (Round3Ops.fnGenerateSeries _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -257,5 +261,10 @@ object SparkEntry {
     "sql_correlated_scalar"    -> Oracle.sqlCorrelatedScalar,
     "join_lateral_agg"         -> Oracle.joinLateralAgg,
     "win_range_interval"       -> Oracle.winRangeInterval,
+    // agg_count_min_sketch: NO oracle — sketch layout engine-specific
+    // (AggregatesSpec bounds estimates vs exact counts).
+    "agg_regr"                 -> Oracle.aggRegr,
+    "skew_salted_join"         -> Oracle.skewSaltedJoin,
+    "fn_generate_series"       -> Oracle.fnGenerateSeries,
   )
 }

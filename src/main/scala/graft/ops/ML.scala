@@ -173,7 +173,7 @@ object ML {
     import spark.implicits._
     val feat = prepared(spark, sfDir)
     val model = cachedModel(kmCache, sfDir) {
-      new KMeans().setK(8).setSeed(42L).setMaxIter(20)
+      new KMeans().setK(8).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features")
         .fit(feat)
     }

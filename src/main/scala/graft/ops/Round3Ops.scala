@@ -150,6 +150,93 @@ object Round3Ops {
     """)
   }
 
+  /** Linear-regression aggregates (regr_slope / intercept / r2 /
+    * count): declarative moment-based aggregates, partial+final like
+    * any sum — the scalable way to fit per-group trend lines. ROUND
+    * 4dp absorbs engine-side accumulation-order noise (same protocol
+    * as agg_stats).
+    */
+  def aggRegr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("intercept"),
+        round(regr_r2($"l_extendedprice", $"l_quantity"), 4).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Salted JOIN for skewed keys: the fact side carries a salt
+    * (pmod(event_id, 16)); the dimension side is replicated across all
+    * 16 salts, so a hot join key's rows spread over 16 reducers
+    * instead of one. The merge hint keeps the join a shuffle join at
+    * any dimension size — this is the manual fallback when AQE's
+    * runtime skew split can't apply (e.g. the skew is in a
+    * sort-aggregate upstream). Results are identical to the unsalted
+    * join, which is exactly what the oracle checks.
+    */
+  def skewSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nSalts = 16
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+      .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
+    val fact = events(spark, sfDir)
+      .select($"event_type".as("et"), $"value",
+        pmod($"event_id", lit(nSalts)).cast(IntegerType).as("salt"))
+    fact.hint("merge")
+      .join(dim, $"et" === $"event_type" && fact("salt") === dim("salt"))
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n_events"),
+        sum(money($"value")).cast(DoubleType).as("total_value"))
+      .orderBy($"category")
+  }
+
+  /** Mergeable Count-Min frequency sketch: one fixed-size (eps=0.001,
+    * conf=0.99) sketch aggregated over the whole events stream, then
+    * probed for each event type. Like the HLL op this is the 100 TB
+    * frequency-profile pattern — partial sketches merge associatively,
+    * so the global heavy-hitter table costs one tiny shuffle. The
+    * per-type probe deserializes the single final sketch driver-side
+    * (bytes, not data). No oracle (sketch layout engine-specific);
+    * AggregatesSpec bounds estimates against exact counts.
+    */
+  def aggCountMinSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val skBytes = events(spark, sfDir)
+      .agg(count_min_sketch($"event_type", lit(0.001), lit(0.99), lit(42))
+        .as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    spark.createDataFrame(
+      types.map(t => (t, cms.estimateCount(t))))
+      .toDF("event_type", "n_events_est")
+      .orderBy($"event_type")
+  }
+
+  /** Generator surface over temporal sequences: per customer, the
+    * calendar months spanned by their order history (sequence +
+    * explode — the "fill the date axis" pattern behind gap analysis).
+    */
+  def fnGenerateSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .filter($"o_custkey" < 50)
+      .groupBy($"o_custkey")
+      .agg(min($"o_orderdate").as("first_o"), max($"o_orderdate").as("last_o"))
+      .select($"o_custkey",
+        explode(expr(
+          "sequence(CAST(date_trunc('month', first_o) AS DATE), CAST(date_trunc('month', last_o) AS DATE), INTERVAL 1 MONTH)"))
+          .as("month"))
+      .orderBy($"o_custkey", $"month")
+  }
+
   /** Mergeable HLL sketches (Apache DataSketches via Spark 4's
     * hll_sketch_agg / hll_union_agg): per-type distinct-user estimates
     * whose SKETCHES — not raw values — merge into the global estimate.

@@ -50,4 +50,19 @@ class AggregatesSpec extends AnyFunSuite with SparkFixture {
         s"$t: sketch $approx vs exact $exact")
     }
   }
+
+  test("count-min sketch estimates within eps*N of exact type frequencies") {
+    import spark.implicits._
+    val est = graft.ops.Round3Ops.aggCountMinSketch(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy($"event_type").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    exact.foreach { case (t, ex) =>
+      val ap = est(t)
+      // CMS overestimates by at most eps*N with prob >= confidence
+      assert(ap >= ex && ap <= ex + math.max(1, (0.001 * n).toLong * 10),
+        s"$t: cms $ap vs exact $ex (N=$n)")
+    }
+  }
 }

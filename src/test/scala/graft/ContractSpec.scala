@@ -16,6 +16,7 @@ class ContractSpec extends AnyFunSuite {
     "sim_ann_lsh", // hash-family specific (recall asserted)
     "sim_ann_ivf", // centroid choice engine-specific (recall asserted)
     "agg_hll_sketch", // DataSketches binary engine-specific (bounded)
+    "agg_count_min_sketch", // CMS layout engine-specific (bounded)
     "ml_dt_train_predict", "ml_kmeans_cluster") // not SQL-expressible
 
   test("every query is oracle-checked unless documented otherwise") {
