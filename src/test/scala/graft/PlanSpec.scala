@@ -80,4 +80,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan(Relational.joinSemi(spark, sf)).contains("LeftSemi"))
     assert(plan(Relational.joinAnti(spark, sf)).contains("LeftAnti"))
   }
+
+  test("minhash LSH declares no broadcast hint (100TB contract: nothing corpus-sized is forced to ship)") {
+    // AQE may still runtime-convert at toy scale when a side measures
+    // small — that's the point of AQE and it self-bounds by
+    // autoBroadcastJoinThreshold. What the scale contract forbids is a
+    // FORCED broadcast of a corpus-sized relation in the declared plan.
+    val lp = graft.ops.LlmOps.dedupMinhashLsh(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.toLowerCase.contains("hint") && !lp.contains("ResolvedHint"),
+      s"minhash must not force a broadcast:\n${lp.take(1500)}")
+  }
+
+  test("salted skew join stays a shuffle join (merge hint beats tiny-dim broadcast)") {
+    val p = plan(graft.ops.Round3Ops.skewSaltedJoin(spark, sf))
+    assert(p.contains("SortMergeJoin"),
+      s"salted join must demonstrate the shuffle path:\n${p.take(1500)}")
+  }
 }
