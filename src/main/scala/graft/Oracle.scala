@@ -1021,6 +1021,31 @@ object Oracle {
     GROUP BY 1 ORDER BY 1
   """
 
+  // connected components via transitive closure (recursive CTE): the
+  // UNION-dedup makes the recursion terminate; cluster = min reachable
+  val dedupConnectedComponents: String = """
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+            (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= 0.8),
+    und AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id,
+      count(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM lbl ORDER BY cluster_id, doc_id
+  """
+
   val fnGenerateSeries: String = """
     WITH b AS (SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
                FROM orders WHERE o_custkey < 50 GROUP BY 1)

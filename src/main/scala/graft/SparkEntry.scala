@@ -147,6 +147,7 @@ object SparkEntry {
     "skew_salted_join"      -> (Round3Ops.skewSaltedJoin _),
     "agg_count_min_sketch"  -> (Round3Ops.aggCountMinSketch _),
     "fn_generate_series"    -> (Round3Ops.fnGenerateSeries _),
+    "dedup_connected_components" -> (Round3Ops.dedupConnectedComponents _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -266,5 +267,6 @@ object SparkEntry {
     "agg_regr"                 -> Oracle.aggRegr,
     "skew_salted_join"         -> Oracle.skewSaltedJoin,
     "fn_generate_series"       -> Oracle.fnGenerateSeries,
+    "dedup_connected_components" -> Oracle.dedupConnectedComponents,
   )
 }

@@ -150,6 +150,52 @@ object Round3Ops {
     """)
   }
 
+  /** Duplicate CLUSTERS from the verified near-dup pairs: connected
+    * components by iterative min-label propagation (Pregel-lite). Each
+    * round is one shuffle join + partial-aggregated min per node;
+    * `localCheckpoint` cuts the lineage so the plan stays flat across
+    * iterations (on a real cluster, a reliable checkpoint dir serves
+    * the same role). Converges in O(component diameter) rounds —
+    * near-dup clusters are dense, so 2-4 in practice; capped
+    * defensively. This is the step a production dedup pipeline needs
+    * after pair generation: pick one canonical doc per cluster.
+    * min-label is order-free, so the result is deterministic under any
+    * partitioning.
+    */
+  def dedupConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val edges = LlmOps.dedupNearJaccard(spark, sfDir).select($"id_a", $"id_b")
+    val und = edges.select($"id_a".as("id"), $"id_b".as("nb"))
+      .unionAll(edges.select($"id_b".as("id"), $"id_a".as("nb")))
+      .repartition(nPart, col("nb"))
+      .localCheckpoint(true)
+    var labels = und.select($"id").distinct()
+      .withColumn("lbl", $"id")
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      // the previous label rides through the min-aggregation (neighbors
+      // contribute NULL prev), so convergence detection costs no extra
+      // join — one shuffle join + one partial-aggregated min per round
+      val nbrLbl = und.join(labels.select($"id".as("nb"), $"lbl".as("cand")), "nb")
+        .select($"id", $"cand", lit(null).cast(LongType).as("prev"))
+      val self = labels.select($"id", $"lbl".as("cand"), $"lbl".as("prev"))
+      val next = nbrLbl.unionAll(self)
+        .groupBy($"id").agg(min($"cand").as("lbl"), max($"prev").as("prev"))
+        .localCheckpoint(true)
+      changed = next.filter($"lbl" < $"prev").count()
+      labels = next.select($"id", $"lbl")
+      iter += 1
+    }
+    labels
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"lbl")))
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"), $"n_members")
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   /** Linear-regression aggregates (regr_slope / intercept / r2 /
     * count): declarative moment-based aggregates, partial+final like
     * any sum — the scalable way to fit per-group trend lines. ROUND

@@ -69,4 +69,21 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val b = Reshape.aggMode(spark, sf).collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("connected components: edges stay intra-cluster, label is the min member") {
+    import spark.implicits._
+    val cc = graft.ops.Round3Ops.dedupConnectedComponents(spark, sf)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(cc.nonEmpty)
+    // every near-dup edge's endpoints were assigned the same cluster
+    val edges = graft.ops.LlmOps.dedupNearJaccard(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    edges.foreach { case (a, b) =>
+      assert(cc(a) == cc(b), s"edge ($a,$b) split across clusters")
+    }
+    // the cluster id is the smallest member of the cluster
+    cc.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"cluster $lbl label is not min member")
+    }
+  }
 }
