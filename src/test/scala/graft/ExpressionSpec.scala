@@ -47,4 +47,51 @@ class ExpressionSpec extends AnyFunSuite with SparkFixture {
       .select(call_function("graft_dot", $"a", $"b").as("d"))
     assert(df.as[Double].collect().toSeq === Seq(1.0 * 2 + 2 * 3, 0.0))
   }
+
+  test("graft_isect matches a reference sorted-set intersection") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(60) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    }
+    val got = cases.toDF("a", "b")
+      .select(call_function("graft_isect", $"a", $"b").as("n"))
+      .as[Int].collect().toSeq
+    val want = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(got === want)
+  }
+
+  test("graft_shingles: sketch jaccard equals exact string-trigram jaccard") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    // the invariant the ngram oracle relies on: hashes differ from any
+    // string form, but SET CARDINALITIES (and so jaccard) must match
+    def trigrams(s: String): Set[String] = {
+      val t = s.split(" ", -1)
+      (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = Seq.fill(40)(
+      Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val sk = docs.toDF("text")
+      .select($"text", call_function("graft_shingles", $"text", lit(3)).as("sh"))
+      .as[(String, Seq[Long])].collect().toMap
+    // per-doc cardinality
+    docs.foreach { d =>
+      assert(sk(d).size === trigrams(d).size, s"cardinality mismatch for '$d'")
+      assert(sk(d) === sk(d).sorted, "sketch must be sorted")
+    }
+    // pairwise jaccard equality
+    for (a <- docs.take(12); b <- docs.take(12) if a != b) {
+      val hs = sk(a).toSet.intersect(sk(b).toSet).size.toDouble /
+        sk(a).toSet.union(sk(b).toSet).size
+      val ts = trigrams(a).intersect(trigrams(b)).size.toDouble /
+        trigrams(a).union(trigrams(b)).size
+      assert(math.abs(hs - ts) < 1e-12, s"jaccard mismatch: $hs vs $ts")
+    }
+  }
 }
