@@ -1021,6 +1021,29 @@ object Oracle {
     GROUP BY 1 ORDER BY 1
   """
 
+  // same gaps-and-islands as streamSessionWindow, with the running
+  // session id exposed as the 1-based index
+  val typedFlatmapSessions: String = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, CAST(sid AS INTEGER) AS session_idx,
+      min(ts) AS session_start, max(ts) AS last_event, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_idx
+  """
+
   // connected components via transitive closure (recursive CTE): the
   // UNION-dedup makes the recursion terminate; cluster = min reachable
   val dedupConnectedComponents: String = """

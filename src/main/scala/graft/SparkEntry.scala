@@ -148,6 +148,7 @@ object SparkEntry {
     "agg_count_min_sketch"  -> (Round3Ops.aggCountMinSketch _),
     "fn_generate_series"    -> (Round3Ops.fnGenerateSeries _),
     "dedup_connected_components" -> (Round3Ops.dedupConnectedComponents _),
+    "typed_flatmap_sessions"     -> (TypedOps.typedFlatmapSessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -268,5 +269,6 @@ object SparkEntry {
     "skew_salted_join"         -> Oracle.skewSaltedJoin,
     "fn_generate_series"       -> Oracle.fnGenerateSeries,
     "dedup_connected_components" -> Oracle.dedupConnectedComponents,
+    "typed_flatmap_sessions"     -> Oracle.typedFlatmapSessions,
   )
 }

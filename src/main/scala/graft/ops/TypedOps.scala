@@ -60,6 +60,48 @@ object TypedOps {
       .orderBy($"l_returnflag")
   }
 
+  /** The typed per-group iterator surface (`KeyValueGroupedDataset
+    * .flatMapGroups`): 30-minute-gap sessionization written as
+    * imperative per-user logic — the API a user reaches for when group
+    * semantics don't fit any aggregate. Groups are sorted in memory
+    * (events-per-user is bounded ~100); for unbounded groups the scale
+    * form is a sort-within-partitions secondary sort or the streaming
+    * `session_window` op, which this mirrors (same gap rule, plus a
+    * 1-based session index).
+    */
+  def typedFlatmapSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapMinutes = 30L
+    graft.Tables.events(spark, sfDir)
+      .select($"user_id".as[Long], $"ts".as[java.time.LocalDateTime],
+        $"event_id".as[Long])
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, java.time.LocalDateTime, Long)]) =>
+        val es = it.toArray.sortWith { (a, b) =>
+          if (a._2 != b._2) a._2.isBefore(b._2) else a._3 < b._3
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, java.time.LocalDateTime, java.time.LocalDateTime, Long)]
+        var idx = 0
+        var start: java.time.LocalDateTime = null
+        var last: java.time.LocalDateTime = null
+        var n = 0L
+        def close(): Unit =
+          if (n > 0) out += ((uid, idx, start, last, n))
+        es.foreach { case (_, ts, _) =>
+          val newSession = last == null ||
+            !java.time.Duration.between(last, ts)
+              .minusMinutes(gapMinutes).isNegative
+          if (newSession) { close(); idx += 1; start = ts; n = 0 }
+          last = ts; n += 1
+        }
+        close()
+        out.iterator
+      }
+      .toDF("user_id", "session_idx", "session_start", "last_event", "n_events")
+      .orderBy($"user_id", $"session_idx")
+  }
+
   /** TPC-H Q3 shape: unshipped-revenue top-10 for one market segment —
     * the BASELINE.md q3 anchor (dim filter → two fact joins → group →
     * global top-k via TakeOrderedAndProject).
