@@ -170,8 +170,10 @@ object Round3Ops {
       .unionAll(edges.select($"id_b".as("id"), $"id_a".as("nb")))
       .repartition(nPart, col("nb"))
       .localCheckpoint(true)
-    var labels = und.select($"id").distinct()
-      .withColumn("lbl", $"id")
+    // initialization IS the first propagation round: label = min(self,
+    // neighbors) straight off the edge list — one round fewer in the loop
+    var labels = und.groupBy($"id")
+      .agg(least($"id", min($"nb")).as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
