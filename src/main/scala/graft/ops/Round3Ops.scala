@@ -162,10 +162,21 @@ object Round3Ops {
     * min-label is order-free, so the result is deterministic under any
     * partitioning.
     */
-  def dedupConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupConnectedComponents(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(spark,
+      LlmOps.dedupNearJaccard(spark, sfDir)
+        .select(col("id_a"), col("id_b")))
+
+  /** Connected components over an (id_a, id_b) edge frame. Each round
+    * combines neighbor-min propagation with POINTER JUMPING (also take
+    * the label of your label), so rounds scale with log(diameter), not
+    * diameter — a 25-round cap then covers any component a dedup
+    * pipeline could meet (2^25 hops), where plain propagation would
+    * silently truncate long path-shaped components.
+    */
+  private[graft] def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val edges = LlmOps.dedupNearJaccard(spark, sfDir).select($"id_a", $"id_b")
     val und = edges.select($"id_a".as("id"), $"id_b".as("nb"))
       .unionAll(edges.select($"id_b".as("id"), $"id_a".as("nb")))
       .repartition(nPart, col("nb"))
@@ -180,12 +191,18 @@ object Round3Ops {
     while (changed > 0 && iter < 25) {
       // the previous label rides through the min-aggregation (neighbors
       // contribute NULL prev), so convergence detection costs no extra
-      // join — one shuffle join + one partial-aggregated min per round
+      // join — per round: one neighbor join, one label-of-label join,
+      // one partial-aggregated min
       val nbrLbl = und.join(labels.select($"id".as("nb"), $"lbl".as("cand")), "nb")
         .select($"id", $"cand", lit(null).cast(LongType).as("prev"))
       val self = labels.select($"id", $"lbl".as("cand"), $"lbl".as("prev"))
-      val next = nbrLbl.unionAll(self)
+      val propagated = nbrLbl.unionAll(self)
         .groupBy($"id").agg(min($"cand").as("lbl"), max($"prev").as("prev"))
+      // pointer jumping: lbl := min(lbl, lbl(lbl))
+      val next = propagated.as("p")
+        .join(propagated.select($"id".as("lbl"), $"lbl".as("lbl2")).as("q"),
+          Seq("lbl"), "left")
+        .select($"id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"), $"prev")
         .localCheckpoint(true)
       changed = next.filter($"lbl" < $"prev").count()
       labels = next.select($"id", $"lbl")

@@ -70,6 +70,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(a === b && a.nonEmpty)
   }
 
+  test("connected components agree with a reference union-find (random + path graphs)") {
+    import spark.implicits._
+    def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    val rnd = new scala.util.Random(3)
+    val graphs = Seq(
+      // a 60-node path: diameter 59 — plain min-label propagation would
+      // need 59 rounds; pointer jumping must close it within the cap
+      (0L until 59L).map(i => (i, i + 1)),
+      // random sparse graph
+      Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b })
+    graphs.foreach { edges =>
+      val got = graft.ops.Round3Ops.connectedComponents(spark,
+          edges.toDF("id_a", "id_b"))
+        .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+      val want = unionFind(0, edges)
+      assert(got === want, "cluster labels must equal union-find roots (min member)")
+    }
+  }
+
   test("connected components: edges stay intra-cluster, label is the min member") {
     import spark.implicits._
     val cc = graft.ops.Round3Ops.dedupConnectedComponents(spark, sf)
