@@ -1021,6 +1021,32 @@ object Oracle {
     GROUP BY 1 ORDER BY 1
   """
 
+  val aggBool: String = """
+    SELECT o_orderstatus,
+      bool_and(o_totalprice > 1000.0) AS all_over_1k,
+      bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+      count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_over_100k
+    FROM orders GROUP BY 1 ORDER BY 1
+  """
+
+  val sqlInSubquery: String = """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """
+
+  val fnTrig: String = """
+    SELECT o_orderkey,
+      ROUND(sin(o_totalprice / 1000.0), 6) AS sin_v,
+      ROUND(cos(o_totalprice / 1000.0), 6) AS cos_v,
+      ROUND(atan2(o_totalprice, o_custkey + 1), 6) AS atan2_v,
+      ROUND(degrees(atan(o_custkey / 100.0)), 6) AS deg_atan,
+      ROUND(exp(o_custkey / -1000.0), 6) AS exp_v
+    FROM orders WHERE o_orderkey < 4000 ORDER BY o_orderkey
+  """
+
   // same gaps-and-islands as streamSessionWindow, with the running
   // session id exposed as the 1-based index
   val typedFlatmapSessions: String = """

@@ -149,6 +149,9 @@ object SparkEntry {
     "fn_generate_series"    -> (Round3Ops.fnGenerateSeries _),
     "dedup_connected_components" -> (Round3Ops.dedupConnectedComponents _),
     "typed_flatmap_sessions"     -> (TypedOps.typedFlatmapSessions _),
+    "agg_bool"                   -> (Round3Ops.aggBool _),
+    "sql_in_subquery"            -> (Round3Ops.sqlInSubquery _),
+    "fn_trig"                    -> (Round3Ops.fnTrig _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -270,5 +273,8 @@ object SparkEntry {
     "fn_generate_series"       -> Oracle.fnGenerateSeries,
     "dedup_connected_components" -> Oracle.dedupConnectedComponents,
     "typed_flatmap_sessions"     -> Oracle.typedFlatmapSessions,
+    "agg_bool"                   -> Oracle.aggBool,
+    "sql_in_subquery"            -> Oracle.sqlInSubquery,
+    "fn_trig"                    -> Oracle.fnTrig,
   )
 }

@@ -302,6 +302,52 @@ object Round3Ops {
       .orderBy($"o_custkey", $"month")
   }
 
+  /** Boolean aggregates (every / bool_or / count_if) over per-order
+    * predicates — the SQL surface for "all/any rows satisfy".
+    */
+  def aggBool(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        every($"o_totalprice" > 1000.0).as("all_over_1k"),
+        bool_or($"o_orderpriority" === "1-URGENT").as("any_urgent"),
+        count_if($"o_totalprice" > 100000.0).as("n_over_100k"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** IN-subquery surface (Catalyst rewrites to a left-semi join —
+    * semantically the EXISTS twin, syntactically the IN path).
+    */
+  def sqlInSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g3_orders")
+    customer(spark, sfDir).createOrReplaceTempView("g3_customer")
+    spark.sql("""
+      SELECT o_orderstatus, count(*) AS n
+      FROM g3_orders
+      WHERE o_custkey IN (SELECT c_custkey FROM g3_customer
+                          WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
+  }
+
+  /** Trigonometric / transcendental scalar surface, 6dp-rounded on a
+    * bounded slice (libm implementations agree well past 1e-12; the
+    * rounding absorbs last-ulp differences).
+    */
+  def fnTrig(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .filter($"o_orderkey" < 4000)
+      .select($"o_orderkey",
+        round(sin($"o_totalprice" / 1000.0), 6).as("sin_v"),
+        round(cos($"o_totalprice" / 1000.0), 6).as("cos_v"),
+        round(atan2($"o_totalprice", $"o_custkey" + lit(1)), 6).as("atan2_v"),
+        round(degrees(atan($"o_custkey" / 100.0)), 6).as("deg_atan"),
+        round(exp($"o_custkey" / lit(-1000.0)), 6).as("exp_v"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Mergeable HLL sketches (Apache DataSketches via Spark 4's
     * hll_sketch_agg / hll_union_agg): per-type distinct-user estimates
     * whose SKETCHES — not raw values — merge into the global estimate.
