@@ -39,20 +39,35 @@ object ScaleTechniques {
     import spark.implicits._
     val tag = sfDir.hashCode.toHexString
     val (to, tl) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
-    // metastore entries can outlive /tmp — require both to skip the write
-    val pathsOk = new java.io.File(s"/tmp/graft_bucketed/$to").exists() &&
-      new java.io.File(s"/tmp/graft_bucketed/$tl").exists()
-    if (!spark.catalog.tableExists(to) || !spark.catalog.tableExists(tl) ||
-        !pathsOk) {
-      // curated bucketed layout: project to the join-relevant columns
-      // before the one-time write (what a real pipeline materializes —
-      // the bucketing shuffle cost scales with bytes written)
+    // One-time layout, three states per table: already cataloged (hit);
+    // data on disk but catalog entry lost (fresh JVM with the default
+    // in-memory catalog — RE-ATTACH via external-table DDL, bucket
+    // metadata lives in the catalog and bucket ids in the file names,
+    // so no data moves); neither (write the curated bucketed layout —
+    // the join-relevant projection only, since the one bucketing
+    // shuffle's cost scales with bytes written).
+    def ensure(name: String, ddlCols: String, bucketCol: String)
+        (write: => Unit): Unit = {
+      val path = s"/tmp/graft_bucketed/$name"
+      if (!spark.catalog.tableExists(name)) {
+        if (new java.io.File(s"$path/_SUCCESS").exists()) {
+          spark.sql(
+            s"""CREATE TABLE $name ($ddlCols) USING PARQUET
+               |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS
+               |LOCATION '$path'""".stripMargin)
+        } else write
+      }
+    }
+    ensure(to, "o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey") {
       orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode(SaveMode.Overwrite)
         .option("path", s"/tmp/graft_bucketed/$to")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(to)
+    }
+    ensure(tl, "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+        "l_orderkey") {
       lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .write.mode(SaveMode.Overwrite)
