@@ -959,7 +959,8 @@ object Oracle {
   """
 
   // every computation in explicit double math (float32 list fns would
-  // diverge at 6dp); zip of e with reverse(e) bounded to 4 components
+  // diverge at 6dp); zip of e with reverse(e) unpacked to 4 scalar
+  // columns (array cells break the driver's pandas sort/hash compare)
   val fnVectorArith: String = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE vec_id < 500)
@@ -969,8 +970,10 @@ object Oracle {
       list_min(v) AS vmin,
       ROUND(list_dot_product(v, v), 6) AS self_dot,
       ROUND(v[1] / sqrt(list_dot_product(v, v)), 6) AS unit0,
-      list_transform(range(1, 5),
-        i -> ROUND(v[i] + v[len(v) + 1 - i], 6)) AS addrev4
+      ROUND(v[1] + v[len(v)], 6) AS addrev1,
+      ROUND(v[2] + v[len(v) - 1], 6) AS addrev2,
+      ROUND(v[3] + v[len(v) - 2], 6) AS addrev3,
+      ROUND(v[4] + v[len(v) - 3], 6) AS addrev4
     FROM e ORDER BY vec_id
   """
 

@@ -74,7 +74,8 @@ object Round3Ops {
     * similarity pipeline composes: dimension, exact extrema, native
     * self-dot (graft_dot), first-component of the unit vector, and an
     * element-wise double-precision add with the reversed vector
-    * (bounded to 4 components so the comparison payload stays small).
+    * (first 4 components, unpacked to scalar columns: the driver's
+    * pandas-side compare cannot sort/hash array-typed cells).
     * All arithmetic is double-math so DuckDB's ::DOUBLE[] list forms
     * agree bit-for-bit.
     */
@@ -82,17 +83,19 @@ object Round3Ops {
     import spark.implicits._
     graft.expressions.GraftFunctions.ensureRegistered(spark)
     val dot = LlmOps.dot($"embedding", $"embedding")
+    val addrev = expr("slice(zip_with(embedding, reverse(embedding), (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE)), 1, 4)")
     embeddings(spark, sfDir)
       .filter($"vec_id" < 500)
-      .select($"vec_id",
+      .select(Seq(
+        $"vec_id",
         size($"embedding").as("dim"),
         array_max($"embedding").cast(DoubleType).as("vmax"),
         array_min($"embedding").cast(DoubleType).as("vmin"),
         round(dot, 6).as("self_dot"),
         round(element_at($"embedding", 1).cast(DoubleType) / sqrt(dot), 6)
-          .as("unit0"),
-        expr("transform(slice(zip_with(embedding, reverse(embedding), (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE)), 1, 4), v -> round(v, 6))")
-          .as("addrev4"))
+          .as("unit0")) ++
+        (1 to 4).map(i =>
+          round(element_at(addrev, i), 6).as(s"addrev$i")): _*)
       .orderBy($"vec_id")
   }
 

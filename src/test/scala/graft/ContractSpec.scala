@@ -1,11 +1,12 @@
 package graft
 
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards on the driver contract itself: the no-oracle set stays
   * exactly the documented one, and every oracle key has a query.
   */
-class ContractSpec extends AnyFunSuite {
+class ContractSpec extends AnyFunSuite with SparkFixture {
 
   private val documentedNoOracle = Set(
     "agg_approx_count_distinct", // HLL is engine-specific
@@ -34,5 +35,22 @@ class ContractSpec extends AnyFunSuite {
   test("query names are snake_case and unique per contract") {
     val bad = SparkEntry.queries.keySet.filterNot(_.matches("[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-snake-case names: $bad")
+  }
+
+  test("oracle-checked queries emit only atomic columns") {
+    // The driver's compare sorts the pandas frame by every column;
+    // array/map/struct cells are unhashable there and crash the gate
+    // (r3: fn_vector_arith). Schema-only check — no execution.
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, sf).schema
+      val nested = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (nested.isEmpty) None else Some(s"$name(${nested.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"oracle-checked queries with non-atomic output columns: $offenders")
   }
 }
