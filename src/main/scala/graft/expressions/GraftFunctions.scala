@@ -44,12 +44,27 @@ object GraftFunctions {
     ShingleHashes(children(0), n)
   }
 
+  private[expressions] val bandsigsInfo = new ExpressionInfo(
+    classOf[MinHashBandSigs].getName, "graft_bandsigs")
+
+  private[expressions] def bandsigsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "graft_bandsigs takes (th, rows, bands)")
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_bandsigs $what must be an int literal, got $other")
+    }
+    MinHashBandSigs(children(0),
+      intLit(children(1), "rows"), intLit(children(2), "bands"))
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(
       (FunctionIdentifier("graft_dot"), dotInfo, dotBuilder _),
       (FunctionIdentifier("graft_isect"), isectInfo, isectBuilder _),
-      (FunctionIdentifier("graft_shingles"), shinglesInfo, shinglesBuilder _)
+      (FunctionIdentifier("graft_shingles"), shinglesInfo, shinglesBuilder _),
+      (FunctionIdentifier("graft_bandsigs"), bandsigsInfo, bandsigsBuilder _)
     ).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
@@ -66,5 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.isectInfo, GraftFunctions.isectBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_shingles"),
       GraftFunctions.shinglesInfo, GraftFunctions.shinglesBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_bandsigs"),
+      GraftFunctions.bandsigsInfo, GraftFunctions.bandsigsBuilder _))
   }
 }

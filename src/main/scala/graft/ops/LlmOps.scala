@@ -76,10 +76,14 @@ object LlmOps {
     // coalesce target — collapsing the barrier to 1 partition would
     // serialize every downstream sketch consumer
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // graft_shingles(text, 1) = the sorted distinct token-hash set in
+    // one compiled pass over the UTF8 bytes (replaced the interpreted
+    // sort_array(transform(array_distinct(split(...)))) chain — only
+    // set sizes/intersections are consumed downstream, so the hash
+    // family is free to differ from xxhash64-of-string)
     documents(spark, sfDir)
       .select($"doc_id", $"lang",
-        sort_array(transform(array_distinct(split($"text", " ")),
-          t => xxhash64(t))).as("th"))
+        call_function("graft_shingles", $"text", lit(1)).as("th"))
       .repartition(n, col("doc_id"))
       .withColumn("sz", size($"th"))
   }
@@ -147,25 +151,25 @@ object LlmOps {
     */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = 4; val bands = 3; val k = rows * bands
+    val rows = 4; val bands = 3
     // The per-doc sketch (sz + sorted 64-bit token hashes) is the ONLY
-    // corpus pass. The k minhashes are HOF re-hashes of the token-hash
-    // array — array_min(transform(th, xxhash64(seed, _))) — computed
-    // scan-side with no explode/groupBy shuffle at all.
+    // corpus pass. All rows×bands minhashes AND the per-band signature
+    // fold are one compiled pass over the token-hash array
+    // (graft_bandsigs — graft.expressions.MinHashBandSigs; replaced
+    // the k interpreted array_min(transform(...)) HOFs re-evaluated
+    // per band branch, and the concat_ws string signature, with k
+    // running minima and a 64-bit chained sig). posexplode fans the
+    // `bands` signatures out to (band, sig) rows — no bands-way union,
+    // so the corpus is scanned once, not `bands` times. sz and th ride
+    // along so BOTH the size-ratio prune and the exact jaccard
+    // verification run inside the single candidate join — no join
+    // back to a sketch table.
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
     val sk = tokenHashes(spark, sfDir)
-    val minhashes = sk.select(
-      Seq($"doc_id", $"sz", $"th") ++
-        (0 until k).map(i => array_min(
-          transform($"th", h => xxhash64(lit(i), h))).as(s"h$i")): _*)
-    // band signatures: AND of `rows` minhashes; sz and th ride along so
-    // BOTH the size-ratio prune and the exact jaccard verification run
-    // inside the single candidate join — no join back to a sketch table
-    val bandCols = (0 until bands).map { bd =>
-      val sig = concat_ws(":",
-        (0 until rows).map(r => col(s"h${bd * rows + r}")): _*)
-      minhashes.select($"doc_id", $"sz", $"th", lit(bd).as("band"), sig.as("sig"))
-    }
-    val buckets = bandCols.reduce(_ unionAll _)
+    val buckets = sk
+      .select($"doc_id", $"sz", $"th",
+        posexplode(call_function("graft_bandsigs", $"th", lit(rows), lit(bands))))
+      .select($"doc_id", $"sz", $"th", $"pos".as("band"), $"col".as("sig"))
     // Candidate generation is a plain (band, sig) equi-join: both sides
     // shuffle-partition on the band signature, so each bucket's pairs
     // are produced locally on whatever executor owns that signature.

@@ -94,4 +94,50 @@ class ExpressionSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(hs - ts) < 1e-12, s"jaccard mismatch: $hs vs $ts")
     }
   }
+
+  test("graft_bandsigs: identical sets collide in every band, disjoint sets in none") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val a = (1L to 40L).toArray
+    val b = (100L to 140L).toArray
+    val sigs = Seq(("a", a), ("a2", a), ("b", b))
+      .toDF("id", "th")
+      .select($"id", call_function("graft_bandsigs", $"th", lit(4), lit(3)).as("s"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sigs("a").size === 3, "one signature per band")
+    assert(sigs("a") === sigs("a2"), "equal input sets must bucket together")
+    assert(sigs("a").intersect(sigs("b")).isEmpty,
+      "disjoint sets should not share band signatures")
+    // permutation invariance: minima don't depend on array order
+    val shuffled = new scala.util.Random(3).shuffle(a.toSeq).toArray
+    val p = Seq(("p", shuffled)).toDF("id", "th")
+      .select(call_function("graft_bandsigs", $"th", lit(4), lit(3)).as("s"))
+      .as[Seq[Long]].head()
+    assert(p === sigs("a"), "band signatures must be set-order invariant")
+  }
+
+  test("graft_bandsigs band-collision probability tracks jaccard (AND/OR shape)") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    // pairs at jaccard ~0.9: expect most to collide in >=1 of 3 bands
+    // (P = 1-(1-j^4)^3 ≈ 0.93); pairs at ~0.2 should essentially never
+    // (P ≈ 0.005)
+    def pair(shared: Int, own: Int): (Array[Long], Array[Long]) = {
+      val common = Array.fill(shared)(rnd.nextLong())
+      (common ++ Array.fill(own)(rnd.nextLong()),
+        common ++ Array.fill(own)(rnd.nextLong()))
+    }
+    val hi = Seq.fill(60)(pair(57, 2)) // j ≈ 57/61 ≈ 0.93
+    val lo = Seq.fill(60)(pair(12, 24)) // j ≈ 12/60 = 0.2
+    def collisions(ps: Seq[(Array[Long], Array[Long])]): Int = {
+      val df = ps.toDF("a", "b").select(
+        call_function("graft_bandsigs", $"a", lit(4), lit(3)).as("sa"),
+        call_function("graft_bandsigs", $"b", lit(4), lit(3)).as("sb"))
+      df.as[(Seq[Long], Seq[Long])].collect()
+        .count { case (sa, sb) => sa.zip(sb).exists { case (x, y) => x == y } }
+    }
+    assert(collisions(hi) >= 45, "high-jaccard pairs must usually collide")
+    assert(collisions(lo) <= 6, "low-jaccard pairs must rarely collide")
+  }
 }
