@@ -1107,4 +1107,143 @@ object Oracle {
                                   INTERVAL 1 MONTH)) AS DATE) AS month
     FROM b ORDER BY o_custkey, month
   """
+
+  // ---- round-4 widening ----
+
+  val joinRightOuter: String = """
+    SELECT c.c_custkey, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey, o.o_orderkey
+  """
+
+  val sqlCteChain: String = """
+    WITH co AS (
+      SELECT o_custkey, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+    hi AS (SELECT * FROM co WHERE n >= 12)
+    SELECT c.c_mktsegment, count(*) AS n_cust,
+           CAST(sum(co.rev) AS DOUBLE) AS segment_rev
+    FROM co JOIN customer c ON co.o_custkey = c.c_custkey
+    WHERE co.n >= (SELECT min(n) FROM hi)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+  """
+
+  val sqlRecursiveCte: String = """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '1995-12-01 00:00:00')
+    SELECT m, count(o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS rev
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m ORDER BY m
+  """
+
+  val sqlValuesInline: String = """
+    SELECT t.tier, count(*) AS n,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                 ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                 ('5-LOW', 'cold')) AS t(pri, tier)
+      ON o.o_orderpriority = t.pri
+    GROUP BY t.tier ORDER BY t.tier
+  """
+
+  val aggFilterClause: String = """
+    SELECT l_returnflag,
+      count(*) AS n_all,
+      count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+      CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) AS rev_discounted,
+      count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00') AS n_recent
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+  """
+
+  val aggDistinctMulti: String = """
+    SELECT event_type,
+      count(DISTINCT user_id) AS n_users,
+      count(DISTINCT date_trunc('day', ts)) AS n_days,
+      count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+  """
+
+  val limitOffset: String = """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders ORDER BY total DESC, o_orderkey LIMIT 20 OFFSET 40
+  """
+
+  // same result as join_theta_range: the bucketed plan is a pure
+  // execution-strategy change, so the oracle IS the theta-join SQL
+  val joinRangeBucketed: String = joinThetaRange
+
+  val simCentroidDistance: String = """
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos)
+    SELECT e.vec_id, e.label, ROUND(sum(e.v * cent.c), 4) AS dot_centroid
+    FROM ex e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+    WHERE e.vec_id < 200
+    GROUP BY e.vec_id, e.label
+    ORDER BY e.vec_id
+  """
+
+  val pipelineContaminationCheck: String = """
+    WITH sh AS (
+      SELECT doc_id, lang,
+        list_distinct(list_transform(
+          range(1, len(string_split(text, ' ')) - 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS g3
+      FROM documents)
+    SELECT a.doc_id, b.doc_id AS bench_id,
+           len(list_intersect(a.g3, b.g3)) AS n_shared
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id >= 20 AND b.doc_id < 20
+    WHERE len(list_intersect(a.g3, b.g3)) > 0
+    ORDER BY a.doc_id, bench_id
+  """
+
+  val pipelineTokenBudgetPack: String = """
+    SELECT doc_id, lang,
+      len(string_split(text, ' '))::BIGINT AS n_tokens,
+      CAST(floor((sum(len(string_split(text, ' '))::BIGINT)
+          OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - len(string_split(text, ' '))::BIGINT) / 8192.0) AS BIGINT) AS shard
+    FROM documents ORDER BY doc_id
+  """
+
+  val textContainment: String = """
+    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents)
+    SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+      ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks), 6)
+        AS containment
+    FROM t a JOIN t b
+      ON a.lang = b.lang
+     AND (len(a.toks) < len(b.toks)
+          OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+    WHERE len(list_intersect(a.toks, b.toks)) * 10 >= len(a.toks) * 9
+    ORDER BY id_small, id_big
+  """
+
+  val streamTopkPerWindow: String = """
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT win_start, event_type, n,
+        row_number() OVER (PARTITION BY win_start
+                           ORDER BY n DESC, event_type ASC) AS rn
+      FROM counts)
+    SELECT win_start, event_type, n FROM ranked WHERE rn = 1
+    ORDER BY win_start
+  """
 }

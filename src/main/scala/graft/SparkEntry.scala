@@ -152,6 +152,20 @@ object SparkEntry {
     "agg_bool"                   -> (Round3Ops.aggBool _),
     "sql_in_subquery"            -> (Round3Ops.sqlInSubquery _),
     "fn_trig"                    -> (Round3Ops.fnTrig _),
+    // round-4 widening (SURVEY §2, round-4 table)
+    "join_right_outer"            -> (Round4Ops.joinRightOuter _),
+    "sql_cte_chain"               -> (Round4Ops.sqlCteChain _),
+    "sql_recursive_cte"           -> (Round4Ops.sqlRecursiveCte _),
+    "sql_values_inline"           -> (Round4Ops.sqlValuesInline _),
+    "agg_filter_clause"           -> (Round4Ops.aggFilterClause _),
+    "agg_distinct_multi"          -> (Round4Ops.aggDistinctMulti _),
+    "limit_offset"                -> (Round4Ops.limitOffset _),
+    "join_range_bucketed"         -> (Round4Ops.joinRangeBucketed _),
+    "sim_centroid_distance"       -> (Round4Ops.simCentroidDistance _),
+    "pipeline_contamination_check" -> (Round4Ops.pipelineContaminationCheck _),
+    "pipeline_token_budget_pack"  -> (Round4Ops.pipelineTokenBudgetPack _),
+    "text_containment"            -> (Round4Ops.textContainment _),
+    "stream_topk_per_window"      -> (Round4Ops.streamTopkPerWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,5 +290,19 @@ object SparkEntry {
     "agg_bool"                   -> Oracle.aggBool,
     "sql_in_subquery"            -> Oracle.sqlInSubquery,
     "fn_trig"                    -> Oracle.fnTrig,
+    // round-4 widening
+    "join_right_outer"            -> Oracle.joinRightOuter,
+    "sql_cte_chain"               -> Oracle.sqlCteChain,
+    "sql_recursive_cte"           -> Oracle.sqlRecursiveCte,
+    "sql_values_inline"           -> Oracle.sqlValuesInline,
+    "agg_filter_clause"           -> Oracle.aggFilterClause,
+    "agg_distinct_multi"          -> Oracle.aggDistinctMulti,
+    "limit_offset"                -> Oracle.limitOffset,
+    "join_range_bucketed"         -> Oracle.joinRangeBucketed,
+    "sim_centroid_distance"       -> Oracle.simCentroidDistance,
+    "pipeline_contamination_check" -> Oracle.pipelineContaminationCheck,
+    "pipeline_token_budget_pack"  -> Oracle.pipelineTokenBudgetPack,
+    "text_containment"            -> Oracle.textContainment,
+    "stream_topk_per_window"      -> Oracle.streamTopkPerWindow,
   )
 }
