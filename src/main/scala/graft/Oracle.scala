@@ -1246,4 +1246,82 @@ object Oracle {
     SELECT win_start, event_type, n FROM ranked WHERE rn = 1
     ORDER BY win_start
   """
+
+  // ---- round-4 widening, second batch ----
+
+  val textEditDistance: String = """
+    WITH t AS (SELECT doc_id, lang, substring(text, 1, 32) AS prefix
+               FROM documents WHERE doc_id < 200)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.prefix, b.prefix) AS dist
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 20
+    ORDER BY id_a, id_b
+  """
+
+  val textKeywordsTopk: String = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        row_number() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+      FROM tf JOIN df USING (term) WHERE tf.doc_id < 50)
+    SELECT doc_id, rn, term, tf, df,
+      ROUND(tf * ln(n_docs / df), 6) AS score
+    FROM ranked, n WHERE rn <= 3
+    ORDER BY doc_id, rn
+  """
+
+  val fnTryArith: String = """
+    SELECT event_id,
+      TRY_CAST(event_type AS INT) AS bad_int,
+      TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS roundtrip,
+      ROUND(value / NULLIF(user_id % 3, 0), 6) AS safe_div
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+  """
+
+  val aggWeightedAvg: String = """
+    SELECT event_type,
+      ROUND(sum(((user_id % 7) + 1) * value) / sum((user_id % 7) + 1), 4) AS wavg,
+      ROUND(avg(value), 4) AS avg_plain,
+      count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+  """
+
+  val multimodalChunkManifest: String = """
+    SELECT doc_id,
+      unnest(range((len(text) + 255) // 256)) AS chunk_idx,
+      unnest([least(256, len(text) - 256 * i)::BIGINT
+              FOR i IN range((len(text) + 255) // 256)]) AS chunk_len,
+      unnest([md5(substring(text, 256 * i + 1, 256))
+              FOR i IN range((len(text) + 255) // 256)]) AS chunk_md5
+    FROM documents WHERE doc_id < 200
+    ORDER BY doc_id, chunk_idx
+  """
+
+  val scanMergeSchema: String = """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+           NULL AS priority
+    FROM orders WHERE o_orderkey < 100
+    UNION ALL
+    SELECT o_orderkey, NULL, o_orderpriority
+    FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+    ORDER BY o_orderkey
+  """
+
+  val winMovingAvg: String = s"""
+    SELECT o_custkey, o_orderkey,
+      CAST(sum(${m("o_totalprice")}) OVER w AS DOUBLE) AS sum3,
+      count(*) OVER w AS n3,
+      ROUND(CAST(sum(${m("o_totalprice")}) OVER w AS DOUBLE)
+            / (count(*) OVER w), 4) AS avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+  """
 }
