@@ -97,4 +97,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("SortMergeJoin"),
       s"salted join must demonstrate the shuffle path:\n${p.take(1500)}")
   }
+
+  test("bucketized range join plans as an equi-join, not a nested loop") {
+    // join_theta_range is the BNLJ-or-residual baseline; the bucketed
+    // rewrite's entire purpose is that (custkey, bucket) becomes a
+    // hash-partitionable equi-key with the range check as a residual.
+    val p = plan(graft.ops.Round4Ops.joinRangeBucketed(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed range join must not nested-loop:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi-join:\n${p.take(1500)}")
+  }
+
+  test("centroid similarity broadcasts only the labels×dims centroid table") {
+    val p = plan(graft.ops.Round4Ops.simCentroidDistance(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid probe must be a broadcast hash join:\n${p.take(1500)}")
+  }
+
+  test("contamination check broadcasts the benchmark side (bounded by contract)") {
+    // The eval set is small by construction; the training corpus must
+    // stream through the probe, never ship. The declared plan forces
+    // the broadcast on the bench side only.
+    val lp = graft.ops.Round4Ops.pipelineContaminationCheck(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("ResolvedHint") || lp.toLowerCase.contains("broadcast"),
+      s"bench side should carry the broadcast hint:\n${lp.take(1500)}")
+    val p = plan(graft.ops.Round4Ops.pipelineContaminationCheck(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe must be broadcast-side:\n${p.take(1500)}")
+  }
 }
