@@ -1313,6 +1313,41 @@ object Oracle {
     ORDER BY o_orderkey
   """
 
+  val aggHaving: String = """
+    SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12 AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
+    ORDER BY o_custkey
+  """
+
+  val winFirstLastIgnoreNulls: String = """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        CASE WHEN o_orderkey % 3 = 0 THEN NULL
+             ELSE CAST(o_totalprice AS DOUBLE) END AS sparse
+      FROM orders)
+    SELECT o_custkey, o_orderkey, sparse,
+      last_value(sparse IGNORE NULLS) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      first_value(sparse IGNORE NULLS) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_obs
+    FROM s ORDER BY o_custkey, o_orderkey
+  """
+
+  val pipelineIncrementalDedup: String = """
+    WITH hashed AS (SELECT doc_id, md5(text) AS hash FROM documents)
+    SELECT n.doc_id, n.hash
+    FROM hashed n
+    WHERE n.doc_id >= 300
+      AND NOT EXISTS (SELECT 1 FROM hashed c
+                      WHERE c.doc_id < 300 AND c.hash = n.hash)
+    ORDER BY n.doc_id
+  """
+
   val winMovingAvg: String = s"""
     SELECT o_custkey, o_orderkey,
       CAST(sum(${m("o_totalprice")}) OVER w AS DOUBLE) AS sum3,

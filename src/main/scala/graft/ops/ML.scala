@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier, RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier, GBTClassificationModel, GBTClassifier, RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.linalg.Vectors
@@ -158,6 +158,30 @@ object ML {
     }
     model.transform(prepared(spark, sfDir).filter($"split" === "test"))
       .select($"vec_id", $"label", $"prediction".cast(IntegerType).as("prediction"))
+      .orderBy($"vec_id")
+  }
+
+  private val gbtCache = TrieMap.empty[String, GBTClassificationModel]
+
+  /** Gradient-boosted trees — the sequential-ensemble counterpart to
+    * the reference's bagged forest (GBTClassifier is binary, so the
+    * target is the deterministic parity of the label). Same
+    * determinism protocol: fixed seed, modulo split, fixed input
+    * partitioning.
+    */
+  def mlGbtTrainPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val input = prepared(spark, sfDir)
+      .withColumn("bin_label", pmod(col("label"), lit(2)).cast(DoubleType))
+    val model = cachedModel(gbtCache, sfDir) {
+      new GBTClassifier()
+        .setLabelCol("bin_label").setFeaturesCol("features")
+        .setMaxIter(10).setMaxDepth(4).setSeed(42L)
+        .fit(input.filter(col("split") === "train"))
+    }
+    model.transform(input.filter($"split" === "test"))
+      .select($"vec_id", $"bin_label".cast(IntegerType).as("label"),
+        $"prediction".cast(IntegerType).as("prediction"))
       .orderBy($"vec_id")
   }
 

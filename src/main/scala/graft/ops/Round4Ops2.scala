@@ -157,4 +157,61 @@ object Round4Ops2 {
       .withColumn("avg3", round($"sum3" / $"n3", 4))
       .orderBy($"o_custkey", $"o_orderkey")
   }
+
+  /** GROUP BY ... HAVING surface: customer segments kept only when the
+    * aggregate itself clears a threshold (Catalyst plans HAVING as a
+    * post-aggregation Filter — pushdown must NOT move it below the agg).
+    */
+  def aggHaving(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g4b_orders")
+    spark.sql("""
+      SELECT o_custkey, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM g4b_orders
+      GROUP BY o_custkey
+      HAVING count(*) >= 12 AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
+      ORDER BY o_custkey
+    """)
+  }
+
+  /** IGNORE NULLS window navigation: last non-NULL observation carried
+    * forward (the gap-fill idiom) over NULLIF-synthesized gaps, plus
+    * the first non-NULL per partition. NULLs are synthesized
+    * deterministically (every third order) so both engines see the
+    * same gaps.
+    */
+  def winFirstLastIgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wRun = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, sfDir)
+      .withColumn("sparse",
+        when(pmod($"o_orderkey", lit(3)) === 0, lit(null).cast(DoubleType))
+          .otherwise($"o_totalprice".cast(DoubleType)))
+      .select($"o_custkey", $"o_orderkey", $"sparse",
+        last($"sparse", ignoreNulls = true).over(wRun).as("filled"),
+        first($"sparse", ignoreNulls = true).over(wFull).as("first_obs"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Incremental ingestion dedup: a new batch (doc_id >= 300) admitted
+    * only where its content hash is unseen in the existing corpus
+    * (doc_id < 300) — one anti-join on the 128-bit hash; at 100 TB the
+    * "corpus" side is the dedup index (hash, keep_id), not documents,
+    * so the join carries hashes only.
+    */
+  def pipelineIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = documents(spark, sfDir)
+      .select($"doc_id", md5($"text").as("hash"))
+    val corpus = hashed.filter($"doc_id" < 300).select($"hash")
+    hashed.filter($"doc_id" >= 300)
+      .join(corpus, Seq("hash"), "left_anti")
+      .select($"doc_id", $"hash")
+      .orderBy($"doc_id")
+  }
 }

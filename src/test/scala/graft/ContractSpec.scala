@@ -18,7 +18,8 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "sim_ann_ivf", // centroid choice engine-specific (recall asserted)
     "agg_hll_sketch", // DataSketches binary engine-specific (bounded)
     "agg_count_min_sketch", // CMS layout engine-specific (bounded)
-    "ml_dt_train_predict", "ml_kmeans_cluster") // not SQL-expressible
+    "ml_dt_train_predict", "ml_kmeans_cluster", // not SQL-expressible
+    "ml_gbt_train_predict") // not SQL-expressible (binary GBT)
 
   test("every query is oracle-checked unless documented otherwise") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -99,6 +99,19 @@ class MLSpec extends AnyFunSuite with SparkFixture {
     assert(a.size.toLong === nTest)
   }
 
+  test("gbt: deterministic binary predictions covering the test split") {
+    import spark.implicits._
+    val a = ML.mlGbtTrainPredict(spark, sf).collect().toSeq
+    val b = ML.mlGbtTrainPredict(spark, sf).collect().toSeq
+    assert(a === b, "fixed seed + fixed split must reproduce exactly")
+    val nTest = ML.mlRfTrainPredictInput(spark, sf)
+      .filter($"split" === "test").count()
+    assert(a.size.toLong === nTest)
+    val preds = ML.mlGbtTrainPredict(spark, sf)
+      .select($"prediction").as[Int].collect().toSet
+    assert(preds.subsetOf(Set(0, 1)), s"binary GBT must predict {0,1}: $preds")
+  }
+
   test("kmeans: 8 clusters partition the dataset, sizes ordered desc") {
     import spark.implicits._
     val rows = ML.mlKmeansCluster(spark, sf)
