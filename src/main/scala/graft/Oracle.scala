@@ -1188,7 +1188,7 @@ object Oracle {
              unnest(embedding::DOUBLE[]) AS v
       FROM embeddings),
     cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos)
-    SELECT e.vec_id, e.label, ROUND(sum(e.v * cent.c), 4) AS dot_centroid
+    SELECT e.vec_id, e.label, ROUND(sum(e.v * cent.c), 4) + 0.0 AS dot_centroid
     FROM ex e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
     WHERE e.vec_id < 200
     GROUP BY e.vec_id, e.label

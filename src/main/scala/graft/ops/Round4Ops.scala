@@ -178,7 +178,9 @@ object Round4Ops {
     ex.filter($"vec_id" < 200)
       .join(broadcast(centroids), Seq("label", "pos"))
       .groupBy($"vec_id", $"label")
-      .agg(round(sum($"v" * $"c"), 4).as("dot_centroid"))
+      // + 0.0 collapses IEEE -0.0 to +0.0 (engines round tiny negative
+      // dots to differently-signed zeros — observed at sf0.1)
+      .agg((round(sum($"v" * $"c"), 4) + lit(0.0)).as("dot_centroid"))
       .orderBy($"vec_id")
   }
 
