@@ -61,10 +61,20 @@ object Bench {
         graft.Tables(spark, sfDir, t).limit(1).count())
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
+    // Median of 3 runs per query: single-run numbers jittered 2-3x
+    // round-over-round from JVM/GC/ordering noise with zero code
+    // change (round-4 verdict), so per-query deltas were not signal.
+    // One-time costs that intentionally amortize across queries (model
+    // caches, ReuseExchange) land in run 1 and the median reports the
+    // steady-state latency; the total stays the sum of medians.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(runs) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = results.toSeq.sortBy(-_._2)

@@ -1359,4 +1359,36 @@ object Oracle {
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, o_orderkey
   """
+
+  // ---- round-5 widening ----
+
+  val pipelineUpsert: String = """
+    WITH t AS (SELECT o_orderkey AS key,
+                      CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                      o_orderstatus AS status
+               FROM orders),
+    upd AS (
+      SELECT key AS u_key, CAST(price + 100.00 AS DECIMAL(12,2)) AS u_price,
+             'U' AS u_status
+      FROM t WHERE key % 97 = 0
+      UNION ALL
+      SELECT key + 1000000000, price, 'N' FROM t WHERE key % 101 = 0)
+    SELECT coalesce(key, u_key) AS o_orderkey,
+           coalesce(u_price, price) AS o_totalprice,
+           coalesce(u_status, status) AS o_orderstatus
+    FROM t FULL OUTER JOIN upd ON key = u_key
+    ORDER BY o_orderkey
+  """
+
+  val skewAqeJoin: String = """
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0
+                  ELSE l_orderkey % 16 + 1 END AS k,
+             CAST(l_quantity AS DECIMAL(12,2)) AS qty
+      FROM lineitem CROSS JOIN range(8) r),
+    dim AS (SELECT range AS dk, 'g' || range AS grp FROM range(17))
+    SELECT grp, count(*) AS n, sum(qty) AS sum_qty
+    FROM fact JOIN dim ON k = dk
+    GROUP BY grp ORDER BY grp
+  """
 }

@@ -52,12 +52,49 @@ object RandomForestApp {
     }
   }
 
+  /** CSV pair with categorical (string-typed) feature columns
+    * StringIndexer-encoded — the indexers are FIT ON THE TRAINING FILE
+    * and applied to both sides, so train/test share one category→index
+    * mapping and unseen test categories get the reserved "keep" index.
+    * alphabetAsc ordering makes the mapping a function of the category
+    * set alone (not of row order/partitioning). Numeric columns pass
+    * through unchanged, so pure-numeric CSVs take the exact round-4
+    * path.
+    */
+  private def prepareCsv(spark: SparkSession, trainPath: String,
+      testPath: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.feature.StringIndexer
+    val trainRaw = spark.read.option("inferSchema", "true").csv(trainPath)
+    val testRaw =
+      if (testPath == trainPath) trainRaw
+      else spark.read.option("inferSchema", "true").csv(testPath)
+    val featCols = trainRaw.columns.dropRight(1).toSeq
+    val labelCol = trainRaw.columns.last
+    val strCols = featCols
+      .filter(c => trainRaw.schema(c).dataType == StringType).toSet
+    val indexers = strCols.toSeq.sorted.map(c => new StringIndexer()
+      .setInputCol(c).setOutputCol(s"${c}__idx")
+      .setHandleInvalid("keep").setStringOrderType("alphabetAsc")
+      .fit(trainRaw))
+    def prep(df: DataFrame): DataFrame = {
+      val enc = indexers.foldLeft(df)((d, m) => m.transform(d))
+      val feats = featCols.map(c =>
+        if (strCols(c)) col(s"${c}__idx") else col(c).cast(DoubleType))
+      enc.select(monotonically_increasing_id().as("id"),
+        toVecD(array(feats: _*)).as("features"),
+        col(labelCol).cast(IntegerType).as("label"))
+    }
+    (prep(trainRaw), prep(testRaw))
+  }
+
   /** Train + score; returns (id, label, prediction) for the test set. */
   def trainAndScore(spark: SparkSession, trainPath: String, testPath: String,
       numTrees: Int = 50, maxDepth: Int = 8, seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    val train = readFeatures(spark, trainPath).repartition(8, col("id"))
-    val test = readFeatures(spark, testPath)
+    val (train0, test) =
+      if (trainPath.endsWith(".csv")) prepareCsv(spark, trainPath, testPath)
+      else (readFeatures(spark, trainPath), readFeatures(spark, testPath))
+    val train = train0.repartition(8, col("id"))
     val model = new RandomForestClassifier()
       .setLabelCol("label").setFeaturesCol("features")
       .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)

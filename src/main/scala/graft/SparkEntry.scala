@@ -177,6 +177,10 @@ object SparkEntry {
     "win_first_last_ignore_nulls" -> (Round4Ops2.winFirstLastIgnoreNulls _),
     "pipeline_incremental_dedup"  -> (Round4Ops2.pipelineIncrementalDedup _),
     "ml_gbt_train_predict"        -> (ML.mlGbtTrainPredict _),
+    "pipeline_upsert"             -> (Round5Ops.pipelineUpsert _),
+    "skew_aqe_join"               -> (Round5Ops.skewAqeJoin _),
+    "dedup_near_embedding_ann"    -> (Round5Ops.dedupNearEmbeddingAnn _),
+    "ml_cross_validation"         -> (ML.mlCrossValidation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -327,5 +331,11 @@ object SparkEntry {
     "pipeline_incremental_dedup"  -> Oracle.pipelineIncrementalDedup,
     // ml_gbt_train_predict: NO oracle — not SQL-expressible (MLSpec
     // asserts determinism + binary-target coverage).
+    "pipeline_upsert"             -> Oracle.pipelineUpsert,
+    "skew_aqe_join"               -> Oracle.skewAqeJoin,
+    // dedup_near_embedding_ann: NO oracle — SRP hash-family specific
+    // (recall vs the exact grid plan asserted in Round5Spec).
+    // ml_cross_validation: NO oracle — fold assignment engine-specific
+    // (structure + metric range asserted in MLSpec).
   )
 }

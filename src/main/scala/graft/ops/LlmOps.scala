@@ -105,27 +105,37 @@ object LlmOps {
   /** Exact near-dup: token-set Jaccard >= 0.8 over same-language pairs
     * (language = natural blocking key; the synthetic corpus's tiny
     * vocabulary makes 0.5 catch ~99% of pairs).
+    *
+    * Pair generation is a fragment-replicate (1-Bucket-Theta, Okcan &
+    * Riedewald SIGMOD'11) SHUFFLE join: the a side replicates its
+    * ~40 B/doc sketch across nBuckets salt values, the b side hashes
+    * into one bucket, and both sides shuffle-partition on
+    * (lang, bucket) — parallelism is langs x nBuckets at any corpus
+    * size and NOTHING corpus-sized is broadcast (the earlier
+    * broadcast-probe variant shipped the whole sketch table to every
+    * executor, which grows linearly with the corpus and breaks the
+    * 100 TB contract). Shuffle volume is nBuckets x sketch bytes —
+    * linear with a tunable constant; the O(Σ|lang-block|²) compare
+    * cost is inherent to EXACT jaccard (prefix filtering degenerates
+    * on this corpus: 31-token vocabulary => every token is in ~75% of
+    * docs, so candidate volume exceeds brute force). The sublinear
+    * scale path stays [[dedupMinhashLsh]].
     */
   def dedupNearJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nBuckets = 32
     val t = tokenHashes(spark, sfDir)
-    // Pair generation: the a side is exploded across nBuckets salt
-    // values and repartitioned (parallel at any cluster size); the b
-    // side — the compact hashed sketch — is BROADCAST, so the O(pairs)
-    // work is a broadcast hash probe with zero array shuffling.
     val b = t.select($"doc_id".as("id_b"), $"lang".as("lang_b"),
       $"th".as("th_b"), $"sz".as("sz_b"),
       pmod($"doc_id", lit(nBuckets)).as("bkt_b"))
     val a = t.withColumn("bkt", explode(array((0 until nBuckets).map(lit): _*)))
-      .repartition(nBuckets, col("bkt"))
       .select($"doc_id".as("id_a"), $"lang", $"th".as("th_a"),
         $"sz".as("sz_a"), $"bkt")
     // jac >= 0.8 as integer math (9·|A∩B| >= 4·(|A|+|B|)) placed LAST
     // in the join condition: a separate filter(jac >= t) gets pushed
     // into the join as the FIRST conjunct and runs the intersect
     // kernel before the cheap id/size prunes (see dedupNgramJaccard).
-    a.join(broadcast(b),
+    a.join(b,
         $"lang" === $"lang_b" && $"bkt" === $"bkt_b" && $"id_a" < $"id_b" &&
         // size-ratio prefilter: jaccard >= 0.8 forces 5*min >= 4*max
         $"sz_a" * 5 >= $"sz_b" * 4 && $"sz_b" * 5 >= $"sz_a" * 4 &&

@@ -83,25 +83,28 @@ object ML {
       .orderBy($"vec_id")
   }
 
-  /** Overall accuracy + per-class test counts/hits. */
+  /** Overall accuracy + per-class test counts/hits — ONE aggregation
+    * pass: the per-class (n_test, n_correct) rows are collected
+    * (bounded by class count) and the overall accuracy is
+    * Σ n_correct / Σ n_test computed driver-side from the same rows —
+    * identical value to MulticlassClassificationEvaluator's
+    * hits/total, without its second traversal of the predictions.
+    */
   def mlRfAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pred = mlRfTrainPredict(spark, sfDir).cache()
-    try {
-      val acc = new MulticlassClassificationEvaluator()
-        .setLabelCol("label").setPredictionCol("prediction")
-        .setMetricName("accuracy")
-        .evaluate(pred.select($"label".cast(DoubleType),
-          $"prediction".cast(DoubleType)))
-      // collect the tiny per-class summary to the driver and rebuild a
-      // local frame — no lingering cached blocks after we return
-      val rows = pred.groupBy($"label")
-        .agg(count(lit(1)).as("n_test"),
-          count(when($"prediction" === $"label", 1)).as("n_correct"))
-        .withColumn("accuracy_overall", round(lit(acc), 4))
-        .orderBy($"label")
-      spark.createDataFrame(rows.collect().toSeq.asJava, rows.schema)
-    } finally pred.unpersist()
+    val perClass = mlRfTrainPredict(spark, sfDir)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_test"),
+        count(when($"prediction" === $"label", 1)).as("n_correct"))
+      .orderBy($"label")
+      .collect()
+    val nTest = perClass.map(_.getLong(1)).sum
+    val nCorrect = perClass.map(_.getLong(2)).sum
+    val acc = if (nTest == 0) 0.0 else nCorrect.toDouble / nTest
+    val rows = perClass.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    spark.createDataFrame(rows.toSeq)
+      .toDF("label", "n_test", "n_correct")
+      .withColumn("accuracy_overall", round(lit(acc), 4))
   }
 
   /** Top-10 feature importances (stable under the fixed seed). */
@@ -225,5 +228,39 @@ object ML {
       .select($"vec_id", $"label",
         when($"vec_id" % 5 === 0, "test").otherwise("train").as("split"))
       .orderBy($"vec_id")
+  }
+
+  /** Model selection: 3-fold cross-validation over a small RF grid
+    * (numTrees x maxDepth), one row per combination with its mean
+    * held-out accuracy. Each fold's fit is distributed; folds are
+    * Spark-side kFold splits under a fixed seed + fixed input
+    * partitioning, so the metric table is deterministic run to run. No
+    * oracle (fold assignment is engine-specific); structure + metric
+    * range asserted in MLSpec.
+    */
+  def mlCrossValidation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    import spark.implicits._
+    val rf = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features").setSeed(42L)
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, Array(5, 10))
+      .addGrid(rf.maxDepth, Array(3, 5))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(rf)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction")
+        .setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3).setSeed(42L).setParallelism(2)
+    val fitted = cv.fit(prepared(spark, sfDir).filter(col("split") === "train"))
+    val rows = grid.zip(fitted.avgMetrics).map { case (pm, m) =>
+      (pm.get(rf.numTrees).get, pm.get(rf.maxDepth).get,
+        math.rint(m * 10000) / 10000)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("num_trees", "max_depth", "avg_accuracy")
+      .orderBy(col("num_trees"), col("max_depth"))
   }
 }

@@ -232,17 +232,31 @@ object Round4Ops {
     * wrappers) that symmetric jaccard misses. Same sketch tier as
     * dedup_near_jaccard: lang-blocked pairs, integer prune inside the
     * join (10·|A∩B| >= 9·|A|), compiled two-pointer intersect.
+    *
+    * Pair generation is the same fragment-replicate (1-Bucket-Theta)
+    * SHUFFLE join as dedup_near_jaccard: the small-side sketch
+    * replicates across nBuckets salts, the big side hashes into one,
+    * both shuffle-partition on (lang, bucket) — no corpus-sized
+    * broadcast (the round-4 variant broadcast the entire sketch table,
+    * which is linear in the corpus). A banded-MinHash candidate tier
+    * is NOT sound here: banding collides with probability ~jaccard^r,
+    * and containment pairs with |A| << |B| have arbitrarily low
+    * jaccard (A ⊂ B with |A| = 0.1|B| => jac ≈ 0.1 => certain miss),
+    * so exactness demands the full lang-blocked compare.
     */
   def textContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val nBuckets = 32
     val t = LlmOps.tokenHashes(spark, sfDir)
     val b = t.select($"doc_id".as("id_big"), $"lang".as("lang_b"),
-      $"th".as("th_b"), $"sz".as("sz_b"))
+      $"th".as("th_b"), $"sz".as("sz_b"),
+      pmod($"doc_id", lit(nBuckets)).as("bkt_b"))
     val isect = LlmOps.isect($"th", $"th_b")
-    t.select($"doc_id".as("id_small"), $"lang", $"th", $"sz")
-      .join(broadcast(b),
-        $"lang" === $"lang_b" &&
+    t.withColumn("bkt", explode(array((0 until nBuckets).map(lit): _*)))
+      .select($"doc_id".as("id_small"), $"lang", $"th", $"sz", $"bkt")
+      .join(b,
+        $"lang" === $"lang_b" && $"bkt" === $"bkt_b" &&
         ($"sz" < $"sz_b" || ($"sz" === $"sz_b" && $"id_small" < $"id_big")) &&
         isect * 10 >= $"sz" * 9)
       .select($"id_small", $"id_big",

@@ -148,6 +148,17 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
 
+  /** Append-mode sliding counts (1 h window, 15 min slide): an event
+    * belongs to 4 overlapping windows; each window emits independently
+    * once the 10-min watermark passes ITS end, so a late event can be
+    * dropped by already-closed windows while still counting toward the
+    * later windows that remain open (asserted in StreamingSpec).
+    */
+  def slidingStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .count()
+
   /** Streaming exact dedup with bounded state: watermark lets the
     * engine expire seen-keys older than the horizon.
     */

@@ -19,7 +19,9 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "agg_hll_sketch", // DataSketches binary engine-specific (bounded)
     "agg_count_min_sketch", // CMS layout engine-specific (bounded)
     "ml_dt_train_predict", "ml_kmeans_cluster", // not SQL-expressible
-    "ml_gbt_train_predict") // not SQL-expressible (binary GBT)
+    "ml_gbt_train_predict", // not SQL-expressible (binary GBT)
+    "ml_cross_validation", // fold assignment engine-specific
+    "dedup_near_embedding_ann") // SRP hash-family specific (recall asserted)
 
   test("every query is oracle-checked unless documented otherwise") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

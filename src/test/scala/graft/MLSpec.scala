@@ -112,6 +112,21 @@ class MLSpec extends AnyFunSuite with SparkFixture {
     assert(preds.subsetOf(Set(0, 1)), s"binary GBT must predict {0,1}: $preds")
   }
 
+  test("cross-validation: one row per grid point, metrics in range, deterministic") {
+    import spark.implicits._
+    val rows = ML.mlCrossValidation(spark, sf)
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) ===
+      Seq((5, 3), (5, 5), (10, 3), (10, 5)),
+      "2x2 grid must yield exactly its four combinations, ordered")
+    // no accuracy floor: real labels carry no signal (header note) —
+    // the metric just has to be a valid mean fold accuracy
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    val again = ML.mlCrossValidation(spark, sf)
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(rows === again, "fixed seeds + fixed partitioning must reproduce")
+  }
+
   test("kmeans: 8 clusters partition the dataset, sizes ordered desc") {
     import spark.implicits._
     val rows = ML.mlKmeansCluster(spark, sf)

@@ -92,6 +92,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"minhash must not force a broadcast:\n${lp.take(1500)}")
   }
 
+  test("exact pair ops declare no broadcast hint (near-jaccard / containment / near-embedding)") {
+    // Round-5 rewrite: all three exact pair operators generate pairs
+    // through fragment-replicate SHUFFLE joins (1-Bucket-Theta). Same
+    // contract as the minhash pin above: AQE may runtime-convert at toy
+    // scale (self-bounded by autoBroadcastJoinThreshold), but the
+    // declared plan must not FORCE a corpus-sized relation to ship.
+    Seq[org.apache.spark.sql.DataFrame](
+      graft.ops.LlmOps.dedupNearJaccard(spark, sf),
+      graft.ops.Round4Ops.textContainment(spark, sf),
+      graft.ops.LlmOps2.dedupNearEmbedding(spark, sf)
+    ).foreach { df =>
+      val lp = df.queryExecution.optimizedPlan.toString
+      assert(!lp.toLowerCase.contains("hint") && !lp.contains("ResolvedHint"),
+        s"exact pair op must not force a broadcast:\n${lp.take(1500)}")
+    }
+  }
+
+  test("grid-partitioned near-embedding is an equi-join, not a nested loop") {
+    val p = plan(graft.ops.LlmOps2.dedupNearEmbedding(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"grid cells must equi-join:\n${p.take(1500)}")
+  }
+
   test("salted skew join stays a shuffle join (merge hint beats tiny-dim broadcast)") {
     val p = plan(graft.ops.Round3Ops.skewSaltedJoin(spark, sf))
     assert(p.contains("SortMergeJoin"),

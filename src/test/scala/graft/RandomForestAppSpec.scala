@@ -23,6 +23,29 @@ class RandomForestAppSpec extends AnyFunSuite with SparkFixture {
     assert(pred.columns.toSeq === Seq("id", "label", "prediction"))
   }
 
+  test("csv ingest: categorical feature columns are indexed and carry the signal") {
+    import spark.implicits._
+    // label is a pure function of the categorical column; the numeric
+    // column is id noise — the forest can only reach the floor through
+    // the StringIndexer path (derived target per the determinism
+    // protocol: no accuracy assertions on real labels)
+    val csvDir = "/tmp/graft_rfapp_cat.csv"
+    val cats = Seq("red", "green", "blue", "amber")
+    val rows = (0 until 400).map { i =>
+      val c = cats(i % cats.length)
+      (c, i.toDouble / 400.0, i % cats.length)
+    }
+    rows.toDF("cat", "noise", "label")
+      .coalesce(1).write.mode("overwrite").option("header", "false").csv(csvDir)
+    val pred = RandomForestApp.trainAndScore(spark, csvDir, csvDir,
+      numTrees = 10, maxDepth = 4)
+    val n = pred.count()
+    assert(n === 400)
+    val acc = pred.filter($"prediction" === $"label").count().toDouble / n
+    assert(acc >= 0.95,
+      s"category-determined label must be learnable through indexing, got $acc")
+  }
+
   test("parquet ingest: accepts the embeddings schema and scores") {
     import spark.implicits._
     val p = s"$sf/embeddings.parquet"

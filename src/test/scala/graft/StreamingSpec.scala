@@ -141,6 +141,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("sliding window late data: dropped by closed windows, counted by still-open overlapping ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.slidingStream(ms.toDF())
+      .select($"window.start".as("ws"), $"event_type", $"count")
+      .writeStream.format("memory").queryName("slide")
+      .outputMode("append").start()
+    try {
+      def clicksAt(w: String) = spark.table("slide")
+        .where($"ws" === ts(w) && $"event_type" === "click").collect()
+      // clicks at 00:05 and 00:50; 00:50 spans windows starting
+      // 00:00 / 00:15 / 00:30 / 00:45
+      ms.addData(ev(1, "2024-01-01 00:05:00"), ev(2, "2024-01-01 00:50:00"))
+      q.processAllAvailable()
+      // advance event time to 01:40 -> watermark 01:30; next batch
+      // emits every window ending <= 01:30
+      ms.addData(ev(3, "2024-01-01 01:40:00", typ = "view"))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 01:41:00", typ = "view"))
+      q.processAllAvailable()
+      val closed = clicksAt("2024-01-01 00:00:00")
+      assert(closed.length === 1 && closed.head.getAs[Long]("count") === 2,
+        "the [00:00,01:00) window must close with both on-time clicks")
+      // LATE click at 00:50, behind the 01:31 watermark: the windows
+      // ending before it ([00:00),[00:15),[00:30)) are closed and must
+      // drop it; the overlapping [00:45,01:45) window is still open and
+      // must absorb it — the slide-boundary-crossing case
+      ms.addData(ev(5, "2024-01-01 00:50:00"))
+      q.processAllAvailable()
+      ms.addData(ev(6, "2024-01-01 02:00:00", typ = "view"))
+      q.processAllAvailable()
+      ms.addData(ev(7, "2024-01-01 02:01:00", typ = "view"))
+      q.processAllAvailable()
+      assert(clicksAt("2024-01-01 00:00:00").map(_.getAs[Long]("count")).toSeq
+        === Seq(2), "closed window must not re-emit or recount the late click")
+      assert(clicksAt("2024-01-01 00:45:00").map(_.getAs[Long]("count")).toSeq
+        === Seq(2),
+        "still-open overlapping window must count the on-time AND late click")
+    } finally q.stop()
+  }
+
   test("batch-equivalent sliding window puts each event in exactly 4 windows") {
     import spark.implicits._
     val n = Tables.events(spark, sf).count()
