@@ -1374,7 +1374,7 @@ object Oracle {
       UNION ALL
       SELECT key + 1000000000, price, 'N' FROM t WHERE key % 101 = 0)
     SELECT coalesce(key, u_key) AS o_orderkey,
-           coalesce(u_price, price) AS o_totalprice,
+           CAST(coalesce(u_price, price) AS DOUBLE) AS o_totalprice,
            coalesce(u_status, status) AS o_orderstatus
     FROM t FULL OUTER JOIN upd ON key = u_key
     ORDER BY o_orderkey
@@ -1385,9 +1385,9 @@ object Oracle {
       SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0
                   ELSE l_orderkey % 16 + 1 END AS k,
              CAST(l_quantity AS DECIMAL(12,2)) AS qty
-      FROM lineitem CROSS JOIN range(8) r),
+      FROM lineitem CROSS JOIN range(2) r),
     dim AS (SELECT range AS dk, 'g' || range AS grp FROM range(17))
-    SELECT grp, count(*) AS n, sum(qty) AS sum_qty
+    SELECT grp, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sum_qty
     FROM fact JOIN dim ON k = dk
     GROUP BY grp ORDER BY grp
   """

@@ -20,8 +20,11 @@ object Round5Ops {
     * itself is the canonical distributed shape: one shuffle FULL OUTER
     * join on the key, per-column coalesce(update, target) — no
     * broadcast, no driver state; at 100 TB this is exactly Delta/
-    * Iceberg's MERGE join stage. Money stays DECIMAL(12,2) end to end
-    * (exact adds, no fp rounding drift vs the oracle).
+    * Iceberg's MERGE join stage. Money is added in DECIMAL(12,2)
+    * (exact adds, no fp rounding drift vs the oracle) and the OUTPUT
+    * column is cast to DOUBLE per the SURVEY §2 determinism protocol —
+    * raw DECIMAL output columns hash differently across engines in the
+    * driver even when every value matches (round-5 lesson).
     */
   def pipelineUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -36,7 +39,7 @@ object Round5Ops {
         lit("N").as("u_status"))
     t.join(upd.unionAll(ins), $"key" === $"u_key", "full_outer")
       .select(coalesce($"key", $"u_key").as("o_orderkey"),
-        coalesce($"u_price", $"price").as("o_totalprice"),
+        coalesce($"u_price", $"price").cast(DoubleType).as("o_totalprice"),
         coalesce($"u_status", $"status").as("o_orderstatus"))
       .orderBy($"o_orderkey")
   }
@@ -58,9 +61,12 @@ object Round5Ops {
         when(pmod($"l_orderkey", lit(4)) < 3, 0L)
           .otherwise(pmod($"l_orderkey", lit(16)) + 1).as("k"),
         money($"l_quantity").as("qty"))
-      // x8 amplification so the hot partition is detectably skewed in
-      // bytes even at sf0.001 (the PlanSpec harness scale)
-      .withColumn("rep", explode(array((0 until 8).map(lit): _*)))
+      // x2 amplification: just enough that the hot partition is
+      // detectably skewed in bytes at sf0.001 (PlanSpec lowers the AQE
+      // thresholds to match). Round 5 used x8, which made this single
+      // demo query 14% of the whole bench at sf0.1 — the skew-split
+      // demonstration doesn't need the extra bytes.
+      .withColumn("rep", explode(array((0 until 2).map(lit): _*)))
       // multi-mapper barrier: AQE can only split a skewed reduce
       // partition at MAP-output boundaries, and a single-file toy scan
       // is one map task — the hot partition would be one indivisible
@@ -73,7 +79,10 @@ object Round5Ops {
       .select($"id".as("dk"), concat(lit("g"), $"id").as("grp"))
     fact.join(dim.hint("merge"), $"k" === $"dk")
       .groupBy($"grp")
-      .agg(count(lit(1)).as("n"), sum($"qty").as("sum_qty"))
+      .agg(count(lit(1)).as("n"),
+        // DOUBLE on output (not raw DECIMAL) per the determinism
+        // protocol — the decimal sum is exact, the cast is the last step
+        sum($"qty").cast(DoubleType).as("sum_qty"))
       .orderBy($"grp")
   }
 

@@ -48,8 +48,10 @@ class Round5Spec extends AnyFunSuite with SparkFixture {
     val before = Tables.orders(spark, sf)
       .select($"o_orderkey", Tables.money($"o_totalprice").as("p"))
       .as[(Long, BigDecimal)].collect().toMap
+    // o_totalprice is DOUBLE on output (determinism protocol); cents
+    // are far below 2^53 so the comparisons below stay exact
     val after = Round5Ops.pipelineUpsert(spark, sf)
-      .as[(Long, BigDecimal, String)].collect()
+      .as[(Long, Double, String)].collect()
     val byKey = after.map(r => r._1 -> r).toMap
     assert(after.length === byKey.size, "upsert output must be unique per key")
     val nUpd = before.keys.count(_ % 97 == 0)
@@ -58,14 +60,15 @@ class Round5Spec extends AnyFunSuite with SparkFixture {
     before.foreach { case (k, p) =>
       val (_, price, status) = byKey(k)
       if (k % 97 == 0) {
-        assert(price === p + 100 && status === "U", s"key $k must be updated")
+        assert(price === (p + 100).toDouble && status === "U",
+          s"key $k must be updated")
       } else {
-        assert(price === p, s"key $k must keep its price")
+        assert(price === p.toDouble, s"key $k must keep its price")
         assert(status != "N", s"existing key $k must not look inserted")
       }
       if (k % 101 == 0) {
         val (_, ip, is) = byKey(k + 1000000000L)
-        assert(ip === p && is === "N", s"key $k must spawn an insert")
+        assert(ip === p.toDouble && is === "N", s"key $k must spawn an insert")
       }
     }
     assert(nUpd > 0 && nIns > 0, "both merge branches must be exercised")
@@ -86,10 +89,11 @@ class Round5Spec extends AnyFunSuite with SparkFixture {
       c.set("spark.sql.adaptive.enabled", "true")
       c.set("spark.sql.adaptive.skewJoin.enabled", "true")
       // sf0.001-sized thresholds: the hot partition (~75% of rows) must
-      // cross them while the median stays under
-      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      // cross them while the median stays under (x2 amplification now,
+      // so thresholds are 4x lower than the round-5 x8 values)
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
       c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
       c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // the downstream groupBy re-shuffles regardless, so AQE's
       // "no extra shuffle" veto would skip the split; force lifts only

@@ -48,6 +48,24 @@ def main():
         if only and name not in only:
             continue
         try:
+            # Driver-faithfulness guard: the driver's hasher treats
+            # DECIMAL-typed output columns differently across the two
+            # engines even when every value matches (round-5 lesson:
+            # pipeline_upsert / skew_aqe_join shipped red while this
+            # mimic's str() normalization passed them). The repo
+            # protocol is: aggregate in DECIMAL, CAST(... AS DOUBLE) as
+            # the final step — so any DECIMAL column in a Spark RESULT
+            # is a bug regardless of values.
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM '{outdir}/{name}/*.parquet'"
+            ).fetchall()
+            dec_cols = [r[0] for r in desc if "DECIMAL" in r[1].upper()]
+            if dec_cols:
+                print(f"FAIL {name}: DECIMAL output column(s) {dec_cols} "
+                      "break the driver hash — cast to DOUBLE in the "
+                      "final select (and CAST(... AS DOUBLE) in the oracle)")
+                n_fail += 1
+                continue
             sdf = con.execute(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'")
             scols = [d[0] for d in sdf.description]
