@@ -49,9 +49,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional CLI args = run only these queries (iteration aid; the
     // driver invokes with no args and gets the full sweep)
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    // Sorted by name: hash-order iteration moved the shared-JVM context
+    // (GC pressure, codegen cache, ReuseExchange) onto different queries
+    // whenever an entry was added, making per-query numbers incomparable
+    // across rounds (round-6 verdict: 3-4x deltas on identical code).
+    // A fixed order times every query in the same context every round.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => args.isEmpty || args.contains(k) }
     // Untimed warmup: JVM/codegen/parquet-reader init otherwise lands
     // entirely on whichever query happens to run first (~4 s measured),
     // corrupting that query's number. One tiny scan per table + one
@@ -67,15 +71,17 @@ object Bench {
     // One-time costs that intentionally amortize across queries (model
     // caches, ReuseExchange) land in run 1 and the median reports the
     // steady-state latency; the total stays the sum of medians.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = selected.map { case (name, fn) =>
+    // Clamped to >=1 (0/negative would make times(times.size/2) throw);
+    // even run counts report the upper median.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val results: Map[String, Double] = selected.map { case (name, fn) =>
       val times = Seq.fill(runs) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(times.size / 2)
-    }
+    }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")

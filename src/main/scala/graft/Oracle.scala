@@ -1391,4 +1391,49 @@ object Oracle {
     FROM fact JOIN dim ON k = dk
     GROUP BY grp ORDER BY grp
   """
+
+  // ---- round-7 widening ----
+
+  // mirrors the corruption rule (event_id % 10 == 0 rows get a
+  // non-numeric value field) arithmetically on the parquet source
+  val sourceCsvMalformed: String = """
+    SELECT count(*) AS n_total,
+           count(*) FILTER (WHERE event_id % 10 = 0) AS n_corrupt,
+           count(*) FILTER (WHERE event_id % 10 <> 0) AS n_dropmalformed,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                  FILTER (WHERE event_id % 10 <> 0) AS DOUBLE) AS sum_value_good
+    FROM events
+  """
+
+  // the messy derivation + normalizer are the identical expression
+  // tree on both engines; regexp_replace needs the 'g' flag here
+  // (Spark replaces all matches by default)
+  val textNormalize: String = """
+    WITH messy AS (
+      SELECT doc_id, text,
+        CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN upper(text)
+          WHEN 1 THEN ' ' || replace(text, ' ', '  ') || ' '
+          ELSE text || ' !!! *** ??? '
+        END AS m
+      FROM documents),
+    n AS (
+      SELECT doc_id, text,
+        trim(regexp_replace(regexp_replace(lower(m), '[^a-z0-9 ]', '', 'g'),
+                            ' +', ' ', 'g')) AS norm
+      FROM messy)
+    SELECT doc_id, md5(norm) AS norm_hash,
+           CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+           (norm = text) AS roundtrip
+    FROM n ORDER BY doc_id
+  """
+
+  // final upserted state == full per-user totals (batch 1 carries the
+  // even-event totals, batch 2 the cumulative totals for users with
+  // odd events; replace-by-key makes the re-delivered batch a no-op)
+  val streamForeachBatchUpsert: String = """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+  """
 }

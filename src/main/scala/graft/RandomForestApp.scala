@@ -28,6 +28,24 @@ object RandomForestApp {
 
   private val toVecD = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
 
+  /** Deterministic record ids for CSV ingest: rank in the total order
+    * over `sortCols` (distributed sort + zipWithIndex's per-partition
+    * offset pass). monotonically_increasing_id depended on the input
+    * file partitioning, so ids changed across re-reads / split-count
+    * changes and (id, label, prediction) rows were not durably
+    * addressable. Identical rows are interchangeable, so the id
+    * MULTISET is a pure function of the file contents.
+    */
+  private def withStableId(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val sorted = df.sort(sortCols.map(col): _*)
+    val schema = StructType(
+      StructField("id", LongType, nullable = false) +: sorted.schema.fields)
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
+      schema)
+  }
+
   /** Read either format into (id, features vector, label). */
   def readFeatures(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -35,8 +53,8 @@ object RandomForestApp {
       val raw = spark.read.option("inferSchema", "true").csv(path)
       val featCols = raw.columns.dropRight(1)
       val labelCol = raw.columns.last
-      raw.select(
-        monotonically_increasing_id().as("id"),
+      withStableId(raw, raw.columns.toSeq).select(
+        col("id"),
         toVecD(array(featCols.map(c => col(c).cast(DoubleType)): _*))
           .as("features"),
         col(labelCol).cast(IntegerType).as("label"))
@@ -80,7 +98,10 @@ object RandomForestApp {
       val enc = indexers.foldLeft(df)((d, m) => m.transform(d))
       val feats = featCols.map(c =>
         if (strCols(c)) col(s"${c}__idx") else col(c).cast(DoubleType))
-      enc.select(monotonically_increasing_id().as("id"),
+      // id from the raw (atomic) columns' total order — the __idx
+      // columns are a pure function of them, so sorting on the
+      // originals alone is already deterministic
+      withStableId(enc, featCols :+ labelCol).select(col("id"),
         toVecD(array(feats: _*)).as("features"),
         col(labelCol).cast(IntegerType).as("label"))
     }

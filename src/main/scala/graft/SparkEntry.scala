@@ -181,6 +181,12 @@ object SparkEntry {
     "skew_aqe_join"               -> (Round5Ops.skewAqeJoin _),
     "dedup_near_embedding_ann"    -> (Round5Ops.dedupNearEmbeddingAnn _),
     "ml_cross_validation"         -> (ML.mlCrossValidation _),
+    // round-7 widening: malformed ingestion, text normalization,
+    // sink-side streaming upsert, CV winner surfacing
+    "source_csv_malformed"        -> (Sources.sourceCsvMalformed _),
+    "text_normalize"              -> (LlmOps2.textNormalize _),
+    "stream_foreach_batch_upsert" -> (Streaming.streamForeachBatchUpsert _),
+    "ml_cv_best_model"            -> (ML.mlCvBestModel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -337,5 +343,10 @@ object SparkEntry {
     // (recall vs the exact grid plan asserted in Round5Spec).
     // ml_cross_validation: NO oracle — fold assignment engine-specific
     // (structure + metric range asserted in MLSpec).
+    // round-7 widening. ml_cv_best_model: NO oracle — fold assignment
+    // engine-specific (winner determinism asserted in MLSpec).
+    "source_csv_malformed"        -> Oracle.sourceCsvMalformed,
+    "text_normalize"              -> Oracle.textNormalize,
+    "stream_foreach_batch_upsert" -> Oracle.streamForeachBatchUpsert,
   )
 }

@@ -115,6 +115,39 @@ object LlmOps2 {
       .orderBy($"doc_id")
   }
 
+  /** Text normalization (round-7) — the first stage of every real
+    * text-dedup pipeline: lowercase, punctuation strip, whitespace
+    * collapse, trim, then tokenize. The corpus is already clean, so a
+    * deterministic "messy" variant is derived first (doc_id % 3 picks
+    * upper-casing, double-spacing, or punctuation-noise injection) and
+    * the normalizer must recover the original text exactly — the
+    * `roundtrip` column is the per-row proof, and `norm_hash` feeds
+    * the existing fingerprint ops. Unicode NFC is the identity on this
+    * ASCII corpus; on real data it slots in before `lower` (DuckDB:
+    * nfc_normalize; Spark: a codegen'd Expression over
+    * java.text.Normalizer — not added here because built-ins cover the
+    * whole pipeline and the oracle stays engine-neutral).
+    *
+    * Scale shape: pure per-row codegen'd string expressions — no
+    * shuffle except the output sort.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val messy = when(pmod($"doc_id", lit(3)) === 0, upper($"text"))
+      .when(pmod($"doc_id", lit(3)) === 1,
+        concat(lit(" "), regexp_replace($"text", lit(" "), lit("  ")), lit(" ")))
+      .otherwise(concat($"text", lit(" !!! *** ??? ")))
+    documents(spark, sfDir)
+      .withColumn("norm",
+        trim(regexp_replace(
+          regexp_replace(lower(messy), "[^a-z0-9 ]", ""), " +", " ")))
+      .select($"doc_id",
+        md5($"norm").as("norm_hash"),
+        size(split($"norm", " ")).cast(LongType).as("n_tokens"),
+        ($"norm" === $"text").as("roundtrip"))
+      .orderBy($"doc_id")
+  }
+
   /** SimHash32 (Charikar's random-hyperplane sketch, realized over
     * token hash bits) from per-token md5 prefixes: majority vote per
     * bit over the distinct token set. Pure portable integer math (md5 hex →

@@ -126,6 +126,75 @@ object Streaming {
       .orderBy($"user_id", $"click_id", $"purchase_id")
   }
 
+  /** Generic keyed upsert: update rows replace target rows by key;
+    * one shuffle FULL OUTER join, per-column coalesce — the same MERGE
+    * shape as pipeline_upsert, no broadcast, no driver state. Updates
+    * must carry the target's exact schema.
+    */
+  def upsertByKey(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val cols = target.columns.toSeq
+    val u = updates.select(cols.map(c => col(c).as(s"__u_$c")): _*)
+    target.join(u, col(key) === col(s"__u_$key"), "full_outer")
+      .select(cols.map(c => coalesce(col(s"__u_$c"), col(c)).as(c)): _*)
+  }
+
+  /** Sink-side streaming pattern (round-7): foreachBatch-driven
+    * idempotent parquet upsert. The update-mode aggregation emits the
+    * FULL new per-key state each trigger (not a delta), so replacing
+    * by key makes batch re-delivery a no-op — the exactly-once
+    * property a foreachBatch sink must supply itself (asserted in
+    * StreamingSpec; the third merge below re-applies the last batch
+    * inside this op as the batch-mode mirror of that re-delivery).
+    *
+    * Mirror construction: two micro-batches from events (even
+    * event_ids deliver first, then the rest), each carrying cumulative
+    * per-user totals for the users it touches — exactly what an
+    * update-mode groupBy(user).agg emits per trigger. Final state =
+    * full per-user totals, which is the oracle query. Money stays
+    * DECIMAL through the merges; DOUBLE only on output.
+    *
+    * Scale note: each merge is one key-partitioned shuffle join; state
+    * lives in the target table, not the driver — at 100 TB this is
+    * Delta/Iceberg MERGE fed by foreachBatch, and the parquet
+    * overwrite becomes a transactional commit.
+    */
+  def streamForeachBatchUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, sfDir).select($"event_id", $"user_id", money($"value").as("v"))
+    def totals(df: DataFrame): DataFrame =
+      df.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"v").as("sum_value"))
+    val batch1 = totals(e.filter(pmod($"event_id", lit(2)) === 0))
+    // trigger 2 emits cumulative state, only for users seen in batch 2
+    val batch2 = totals(e).join(
+      e.filter(pmod($"event_id", lit(2)) === 1).select($"user_id").distinct(),
+      Seq("user_id"), "left_semi")
+    val empty = batch1.filter(lit(false))
+    val afterB1 = upsertByKey(empty, batch1, "user_id")
+    val afterB2 = upsertByKey(afterB1, batch2, "user_id")
+    val redelivered = upsertByKey(afterB2, batch2, "user_id") // idempotent
+    redelivered
+      .select($"user_id", $"n_events",
+        $"sum_value".cast(DoubleType).as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  /** The real foreachBatch sink body used with writeStream in
+    * StreamingSpec: read-merge-overwrite of a parquet target keyed on
+    * user_id. The merged frame is materialized (persist + count)
+    * before overwriting the directory it was read from.
+    */
+  def upsertBatchSink(spark: SparkSession, targetDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val existing =
+      try spark.read.parquet(targetDir)
+      catch { case _: Throwable => batch.filter(lit(false)) }
+    val merged = upsertByKey(existing, batch, "user_id").persist()
+    merged.count()
+    try merged.write.mode("overwrite").parquet(targetDir)
+    finally merged.unpersist()
+  }
+
   // ---- streaming plan builders (MemoryStream / readStream sources) ----
 
   /** Real stream-stream inner join: watermarks on both sides plus the

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards on the driver contract itself: the no-oracle set stays
@@ -21,7 +21,17 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "ml_dt_train_predict", "ml_kmeans_cluster", // not SQL-expressible
     "ml_gbt_train_predict", // not SQL-expressible (binary GBT)
     "ml_cross_validation", // fold assignment engine-specific
+    "ml_cv_best_model", // fold assignment engine-specific (winner pinned in MLSpec)
     "dedup_near_embedding_ann") // SRP hash-family specific (recall asserted)
+
+  test("registered query count matches the declared SURVEY §2 inventory") {
+    // Bump DELIBERATELY with each widening, in the same commit that
+    // updates SURVEY.md §2 and README — this pin is what makes
+    // inventory drift (round 5/6 verdicts) impossible to ship silently.
+    assert(SparkEntry.queries.size === 148,
+      "SparkEntry.queries changed size: update SURVEY.md §2 + README " +
+        "and bump this pin in the same commit")
+  }
 
   test("every query is oracle-checked unless documented otherwise") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -40,20 +50,25 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     assert(bad.isEmpty, s"non-snake-case names: $bad")
   }
 
-  test("oracle-checked queries emit only atomic columns") {
+  test("oracle-checked queries emit only atomic, non-decimal columns") {
     // The driver's compare sorts the pandas frame by every column;
     // array/map/struct cells are unhashable there and crash the gate
-    // (r3: fn_vector_arith). Schema-only check — no execution.
+    // (r3: fn_vector_arith), and DECIMAL output columns hash
+    // differently across engines even when every value matches (r5:
+    // pipeline_upsert, skew_aqe_join) — the determinism protocol keeps
+    // DECIMAL internal and casts to DOUBLE as the last step. Schema-
+    // only check — no execution.
     val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
       val schema = SparkEntry.queries(name)(spark, sf).schema
-      val nested = schema.fields.collect {
+      val bad = schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
           f.dataType.isInstanceOf[MapType] ||
-          f.dataType.isInstanceOf[StructType] => f.name
+          f.dataType.isInstanceOf[StructType] ||
+          f.dataType.isInstanceOf[DecimalType] => f.name
       }
-      if (nested.isEmpty) None else Some(s"$name(${nested.mkString(",")})")
+      if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
     }
     assert(offenders.isEmpty,
-      s"oracle-checked queries with non-atomic output columns: $offenders")
+      s"oracle-checked queries with non-atomic or decimal output columns: $offenders")
   }
 }

@@ -127,6 +127,30 @@ class MLSpec extends AnyFunSuite with SparkFixture {
     assert(rows === again, "fixed seeds + fixed partitioning must reproduce")
   }
 
+  test("cv winner is the metric grid's argmax, deterministic, and scores the full test split") {
+    import spark.implicits._
+    val grid = ML.mlCrossValidation(spark, sf)
+      .as[(Int, Int, Double)].collect().toSeq
+    val winner = ML.mlCvBestModel(spark, sf)
+      .select($"num_trees", $"max_depth").distinct()
+      .as[(Int, Int)].collect().toSeq
+    assert(winner.size === 1, "exactly one winning hyper-parameter pair")
+    // metric-level argmax (robust to tie ordering between the grid's
+    // sorted output and CrossValidator's param-map order)
+    val winnerMetric = grid.find(r => (r._1, r._2) === winner.head).get._3
+    assert(winnerMetric === grid.map(_._3).max,
+      "winner must carry the grid's maximum mean fold accuracy")
+    val pred = ML.mlCvBestModel(spark, sf)
+      .select($"vec_id", $"prediction").as[(Long, Int)].collect().toSeq
+    val predAgain = ML.mlCvBestModel(spark, sf)
+      .select($"vec_id", $"prediction").as[(Long, Int)].collect().toSeq
+    assert(pred === predAgain, "winner predictions must reproduce")
+    val nTest = ML.mlRfTrainPredictInput(spark, sf)
+      .filter(col("split") === "test").count()
+    assert(pred.size.toLong === nTest,
+      "winner must score every held-out row exactly once")
+  }
+
   test("kmeans: 8 clusters partition the dataset, sizes ordered desc") {
     import spark.implicits._
     val rows = ML.mlKmeansCluster(spark, sf)

@@ -216,6 +216,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(pairs === Set((1L, 101L), (2L, 103L)))
     } finally q.stop()
   }
+
+  test("foreachBatch upsert sink: update-mode totals land in parquet, re-delivery is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = "/tmp/graft_fb_upsert_" + spark.sparkContext.applicationId
+    val ms = MemoryStream[Ev]
+    val totals = ms.toDF().groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      Streaming.upsertBatchSink(spark, target)
+    val q = totals.writeStream.outputMode("update").foreachBatch(sink).start()
+    def state(): Seq[(Long, Long, Double)] =
+      spark.read.parquet(target).orderBy($"user_id")
+        .as[(Long, Long, Double)].collect().toSeq
+    try {
+      ms.addData(ev(1, "2024-01-01 00:00:01", user = 1),
+        ev(2, "2024-01-01 00:00:02", user = 1),
+        ev(3, "2024-01-01 00:00:03", user = 2))
+      q.processAllAvailable()
+      assert(state() === Seq((1L, 2L, 2.0), (2L, 1L, 1.0)))
+      // trigger 2 updates user 1 (cumulative total) and inserts user 3
+      ms.addData(ev(4, "2024-01-01 00:00:04", user = 1),
+        ev(5, "2024-01-01 00:00:05", user = 3))
+      q.processAllAvailable()
+      val merged = state()
+      assert(merged === Seq((1L, 3L, 3.0), (2L, 1L, 1.0), (3L, 1L, 1.0)))
+      // exactly-once: re-deliver trigger 2's update rows (full per-key
+      // state, as update mode emits) — replace-by-key must be a no-op
+      val redelivered = Seq((1L, 3L, 3.0), (3L, 1L, 1.0))
+        .toDF("user_id", "n_events", "sum_value")
+      Streaming.upsertBatchSink(spark, target)(redelivered, 99L)
+      assert(state() === merged,
+        "re-delivered batch must leave the target unchanged")
+    } finally q.stop()
+  }
 }
 
 case class Click(click_id: Long, click_ts: Timestamp, user_id: Long)
