@@ -1436,4 +1436,152 @@ object Oracle {
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY user_id ORDER BY user_id
   """
+
+  // ---- round-7 widening, part 2 ----
+
+  // the alpha=0.5 temperature threshold is integer arithmetic over a
+  // correctly-rounded IEEE sqrt/divide, so printf('%04x', ...) here and
+  // lpad(lower(hex(...))) in Spark render the identical 4 hex digits
+  val pipelineMixtureSample: String = """
+    WITH rates AS (
+      SELECT lang, count(*) AS n_docs,
+             least(1.0, 6.0 / sqrt(count(*))) AS rate
+      FROM documents GROUP BY lang),
+    t AS (
+      SELECT lang, n_docs, rate,
+             CASE WHEN rate >= 1.0 THEN 'zzzz'
+                  ELSE printf('%04x', CAST(floor(rate * 65536) AS BIGINT)) END
+               AS threshold
+      FROM rates),
+    picked AS (
+      SELECT d.lang, t.n_docs, t.rate, d.doc_id,
+             substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t.threshold AS p
+      FROM documents d JOIN t USING (lang))
+    SELECT lang, first(n_docs) AS n_docs, round(first(rate), 6) AS rate,
+           sum(CASE WHEN p THEN 1 ELSE 0 END) AS n_sampled,
+           sum(CASE WHEN p THEN doc_id END) AS id_checksum
+    FROM picked GROUP BY lang ORDER BY lang
+  """
+
+  // same explode-count-reaggregate shape; DuckDB lists are 1-based like
+  // Spark element_at, and range(1, len) matches sequence(1, len - 1)
+  val textRepetitionFilter: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    top AS (
+      SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n FROM (
+        SELECT doc_id, term, count(*) AS c FROM (
+          SELECT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY doc_id, term)
+      GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, sum(c) AS n_bigrams, sum(c) - count(*) AS dup_bigram_n
+      FROM (
+        SELECT doc_id, bigram, count(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])) AS bigram
+          FROM toks WHERE len(t) >= 2)
+        GROUP BY doc_id, bigram)
+      GROUP BY doc_id)
+    SELECT top.doc_id, n_tokens,
+           round(CAST(top_token_n AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+           round(CAST(dup_bigram_n AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac,
+           (CAST(top_token_n AS DOUBLE) / n_tokens < 0.2
+             AND CAST(dup_bigram_n AS DOUBLE) / n_bigrams < 0.3) AS keep
+    FROM top JOIN bg ON top.doc_id = bg.doc_id
+    ORDER BY top.doc_id
+  """
+
+  // gaps-and-islands: identical difference-of-row_numbers island id,
+  // event_id in both orderings so ties cannot reorder across engines
+  val pipelineScd2: String = """
+    WITH r AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS island
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, island,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM r GROUP BY user_id, event_type, island)
+    SELECT user_id, event_type AS status, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL) AS is_current,
+           n_events
+    FROM runs ORDER BY user_id, valid_from
+  """
+
+  // each stage's min ts is constrained STRICTLY AFTER the previous
+  // stage's entry and within the 48 h conversion window, mirroring the
+  // chained-join construction
+  val analyticFunnel: String = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+      SELECT user_id, min(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        AND e.ts <= v.view_ts + INTERVAL 48 HOUR
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        AND e.ts <= c.click_ts + INTERVAL 48 HOUR
+      GROUP BY e.user_id)
+    SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           (CASE WHEN v.view_ts IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS stage
+    FROM u LEFT JOIN v ON u.user_id = v.user_id
+           LEFT JOIN c ON u.user_id = c.user_id
+           LEFT JOIN p ON u.user_id = p.user_id
+    ORDER BY u.user_id
+  """
+
+  // identical deterministic v2 derivation; the +10% reprice is the same
+  // IEEE double multiply, so changed-detection is an exact compare
+  val pipelineDatasetDiff: String = """
+    WITH v1 AS (
+      SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
+    kept AS (SELECT * FROM v1 WHERE key % 13 <> 0),
+    v2 AS (
+      SELECT key,
+             CASE WHEN key % 7 = 0 THEN price * 1.1 ELSE price END AS price
+      FROM kept
+      UNION ALL
+      SELECT key + 2000000000, price FROM kept WHERE key % 17 = 0)
+    SELECT coalesce(a.key, b.key) AS key,
+           CASE WHEN a.key IS NULL THEN 'added'
+                WHEN b.key IS NULL THEN 'removed'
+                WHEN a.price <> b.price THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           a.price AS old_price, b.price AS new_price
+    FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key
+    WHERE CASE WHEN a.key IS NULL THEN 'added'
+               WHEN b.key IS NULL THEN 'removed'
+               WHEN a.price <> b.price THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+    ORDER BY key
+  """
+
+  // percent_rank/cume_dist are tie-aware (value-ordered window); ntile
+  // splits by position, so it takes the key-tiebroken ordering
+  val winCumeDist: String = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(10) OVER wt AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+           wt AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+  """
 }

@@ -187,6 +187,14 @@ object SparkEntry {
     "text_normalize"              -> (LlmOps2.textNormalize _),
     "stream_foreach_batch_upsert" -> (Streaming.streamForeachBatchUpsert _),
     "ml_cv_best_model"            -> (ML.mlCvBestModel _),
+    // round-7 widening, part 2: mixture sampling, repetition quality,
+    // SCD2 history, conversion funnel, snapshot diff, cume windows
+    "pipeline_mixture_sample"     -> (Round7Ops.pipelineMixtureSample _),
+    "text_repetition_filter"      -> (Round7Ops.textRepetitionFilter _),
+    "pipeline_scd2"               -> (Round7Ops.pipelineScd2 _),
+    "analytic_funnel"             -> (Round7Ops.analyticFunnel _),
+    "pipeline_dataset_diff"       -> (Round7Ops.pipelineDatasetDiff _),
+    "win_cume_dist"               -> (Round7Ops.winCumeDist _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -348,5 +356,12 @@ object SparkEntry {
     "source_csv_malformed"        -> Oracle.sourceCsvMalformed,
     "text_normalize"              -> Oracle.textNormalize,
     "stream_foreach_batch_upsert" -> Oracle.streamForeachBatchUpsert,
+    // round-7 widening, part 2 — all six oracle-checked
+    "pipeline_mixture_sample"     -> Oracle.pipelineMixtureSample,
+    "text_repetition_filter"      -> Oracle.textRepetitionFilter,
+    "pipeline_scd2"               -> Oracle.pipelineScd2,
+    "analytic_funnel"             -> Oracle.analyticFunnel,
+    "pipeline_dataset_diff"       -> Oracle.pipelineDatasetDiff,
+    "win_cume_dist"               -> Oracle.winCumeDist,
   )
 }
