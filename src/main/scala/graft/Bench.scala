@@ -91,7 +91,9 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
-    try {
+    // full sweeps only: a selective CLI run (iteration aid) must not
+    // clobber the committed full-sweep snapshot
+    if (args.isEmpty) try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }

@@ -1493,15 +1493,22 @@ object Oracle {
     ORDER BY top.doc_id
   """
 
-  // gaps-and-islands: identical difference-of-row_numbers island id,
-  // event_id in both orderings so ties cannot reorder across engines
+  // gaps-and-islands: identical lag-boundary + running-sum island id
+  // (single-partitioning form), event_id in the ordering so ties
+  // cannot reorder across engines
   val pipelineScd2: String = """
-    WITH r AS (
+    WITH b AS (
       SELECT user_id, event_type, ts, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               - row_number() OVER (PARTITION BY user_id, event_type
-                                    ORDER BY ts, event_id) AS island
-      FROM events),
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM b),
     runs AS (
       SELECT user_id, event_type, island,
              min(ts) AS valid_from, count(*) AS n_events

@@ -195,6 +195,7 @@ object SparkEntry {
     "analytic_funnel"             -> (Round7Ops.analyticFunnel _),
     "pipeline_dataset_diff"       -> (Round7Ops.pipelineDatasetDiff _),
     "win_cume_dist"               -> (Round7Ops.winCumeDist _),
+    "source_xml_roundtrip"        -> (Sources.sourceXmlRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -363,5 +364,6 @@ object SparkEntry {
     "analytic_funnel"             -> Oracle.analyticFunnel,
     "pipeline_dataset_diff"       -> Oracle.pipelineDatasetDiff,
     "win_cume_dist"               -> Oracle.winCumeDist,
+    "source_xml_roundtrip"        -> Oracle.sourceRoundtrip,
   )
 }

@@ -96,23 +96,27 @@ object Round7Ops {
     * stream is collapsed into runs of consecutive identical
     * event_types, and each run becomes a type-2 validity interval
     * [valid_from, valid_to) with the last run per user open
-    * (is_current). The island id is the classic difference of two
-    * row_numbers — global-per-user minus per-(user, type) — which is
-    * constant exactly within a run; both orderings include event_id so
-    * ties cannot reorder across engines. This is how a 100 TB
-    * dimension history is built from a change log: two window passes
-    * over the same (user_id) partitioning — one shuffle, no driver
+    * (is_current). Run boundaries come from lag(event_type) and the
+    * island id from a running sum of boundary flags — both over the
+    * SAME (user_id) partitioning, deliberately NOT the textbook
+    * difference-of-row_numbers (whose second row_number partitions by
+    * (user, type) and would force a second exchange). Every window
+    * orders by (ts, event_id) so ties cannot reorder across engines.
+    * This is how a 100 TB dimension history is built from a change
+    * log: ONE shuffle on the history key (PlanSpec-pinned), no driver
     * state, no self-join.
     */
   def pipelineScd2(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val byUserType =
-      Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
     val runs = events(spark, sfDir)
       .select($"user_id", $"event_type", $"ts", $"event_id")
-      .withColumn("island",
-        row_number().over(byUser) - row_number().over(byUserType))
+      .withColumn("boundary",
+        when(lag($"event_type", 1).over(byUser).isNull ||
+          lag($"event_type", 1).over(byUser) =!= $"event_type", 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"boundary").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"event_type", $"island")
       .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
     val seq = Window.partitionBy($"user_id").orderBy($"valid_from")

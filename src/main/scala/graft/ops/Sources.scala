@@ -101,4 +101,20 @@ object Sources {
     spark.read.schema(schema).orc(out)
       .orderBy($"event_id")
   }
+
+  /** XML round trip — the XML data source is built into Spark 4 (the
+    * former spark-xml package): write with an explicit rowTag, read
+    * back schema-explicit. Doubles survive like CSV/JSON (shortest
+    * round-trip rendering), so the oracle compares against the
+    * original rows. Distributed like any text source: one file per
+    * partition out, splittable scan back.
+    */
+  def sourceXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = "/tmp/graft_roundtrip_xml_" + tag(spark, sfDir)
+    slice(spark, sfDir).write.mode("overwrite")
+      .option("rowTag", "event").format("xml").save(out)
+    spark.read.schema(schema).option("rowTag", "event").format("xml").load(out)
+      .orderBy($"event_id")
+  }
 }

@@ -235,6 +235,18 @@ object Streaming {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates(Seq("event_id"))
 
+  /** Bounded-state streaming dedup: unlike dropDuplicates (whose key
+    * state grows forever — the 100 TB streaming killer),
+    * dropDuplicatesWithinWatermark evicts each key once the watermark
+    * passes its event time, trading "exactly once ever" for "exactly
+    * once within the delay bound" — the right contract when upstream
+    * redelivery is bounded (Kafka at-least-once). A duplicate arriving
+    * after eviction is re-admitted; StreamingSpec pins both sides.
+    */
+  def dedupWithinWatermarkStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   def sessionStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

@@ -151,4 +151,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe must be broadcast-side:\n${p.take(1500)}")
   }
+
+  test("scd2 history needs exactly one hash exchange on the history key") {
+    // The lag-boundary + running-sum island construction keeps both
+    // window passes AND the run aggregate on the single user_id
+    // hash partitioning (user_id is a subset of the groupBy keys, so
+    // ClusteredDistribution is already satisfied); only the output
+    // sort may add a range exchange. The textbook row_number-difference
+    // form would partition its second window by (user, type) and
+    // double the shuffles — at 100 TB that is the whole cost.
+    val p = plan(graft.ops.Round7Ops.pipelineScd2(spark, sf))
+    val hashEx = """Exchange hashpartitioning""".r.findAllIn(p).size
+    assert(hashEx <= 2, // final + initial-plan detail section of ONE node
+      s"scd2 must shuffle once on user_id; saw $hashEx hashpartitioning entries:\n" +
+        p.take(2000))
+  }
+
+  test("mixture sampling broadcasts only the per-lang rate table") {
+    // 5 rows of (lang, rate, threshold) ship to every executor; the
+    // corpus streams through the codegen'd coin filter unshuffled.
+    val p = plan(graft.ops.Round7Ops.pipelineMixtureSample(spark,
+      "/root/testdata/sf0.01"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n${p.take(1500)}")
+  }
 }

@@ -72,6 +72,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dedup within watermark: bounded state drops near dupes, re-admits after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.dedupWithinWatermarkStream(ms.toDF())
+      .select($"event_id", $"ts")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(10, "2024-01-01 00:01:00"), ev(10, "2024-01-01 00:02:00"))
+      q.processAllAvailable()
+      // duplicate within the 10 min bound: dropped (one row for id 10)
+      assert(spark.table("dedup_wm").count() === 1)
+      // advance the watermark far past id 10's event time, evicting it
+      ms.addData(ev(11, "2024-01-01 01:00:00"))
+      q.processAllAvailable()
+      // id 10 redelivered AFTER eviction: re-admitted — the bounded-
+      // state contract (state is per-key-within-delay, not forever)
+      ms.addData(ev(10, "2024-01-01 01:00:30"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm").select($"event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(10L, 10L, 11L),
+        "post-eviction duplicate must be re-admitted (bounded state)")
+    } finally q.stop()
+  }
+
   test("session window merges events within gap, splits on >= gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
