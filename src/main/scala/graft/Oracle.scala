@@ -1591,4 +1591,72 @@ object Oracle {
                   ORDER BY o_totalprice, o_orderkey)
     ORDER BY o_orderkey
   """
+
+  // ---- round-7 widening, part 3 ----
+
+  // same deterministic probe nulling; NOT IN three-valued logic means
+  // NULL probes are excluded on both engines
+  val joinNullAwareAnti: String = """
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM (SELECT o_orderstatus,
+                 CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                      ELSE o_custkey END AS probe_custkey
+          FROM orders)
+    WHERE probe_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """
+
+  // the bloom prefilter is a pure reduction: the exact join removes
+  // every false positive, so the oracle is the plain join
+  val scaleBloomPrefilter: String = s"""
+    SELECT s_suppkey, count(*) AS n_items,
+           CAST(sum(${m("l_quantity")}) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_acctbal >= 5000.0
+    GROUP BY s_suppkey ORDER BY s_suppkey
+  """
+
+  // the merged base+delta state must equal a full recompute exactly
+  // (count and decimal sum are associative)
+  val pipelineIncrementalAgg: String = s"""
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(${m("o_totalprice")}) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+  """
+
+  // identical spine construction (per-user min..max day) and fill
+  // semantics (last non-null over unbounded-preceding rows)
+  val tsGapFill: String = """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events, max(value) AS day_max
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, CAST(min(day) AS TIMESTAMP) AS d0,
+             CAST(max(day) AS TIMESTAMP) AS d1
+      FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds)
+    SELECT s.user_id, s.day, coalesce(d.n_events, 0) AS n_events,
+           last_value(d.day_max IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS UNBOUNDED PRECEDING) AS filled_max
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    ORDER BY s.user_id, s.day
+  """
+
+  // one row per profiled column; exact distincts
+  val pipelineProfileColumns: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count($c) AS n_nonnull,
+             count(DISTINCT $c) AS n_distinct,
+             min($c) AS min_val, max($c) AS max_val FROM lineitem"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }

@@ -196,6 +196,14 @@ object SparkEntry {
     "pipeline_dataset_diff"       -> (Round7Ops.pipelineDatasetDiff _),
     "win_cume_dist"               -> (Round7Ops.winCumeDist _),
     "source_xml_roundtrip"        -> (Sources.sourceXmlRoundtrip _),
+    // round-7 widening, part 3: null-aware anti join, bloom semi-join
+    // reduction, incremental aggregate maintenance, time-series
+    // gap-fill, one-pass column profiling
+    "join_null_aware_anti"        -> (Round7Ops2.joinNullAwareAnti _),
+    "scale_bloom_prefilter"       -> (Round7Ops2.scaleBloomPrefilter _),
+    "pipeline_incremental_agg"    -> (Round7Ops2.pipelineIncrementalAgg _),
+    "ts_gap_fill"                 -> (Round7Ops2.tsGapFill _),
+    "pipeline_profile_columns"    -> (Round7Ops2.pipelineProfileColumns _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -365,5 +373,10 @@ object SparkEntry {
     "pipeline_dataset_diff"       -> Oracle.pipelineDatasetDiff,
     "win_cume_dist"               -> Oracle.winCumeDist,
     "source_xml_roundtrip"        -> Oracle.sourceRoundtrip,
+    "join_null_aware_anti"        -> Oracle.joinNullAwareAnti,
+    "scale_bloom_prefilter"       -> Oracle.scaleBloomPrefilter,
+    "pipeline_incremental_agg"    -> Oracle.pipelineIncrementalAgg,
+    "ts_gap_fill"                 -> Oracle.tsGapFill,
+    "pipeline_profile_columns"    -> Oracle.pipelineProfileColumns,
   )
 }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.Round7Ops2
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural cross-checks for the round-7 part-3 operators. The
+  * DuckDB oracle gates values; these assert what it cannot see — the
+  * NAAJ plan shape, bloom-prefilter equivalence to the unfiltered
+  * join, incremental-merge equivalence to a full recompute, spine
+  * contiguity, and profile consistency.
+  */
+class Round7Spec2 extends AnyFunSuite with SparkFixture {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("NOT IN plans as a null-aware BroadcastHashJoin, not a nested loop") {
+    val p = plan(Round7Ops2.joinNullAwareAnti(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected single-column NAAJ to stay a broadcast hash join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "null-aware anti must not degenerate into a nested loop")
+  }
+
+  test("null-aware anti excludes NULL probes (three-valued logic)") {
+    import spark.implicits._
+    val got = Round7Ops2.joinNullAwareAnti(spark, sf)
+      .agg(sum($"n_orders")).head.getLong(0)
+    // non-null probe + plain anti join ≡ NOT IN over a null-free list
+    val building = Tables.customer(spark, sf)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val manual = Tables.orders(spark, sf)
+      .filter(pmod($"o_orderkey", lit(97)) =!= 0)
+      .join(building, $"o_custkey" === $"c_custkey", "left_anti")
+      .count()
+    assert(got === manual, "NULL probes must be excluded, the rest anti-joined")
+    val withNullProbes = Tables.orders(spark, sf)
+      .join(building, $"o_custkey" === $"c_custkey", "left_anti").count()
+    assert(got < withNullProbes, "some probes are nulled, so NAAJ must return fewer")
+  }
+
+  test("bloom prefilter returns exactly the unfiltered join result") {
+    import spark.implicits._
+    val got = Round7Ops2.scaleBloomPrefilter(spark, sf)
+    val expected = {
+      val q = Tables.supplier(spark, sf)
+        .filter($"s_acctbal" >= 5000.0).select($"s_suppkey")
+      Tables.lineitem(spark, sf)
+        .join(q, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(Tables.money($"l_quantity"))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+        .orderBy($"s_suppkey")
+    }
+    assert(got.collect().toSeq === expected.collect().toSeq,
+      "false positives must be removed by the exact join")
+  }
+
+  test("incremental merge is bit-identical to the full recompute") {
+    import spark.implicits._
+    val got = Round7Ops2.pipelineIncrementalAgg(spark, sf)
+    val full = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.money($"o_totalprice"))
+          .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+      .orderBy($"o_custkey")
+    assert(got.collect().toSeq === full.collect().toSeq,
+      "base+delta merge must equal recomputing over the union")
+  }
+
+  test("gap-fill spine is contiguous, count-preserving, and fully filled") {
+    import spark.implicits._
+    val g = Round7Ops2.tsGapFill(spark, sf).cache()
+    val perUser = g.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        (datediff(max($"day"), min($"day")) + 1).as("span"),
+        sum($"n_events").as("n_events"),
+        sum(when($"filled_max".isNull, 1).otherwise(0)).as("n_null_fill"))
+    assert(perUser.filter($"n_days" =!= $"span").count() === 0,
+      "every day between a user's first and last active day must appear")
+    assert(perUser.filter($"n_null_fill" =!= 0).count() === 0,
+      "forward fill starts on an active day, so no filled_max may be null")
+    val total = Tables.events(spark, sf).count()
+    assert(g.agg(sum($"n_events")).head.getLong(0) === total,
+      "zero-filling must not invent or drop events")
+    g.unpersist()
+  }
+
+  test("column profile agrees with direct per-column queries") {
+    import spark.implicits._
+    val p = Round7Ops2.pipelineProfileColumns(spark, sf).cache()
+    assert(p.count() === 4)
+    val li = Tables.lineitem(spark, sf)
+    val qRow = p.filter($"column_name" === "l_quantity").head()
+    assert(qRow.getLong(1) === li.filter($"l_quantity".isNotNull).count())
+    assert(qRow.getLong(2) === li.select($"l_quantity").distinct().count())
+    assert(p.filter($"min_val" > $"max_val").count() === 0)
+    p.unpersist()
+  }
+}
