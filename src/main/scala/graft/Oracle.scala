@@ -1659,4 +1659,77 @@ object Oracle {
              min($c) AS min_val, max($c) AS max_val FROM lineitem"""
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
+
+  // exact decimal moments → single double conversion → identical
+  // double-op sequence: the raw z the filter sees is bit-identical,
+  // so no |z| > 2 boundary row can flip between engines
+  val analyticZscoreOutliers: String = """
+    WITH q AS (
+      SELECT event_id, user_id, CAST(value AS DECIMAL(12,2)) AS qv
+      FROM events),
+    mo AS (
+      SELECT user_id, count(*) AS n, sum(qv) AS s1, sum(qv * qv) AS s2
+      FROM q GROUP BY user_id),
+    st AS (
+      SELECT user_id, mean,
+             sqrt((s2d - n * mean * mean) / (n - 1)) AS std
+      FROM (SELECT user_id, n, CAST(s1 AS DOUBLE) / n AS mean,
+                   CAST(s2 AS DOUBLE) AS s2d
+            FROM mo))
+    SELECT q.event_id, q.user_id, CAST(q.qv AS DOUBLE) AS value_q,
+           round((CAST(q.qv AS DOUBLE) - st.mean) / st.std, 4) AS z
+    FROM q JOIN st ON q.user_id = st.user_id
+    WHERE abs((CAST(q.qv AS DOUBLE) - st.mean) / st.std) > 2.0
+    ORDER BY q.event_id
+  """
+
+  // same 1-based inclusive 20-element slice of the sorted distinct
+  // posting list on both engines
+  val textInvertedIndex: String = """
+    SELECT term, count(DISTINCT doc_id) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',')
+             AS postings
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+    GROUP BY term ORDER BY term
+  """
+
+  // identical 16-term shift-and-mask interleave in DuckDB's operator
+  // dialect
+  val scaleZorderCluster: String = {
+    val morton = (0 until 8).map { i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""
+    SELECT o_orderkey, xb, yb, $morton AS zval
+    FROM (SELECT o_orderkey,
+                 CAST(o_custkey % 256 AS INTEGER) AS xb,
+                 CAST(date_diff('day', DATE '1995-01-01',
+                                CAST(o_orderdate AS DATE)) % 256 AS INTEGER)
+                   AS yb
+          FROM orders)
+    ORDER BY zval, o_orderkey
+    """
+  }
+
+  // same gaps-and-islands construction as the batch mirror; gap
+  // strictly greater than 30 min opens a new session
+  val streamStatefulSession: String = """
+    WITH b AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, ts,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM b)
+    SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM r GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+  """
 }

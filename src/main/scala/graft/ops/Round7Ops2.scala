@@ -158,4 +158,111 @@ object Round7Ops2 {
           "(column_name, n_nonnull, n_distinct, min_val, max_val)")
       .orderBy("column_name")
   }
+
+  /** Per-group z-score outlier detection, engine-tie safe: mean and
+    * sample variance are derived from EXACT decimal moments (count,
+    * sum(q), sum(q*q) over the 2dp-quantized value), then converted to
+    * double once — both engines perform the identical double-op
+    * sequence on identical exact inputs, so the raw (unrounded) z the
+    * |z| > 2 filter sees is bit-identical and no boundary row can
+    * flip. The naive-stddev alternative (avg/stddev_samp of raw
+    * doubles) differs across engines in the last ulps and makes the
+    * threshold a coin flip. One partial-agg pass for the moments, a
+    * broadcast of the per-user stats (bounded by user count), one
+    * codegen'd filter — nothing corpus-sized shuffles.
+    */
+  def analyticZscoreOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = events(spark, sfDir)
+      .select($"event_id", $"user_id", money($"value").as("qv"))
+    val stats = q.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"qv").as("s1"),
+        sum($"qv" * $"qv").as("s2"))
+      .withColumn("mean", $"s1".cast(DoubleType) / $"n")
+      .withColumn("std",
+        sqrt(($"s2".cast(DoubleType) - $"n" * $"mean" * $"mean") / ($"n" - 1)))
+      .select($"user_id", $"mean", $"std")
+    q.join(broadcast(stats), Seq("user_id"))
+      .withColumn("z", ($"qv".cast(DoubleType) - $"mean") / $"std")
+      .filter(abs($"z") > 2.0)
+      .select($"event_id", $"user_id",
+        $"qv".cast(DoubleType).as("value_q"), round($"z", 4).as("z"))
+      .orderBy($"event_id")
+  }
+
+  /** Inverted index over the corpus: term → document frequency +
+    * the first 20 postings (sorted doc_ids, comma-joined) — the
+    * retrieval-side artifact of a text pipeline. Explode + hash
+    * aggregate; `collect_set` bounds per-term state by distinct docs
+    * and the postings column is capped at 20 entries, so row width is
+    * bounded no matter the corpus size (the full posting list at
+    * 100 TB would be written as (term, doc) pairs instead — this op is
+    * the dictionary/head view).
+    */
+  def textInvertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"),
+        array_join(
+          expr("transform(slice(sort_array(collect_set(doc_id)), 1, 20), " +
+            "x -> cast(x AS STRING))"), ",").as("postings"))
+      .orderBy($"term")
+  }
+
+  /** Z-order (Morton) clustering key: customer bucket and day-number
+    * bucket bit-interleaved into one 16-bit z-value. Sorting/range-
+    * partitioning by z keeps BOTH dimensions locally narrow in every
+    * partition — the multi-dimensional data-skipping layout (Delta
+    * OPTIMIZE ZORDER BY) that lets min/max file stats prune scans on
+    * either predicate column; Round7Spec2 measures the per-partition
+    * span shrinkage after `repartitionByRange(zval)`. The interleave
+    * is 16 shift-and-mask terms of integer arithmetic — exactly
+    * mirrored in the oracle's dialect.
+    */
+  def scaleZorderCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val morton = (0 until 8).map { i =>
+      s"shiftleft(shiftright(xb, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(yb, $i) & 1, ${2 * i + 1})"
+    }.mkString(" + ")
+    orders(spark, sfDir)
+      .withColumn("xb", pmod($"o_custkey", lit(256)).cast(IntegerType))
+      .withColumn("yb",
+        pmod(datediff($"o_orderdate".cast(DateType),
+          to_date(lit("1995-01-01"))), lit(256)).cast(IntegerType))
+      .withColumn("zval", expr(morton))
+      .select($"o_orderkey", $"xb", $"yb", $"zval")
+      .orderBy($"zval", $"o_orderkey")
+  }
+
+  /** Batch mirror of stateful sessionization (gap > 30 min closes a
+    * session): lag-boundary + running-sum islands on ONE (user_id)
+    * partitioning, runs collapsed to (start, end, n). The real
+    * streaming path is [[Streaming.statefulSessionStream]] —
+    * flatMapGroupsWithState with EventTimeTimeout, where a session is
+    * emitted when the watermark passes its end + gap and its state is
+    * freed; StreamingSpec drives it through a MemoryStream. Sessions
+    * per key live in the StateStore, so memory scales with ACTIVE
+    * sessions, not stream length.
+    */
+  def streamStatefulSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("boundary",
+        when(lag($"ts", 1).over(w).isNull ||
+          $"ts" > lag($"ts", 1).over(w) + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"boundary").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_id", $"session_start", $"session_end",
+        $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
 }

@@ -276,4 +276,55 @@ object Streaming {
       }
       .toDF("user_id", "n_events", "sum_value")
   }
+
+  /** Stateful sessionization with EventTimeTimeout: per user, events
+    * within a 30-min gap extend the open session; a session is emitted
+    * (Append mode) when the event-time watermark passes its end + gap
+    * — at which point no in-watermark event can extend it — and its
+    * state is removed. Multi-session batches are split on the gap and
+    * all but the newest run emitted immediately (assumes lateness
+    * bounded by the gap, which the 10-min watermark enforces). State
+    * per key is one (start, end, n) triple: memory scales with ACTIVE
+    * sessions, not stream length — the 100 TB contract for custom
+    * state.
+    */
+  def statefulSessionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.withWatermark("ts", "10 minutes")
+      .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+              state: GroupState[(Long, Long, Long)]) =>
+          def emit(s: (Long, Long, Long)) =
+            (user, new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2), s._3)
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(emit(closed))
+          } else {
+            // merge batch events with open state, split into gap-runs
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            val runs = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long)]
+            state.getOption.foreach(runs += _)
+            times.foreach { t =>
+              runs.lastOption match {
+                case Some((s, e, n)) if t <= e + gapMs =>
+                  runs(runs.size - 1) = (math.min(s, t), math.max(e, t), n + 1)
+                case _ => runs += ((t, t, 1L))
+              }
+            }
+            val open = runs.last
+            state.update(open)
+            state.setTimeoutTimestamp(open._2 + gapMs)
+            runs.init.iterator.map(emit)
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
 }

@@ -92,6 +92,66 @@ class Round7Spec2 extends AnyFunSuite with SparkFixture {
     g.unpersist()
   }
 
+  test("z-ordering shrinks per-partition spans on BOTH dimensions") {
+    import spark.implicits._
+    val z = Round7Ops2.scaleZorderCluster(spark, sf)
+    def meanSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = df
+        .mapPartitions { it =>
+          val rows = it.toSeq
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val xs = rows.map(_.getAs[Int]("xb"))
+            val ys = rows.map(_.getAs[Int]("yb"))
+            Iterator(((xs.max - xs.min).toDouble, (ys.max - ys.min).toDouble))
+          }
+        }.collect()
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val (zx, zy) = meanSpans(
+      z.repartitionByRange(64, $"zval").sortWithinPartitions($"zval"))
+    // unclustered layout: random round-robin partitions see ~full span
+    val (rx, ry) = meanSpans(z.repartition(64))
+    assert(zx < rx / 2 && zy < ry / 2,
+      s"z-ordered partitions must be locally narrow in both dims: " +
+        s"x $zx vs $rx, y $zy vs $ry")
+  }
+
+  test("z-score outliers are rare, extreme, and upper-tail only") {
+    import spark.implicits._
+    val o = Round7Ops2.analyticZscoreOutliers(spark, sf).cache()
+    val n = o.count()
+    val total = Tables.events(spark, sf).count()
+    assert(n > 0 && n < total / 10,
+      s"|z|>2 must select a small tail ($n of $total)")
+    assert(o.filter(abs($"z") <= 2.0).count() === 0)
+    // value is non-negative and right-skewed, so the tail is upper-only:
+    // min z = -mean/std > -2 for every user
+    assert(o.filter($"z" < 0).count() === 0,
+      "no left-tail outlier can exist for a non-negative value column")
+    o.unpersist()
+  }
+
+  test("inverted index df and postings agree with the corpus") {
+    import spark.implicits._
+    val idx = Round7Ops2.textInvertedIndex(spark, sf).cache()
+    val pairs = Tables.documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .distinct()
+    assert(idx.agg(sum($"df")).head.getLong(0) === pairs.count(),
+      "sum of document frequencies = distinct (doc, term) pairs")
+    assert(idx.filter(size(split($"postings", ",")) > 20).count() === 0,
+      "postings head view is capped at 20 entries")
+    // spot-check one term's postings against a direct query
+    val term = idx.orderBy(desc("df"), asc("term")).head.getString(0)
+    val expected = pairs.filter($"term" === term)
+      .select($"doc_id").orderBy($"doc_id").as[Long].take(20)
+      .mkString(",")
+    val got = idx.filter($"term" === term).head.getString(2)
+    assert(got === expected)
+    idx.unpersist()
+  }
+
   test("column profile agrees with direct per-column queries") {
     import spark.implicits._
     val p = Round7Ops2.pipelineProfileColumns(spark, sf).cache()

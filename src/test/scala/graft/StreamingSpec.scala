@@ -244,6 +244,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stateful sessionization: session emitted on event-time timeout, state freed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.statefulSessionStream(spark, ms.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session A: three events within the 30-min gap
+      ms.addData(ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:05:00", user = 1),
+        ev(3, "2024-01-01 10:10:00", user = 1))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0,
+        "open session must not emit before the watermark passes end + gap")
+      // a much later event advances the watermark to 11:50 (> 10:40
+      // timeout); the timeout fires on the NEXT batch after the
+      // watermark update
+      ms.addData(ev(4, "2024-01-01 12:00:00", user = 2))
+      q.processAllAvailable()
+      ms.addData(ev(5, "2024-01-01 12:01:00", user = 2))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+      assert(sessions === Seq(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 3L)),
+        "the closed session must emit exactly once with its full extent")
+      // intra-batch gap split: two runs in one batch emit the older
+      // run immediately and keep only the newest open
+      ms.addData(ev(6, "2024-01-01 13:00:00", user = 3),
+        ev(7, "2024-01-01 14:30:00", user = 3))
+      q.processAllAvailable()
+      val split = spark.table("sessions")
+        .filter($"user_id" === 3)
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+      assert(split === Seq(
+        (3L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"), 1L)),
+        "the older gap-run must close immediately; the newest stays open")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: update-mode totals land in parquet, re-delivery is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
