@@ -1732,4 +1732,69 @@ object Oracle {
     FROM r GROUP BY user_id, session_id
     ORDER BY user_id, session_start
   """
+
+  // identical rule set and bit weights
+  val pipelineQuarantineRules: String = """
+    SELECT violation_mask, count(*) AS n_rows
+    FROM (SELECT (CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END
+                + CASE WHEN l_tax >= 0.06 THEN 2 ELSE 0 END
+                + CASE WHEN l_quantity >= 45.0 THEN 4 ELSE 0 END
+                + CASE WHEN l_shipdate > TIMESTAMP '2001-06-01 00:00:00'
+                       THEN 8 ELSE 0 END) AS violation_mask
+          FROM lineitem)
+    GROUP BY violation_mask ORDER BY violation_mask
+  """
+
+  // same count-desc, token-asc tie break; p is an identical single
+  // double division
+  val textTrigramLm: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (
+      SELECT ctx, nxt, count(*) AS n3 FROM (
+        SELECT unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS ctx,
+               unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i + 2])) AS nxt
+        FROM toks WHERE len(t) >= 3)
+      GROUP BY ctx, nxt),
+    cc AS (SELECT ctx, sum(n3) AS n_ctx FROM tri GROUP BY ctx),
+    best AS (
+      SELECT ctx, nxt, n3,
+             row_number() OVER (PARTITION BY ctx
+                                ORDER BY n3 DESC, nxt ASC) AS rk
+      FROM tri)
+    SELECT b.ctx, b.nxt, cc.n_ctx,
+           round(CAST(b.n3 AS DOUBLE) / cc.n_ctx, 6) AS p_next
+    FROM best b JOIN cc ON b.ctx = cc.ctx
+    WHERE b.rk = 1 AND cc.n_ctx >= 20
+    ORDER BY b.ctx
+  """
+
+  // sessions rebuilt with the same gaps-and-islands construction, then
+  // the same equi-key + containment join
+  val joinIntervalContainment: String = """
+    WITH b AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, ts,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM b),
+    sessions AS (
+      SELECT user_id, session_id, min(ts) AS session_start,
+             max(ts) AS session_end
+      FROM r GROUP BY user_id, session_id)
+    SELECT e.event_id, e.user_id, s.session_id, s.session_start
+    FROM events e JOIN sessions s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.session_start AND e.ts <= s.session_end
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+  """
 }

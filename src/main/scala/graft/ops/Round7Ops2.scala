@@ -265,4 +265,77 @@ object Round7Ops2 {
         $"n_events")
       .orderBy($"user_id", $"session_start")
   }
+
+  /** Rule-based quarantine audit: four independent validation rules
+    * evaluated in one codegen'd projection, combined into a bitmask,
+    * histogrammed — the ingest-gate shape where each row is tagged
+    * with WHICH rules it violated (not just a boolean), so the
+    * quarantine bucket is queryable by failure mode. One scan, one
+    * tiny aggregate; rules never branch into separate passes.
+    */
+  def pipelineQuarantineRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, sfDir)
+      .select(
+        (when($"l_discount" > 0.08, 1).otherwise(0) +
+          when($"l_tax" >= 0.06, 2).otherwise(0) +
+          when($"l_quantity" >= 45.0, 4).otherwise(0) +
+          when($"l_shipdate" > ntz("2001-06-01 00:00:00"), 8).otherwise(0))
+          .as("violation_mask"))
+      .groupBy($"violation_mask")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy($"violation_mask")
+  }
+
+  /** Trigram language-model head: for every bigram context seen >= 20
+    * times, the most likely next token and its conditional probability
+    * cnt(w1 w2 w3)/cnt(w1 w2) — the n-gram LM table a quality filter
+    * scores perplexity against. Ties on count break lexicographically
+    * (engine-pinned ordering). Two explode+count aggregates sharing
+    * the corpus scan and a key-partitioned join — the vocabulary, not
+    * the corpus, bounds the shuffled state at 100 TB.
+    */
+  def textTrigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("t"))
+    val tri = toks.filter(size($"t") >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> struct(" +
+          "concat(element_at(t, i), ' ', element_at(t, i + 1)) AS ctx, " +
+          "element_at(t, i + 2) AS nxt))")).as("g"))
+      .groupBy($"g.ctx".as("ctx"), $"g.nxt".as("nxt"))
+      .agg(count(lit(1)).as("n3"))
+    val ctxCounts = tri.groupBy($"ctx").agg(sum($"n3").as("n_ctx"))
+    val w = Window.partitionBy($"ctx").orderBy($"n3".desc, $"nxt".asc)
+    tri.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .join(ctxCounts.filter($"n_ctx" >= 20), Seq("ctx"))
+      .select($"ctx", $"nxt", $"n_ctx",
+        round($"n3".cast(DoubleType) / $"n_ctx", 6).as("p_next"))
+      .orderBy($"ctx")
+  }
+
+  /** Interval-containment join — the late-arriving-fact resolve: each
+    * purchase event is matched to the session interval containing its
+    * timestamp. The join keeps the user_id EQUI-key, so Catalyst
+    * plans a hash join partitioned by user with the range containment
+    * as a residual filter — NOT the nested loop a pure theta join
+    * forces; at 100 TB the shuffle is keyed and the per-key interval
+    * list is what the residual scans (bounded by sessions per user).
+    * Intervals are the stateful-session output, so this is also the
+    * composition proof for the SCD2/session family.
+    */
+  def joinIntervalContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = streamStatefulSession(spark, sfDir)
+      .select($"user_id", $"session_id", $"session_start", $"session_end")
+    val purchases = events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    purchases.join(sessions, Seq("user_id"))
+      .filter($"ts" >= $"session_start" && $"ts" <= $"session_end")
+      .select($"event_id", $"user_id", $"session_id", $"session_start")
+      .orderBy($"event_id")
+  }
 }

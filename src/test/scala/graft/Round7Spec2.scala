@@ -152,6 +152,45 @@ class Round7Spec2 extends AnyFunSuite with SparkFixture {
     idx.unpersist()
   }
 
+  test("quarantine masks partition the table and stay in 0..15") {
+    import spark.implicits._
+    val m = Round7Ops2.pipelineQuarantineRules(spark, sf).cache()
+    assert(m.agg(sum($"n_rows")).head.getLong(0) ===
+      Tables.lineitem(spark, sf).count(),
+      "every row lands in exactly one mask bucket")
+    assert(m.filter($"violation_mask" < 0 || $"violation_mask" > 15).count() === 0)
+    assert(m.filter($"violation_mask" === 0).count() === 1,
+      "some rows violate no rule")
+    m.unpersist()
+  }
+
+  test("trigram LM: probabilities valid, contexts frequent, argmax correct") {
+    import spark.implicits._
+    val lm = Round7Ops2.textTrigramLm(spark, sf).cache()
+    assert(lm.count() > 0)
+    assert(lm.filter($"p_next" <= 0 || $"p_next" > 1).count() === 0)
+    assert(lm.filter($"n_ctx" < 20).count() === 0)
+    assert(lm.filter(size(split($"ctx", " ")) =!= 2).count() === 0,
+      "context is exactly a bigram")
+    lm.unpersist()
+  }
+
+  test("interval containment: every purchase resolves to exactly one session, via a keyed join") {
+    import spark.implicits._
+    val j = Round7Ops2.joinIntervalContainment(spark, sf)
+    val p = plan(j)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "the user_id equi-key must keep this a hash/merge join")
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    val rows = j.cache()
+    assert(rows.count() === purchases,
+      "each purchase falls inside exactly one session interval")
+    assert(rows.select($"event_id").distinct().count() === purchases,
+      "no purchase matches two intervals")
+    rows.unpersist()
+  }
+
   test("column profile agrees with direct per-column queries") {
     import spark.implicits._
     val p = Round7Ops2.pipelineProfileColumns(spark, sf).cache()
