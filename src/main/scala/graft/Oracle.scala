@@ -1797,4 +1797,35 @@ object Oracle {
     WHERE e.event_type = 'purchase'
     ORDER BY e.event_id
   """
+
+  // 5 unrolled iterations of the identical update rule; every node has
+  // in-edges (undirected graph), so each step's join is total
+  val graphPagerank: String = {
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS (
+        SELECT nd.node,
+               0.15 / (SELECT n FROM nn) + 0.85 * c.contrib AS r
+        FROM nodes nd JOIN (
+          SELECT e.dst AS node, sum(p.r / d.deg) AS contrib
+          FROM r${i - 1} p JOIN edges e ON p.node = e.src
+                           JOIN deg d ON e.src = d.src
+          GROUP BY e.dst) c ON nd.node = c.node)"""
+    }.mkString(",\n")
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000 AS s
+      FROM lineitem),
+    edges AS (
+      SELECT p AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, p AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    $steps
+    SELECT node, round(r * (SELECT n FROM nn), 6) AS rank_scaled
+    FROM r5 ORDER BY node
+    """
+  }
 }

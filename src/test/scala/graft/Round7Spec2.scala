@@ -191,6 +191,25 @@ class Round7Spec2 extends AnyFunSuite with SparkFixture {
     rows.unpersist()
   }
 
+  test("pagerank conserves mass and ranks hubs above leaves") {
+    import spark.implicits._
+    val pr = graft.ops.Graph.graphPagerank(spark, sf).cache()
+    val n = pr.count()
+    val mass = pr.agg(sum($"rank_scaled")).head.getDouble(0)
+    assert(math.abs(mass - n) < 1e-2 * n,
+      s"sum of average-normalized ranks must be ~|V| ($mass vs $n)")
+    assert(pr.filter($"rank_scaled" <= 0).count() === 0)
+    // supplier nodes (offset range) aggregate many parts' mass: their
+    // mean rank must exceed the part-side mean
+    val supMean = pr.filter($"node" >= 10000000L)
+      .agg(avg($"rank_scaled")).head.getDouble(0)
+    val partMean = pr.filter($"node" < 10000000L)
+      .agg(avg($"rank_scaled")).head.getDouble(0)
+    assert(supMean > partMean,
+      s"high-degree supplier hubs must outrank parts ($supMean vs $partMean)")
+    pr.unpersist()
+  }
+
   test("column profile agrees with direct per-column queries") {
     import spark.implicits._
     val p = Round7Ops2.pipelineProfileColumns(spark, sf).cache()
