@@ -1828,4 +1828,56 @@ object Oracle {
     FROM r5 ORDER BY node
     """
   }
+
+  // file counts are contract constants (64 explicit partitions written,
+  // narrow coalesce to 4); content checksum re-derived from the table
+  val pipelineCompactSmallFiles: String = s"""
+    SELECT 64 AS n_files_small, 4 AS n_files_compacted,
+           count(*) AS n_rows,
+           CAST(sum(${m("o_totalprice")}) AS DOUBLE) AS revenue_checksum
+    FROM orders
+  """
+
+  // order-free aggregates re-derived from the source table
+  val sourceTextRoundtrip: String = """
+    SELECT count(*) AS n_lines, sum(length(text)) AS total_chars,
+           min(text) AS min_line, max(text) AS max_line
+    FROM documents
+  """
+
+  // identical exact-moment corr formula (single double conversion,
+  // same operation order) — see analyticZscoreOutliers
+  val aggCorrPairs: String = {
+    def corrExpr(x: String, y: String): String = {
+      val (nd, sx, sy, sxx, syy, sxy) =
+        ("CAST(n AS DOUBLE)", s"CAST(s_$x AS DOUBLE)", s"CAST(s_$y AS DOUBLE)",
+          s"CAST(s_$x$x AS DOUBLE)", s"CAST(s_$y$y AS DOUBLE)",
+          s"CAST(s_$x$y AS DOUBLE)")
+      s"round(($nd * $sxy - $sx * $sy) / " +
+        s"sqrt(($nd * $sxx - $sx * $sx) * ($nd * $syy - $sy * $sy)), 6)"
+    }
+    val short = Map("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d")
+    val rows = Seq(("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"), ("l_extendedprice", "l_discount"))
+      .map { case (x, y) =>
+        s"SELECT '${x}__$y' AS pair, " +
+          s"${corrExpr(short(x), short(y))} AS corr, n FROM mo"
+      }.mkString("\nUNION ALL\n")
+    s"""
+    WITH b AS (
+      SELECT ${m("l_quantity")} AS q, ${m("l_extendedprice")} AS e,
+             ${m("l_discount")} AS d
+      FROM lineitem),
+    mo AS (
+      SELECT count(*) AS n,
+             sum(q) AS s_q, sum(q * q) AS s_qq,
+             sum(e) AS s_e, sum(e * e) AS s_ee,
+             sum(d) AS s_d, sum(d * d) AS s_dd,
+             sum(q * e) AS s_qe, sum(q * d) AS s_qd, sum(e * d) AS s_ed
+      FROM b)
+    $rows
+    ORDER BY pair
+    """
+  }
 }

@@ -338,4 +338,91 @@ object Round7Ops2 {
       .select($"event_id", $"user_id", $"session_id", $"session_start")
       .orderBy($"event_id")
   }
+
+  /** Small-file compaction — the table-maintenance pass every 100 TB
+    * lake needs: a 64-way fragmented write (the streaming-ingest
+    * failure mode: file count × partitions × triggers) is compacted
+    * with `coalesce(4)` — a NARROW dependency, so the rewrite moves
+    * data without any shuffle — and the round trip is proven
+    * content-preserving by exact count + decimal checksum. File counts
+    * are deterministic contract constants (64 explicit partitions in,
+    * 4 out); at scale the same pass sizes output files to the HDFS
+    * block / parquet row-group sweet spot instead of a fixed 4.
+    */
+  def pipelineCompactSmallFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val small = s"$tmp/small"; val compacted = s"$tmp/compacted"
+    def nFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    orders(spark, sfDir).select($"o_orderkey", $"o_totalprice")
+      .repartition(64)
+      .write.mode("overwrite").parquet(small)
+    spark.read.parquet(small)
+      .coalesce(4)
+      .write.mode("overwrite").parquet(compacted)
+    spark.read.parquet(compacted)
+      .agg(lit(nFiles(small)).as("n_files_small"),
+        lit(nFiles(compacted)).as("n_files_compacted"),
+        count(lit(1)).as("n_rows"),
+        sum(money($"o_totalprice")).cast(DoubleType).as("revenue_checksum"))
+  }
+
+  /** Plain-text source round trip: the corpus written as a text file
+    * (one line per document), read back with `spark.read.text`, and
+    * proven content-preserving through order-free aggregates (line
+    * count, total chars, lexicographic min/max) — text ingest is how
+    * raw crawl data enters a pipeline before any schema exists.
+    */
+  def sourceTextRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+    documents(spark, sfDir).select($"text")
+      .write.mode("overwrite").text(tmp)
+    spark.read.text(tmp)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length($"value")).as("total_chars"),
+        min($"value").as("min_line"), max($"value").as("max_line"))
+  }
+
+  /** Pairwise Pearson correlation from EXACT decimal moments (n, Σx,
+    * Σy, Σxx, Σyy, Σxy over 2dp-quantized values), converted to double
+    * once and combined with the identical formula on both engines —
+    * the same engine-tie-safe recipe as analytic_zscore_outliers,
+    * extended to the bivariate moments. ONE scan computes all three
+    * pairs' moments (a single multi-aggregate), then `stack` emits one
+    * row per pair; built-in corr() would be one engine's accumulation
+    * order against the other's.
+    */
+  def aggCorrPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val colsPairs = Seq(("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"), ("l_extendedprice", "l_discount"))
+    val base = lineitem(spark, sfDir).select(
+      money($"l_quantity").as("q"), money($"l_extendedprice").as("e"),
+      money($"l_discount").as("d"))
+    val short = Map("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      Seq("q", "e", "d").flatMap { c =>
+        Seq(sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"s_$c$c"))
+      } ++
+      colsPairs.map { case (x, y) =>
+        sum(col(short(x)) * col(short(y))).as(s"s_${short(x)}${short(y)}")
+      }
+    def corrExpr(x: String, y: String): String = {
+      val (nd, sx, sy, sxx, syy, sxy) =
+        ("CAST(n AS DOUBLE)", s"CAST(s_$x AS DOUBLE)", s"CAST(s_$y AS DOUBLE)",
+          s"CAST(s_$x$x AS DOUBLE)", s"CAST(s_$y$y AS DOUBLE)",
+          s"CAST(s_$x$y AS DOUBLE)")
+      s"round(($nd * $sxy - $sx * $sy) / " +
+        s"sqrt(($nd * $sxx - $sx * $sx) * ($nd * $syy - $sy * $sy)), 6)"
+    }
+    val stacked = colsPairs.map { case (x, y) =>
+      s"'${x}__$y', ${corrExpr(short(x), short(y))}"
+    }.mkString(", ")
+    base.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(3, $stacked) AS (pair, corr)", "n")
+      .orderBy("pair")
+  }
 }

@@ -210,6 +210,32 @@ class Round7Spec2 extends AnyFunSuite with SparkFixture {
     pr.unpersist()
   }
 
+  test("compaction is a narrow rewrite that preserves content") {
+    import spark.implicits._
+    val r = Round7Ops2.pipelineCompactSmallFiles(spark, sf).head()
+    assert(r.getInt(0) === 64 && r.getInt(1) === 4,
+      "file counts are the 64-in / 4-out contract constants")
+    assert(r.getLong(2) === Tables.orders(spark, sf).count())
+  }
+
+  test("corr pairs stay in [-1,1] and agree with built-in corr to 1e-6") {
+    import spark.implicits._
+    val c = Round7Ops2.aggCorrPairs(spark, sf).cache()
+    assert(c.count() === 3)
+    assert(c.filter(abs($"corr") > 1.0).count() === 0)
+    // the exact-moment formula must agree with Spark's own estimator
+    // up to its accumulation-order noise (the 2dp quantization of the
+    // inputs is shared here, so only summation order differs)
+    val builtin = Tables.lineitem(spark, sf)
+      .select(Tables.money($"l_quantity").cast("double").as("q"),
+        Tables.money($"l_extendedprice").cast("double").as("e"))
+      .agg(corr($"q", $"e")).head.getDouble(0)
+    val got = c.filter($"pair" === "l_quantity__l_extendedprice")
+      .head.getDouble(1)
+    assert(math.abs(got - builtin) < 1e-6, s"$got vs builtin $builtin")
+    c.unpersist()
+  }
+
   test("column profile agrees with direct per-column queries") {
     import spark.implicits._
     val p = Round7Ops2.pipelineProfileColumns(spark, sf).cache()
