@@ -285,6 +285,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted query resumes from committed offsets, no dupes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_recover_" + spark.sparkContext.applicationId
+    val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val ms = MemoryStream[Ev]
+    def startQuery() = ms.toDF()
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        batch.select($"event_id", $"user_id")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    val q1 = startQuery()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart against the SAME checkpoint: batch 0 is committed, so
+    // the new query must not reprocess it even though the source
+    // still holds the data
+    val q2 = startQuery()
+    try {
+      ms.addData(ev(3, "2024-01-01 00:03:00"))
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(outDir)
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L),
+        "committed batches must not replay after restart (exactly-once sink)")
+    } finally q2.stop()
+  }
+
   test("foreachBatch upsert sink: update-mode totals land in parquet, re-delivery is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
