@@ -1880,4 +1880,33 @@ object Oracle {
     ORDER BY pair
     """
   }
+
+  // same union-window forward as-of; first_value IGNORE NULLS over the
+  // following frame with the identical (ts, event_id) ordering
+  val joinAsofForward: String = """
+    SELECT event_id AS click_id, user_id, next_purchase_id
+    FROM (
+      SELECT event_id, user_id, event_type,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_purchase_id
+      FROM events
+      WHERE event_type IN ('click', 'purchase'))
+    WHERE event_type = 'click'
+    ORDER BY click_id
+  """
+
+  // identical value-based frame; RANGE includes all ties on both engines
+  val winRangeNumeric: String = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           count(*) OVER w AS n_in_band,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             AS rev_in_band
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+  """
 }

@@ -425,4 +425,49 @@ object Round7Ops2 {
       .selectExpr(s"stack(3, $stacked) AS (pair, corr)", "n")
       .orderBy("pair")
   }
+
+  /** Forward as-of join: each click paired with the same user's NEXT
+    * purchase at-or-after it ((ts, event_id) lexicographic) — the
+    * attribution direction joinAsofLastEvent doesn't cover. Same
+    * single-shuffle union-window form: first non-null purchase id over
+    * the (currentRow, unboundedFollowing) frame; a time-conditioned
+    * join would explode to |clicks| × |later purchases| before its
+    * min-aggregate.
+    */
+  def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events(spark, sfDir)
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("purchase_id", when($"event_type" === "purchase", $"event_id"))
+      .withColumn("next_purchase_id",
+        first($"purchase_id", ignoreNulls = true).over(w))
+      .filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"next_purchase_id")
+      .orderBy($"click_id")
+  }
+
+  /** Numeric RANGE frame (vs win_range_interval's time-based one):
+    * per priority class, how many orders and how much revenue sit
+    * within 1000.0 BELOW each order's price. Value-based frames
+    * include ALL ties regardless of position, so the result is
+    * deterministic without a key tiebreak; the decimal-sum protocol
+    * keeps the revenue exact. One shuffle on the partition key, one
+    * sort — the frame scan is a running two-pointer over the sorted
+    * run, not a per-row rescan.
+    */
+  def winRangeNumeric(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g7_orders")
+    spark.sql("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+        count(*) OVER w AS n_in_band,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+          AS rev_in_band
+      FROM g7_orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey
+    """)
+  }
 }
