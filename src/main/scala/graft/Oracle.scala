@@ -1881,6 +1881,28 @@ object Oracle {
     """
   }
 
+  // CASE aggregation form of the same rotate (0 where PIVOT's NULL is
+  // coalesced)
+  val sqlPivotClause: String = """
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """
+
+  // aggregates recomputed from the base table over the same derived
+  // field (chr(10) = the embedded newline)
+  val sourceCsvQuotedMultiline: String = """
+    SELECT count(*) AS n_rows,
+           sum(length(t)) AS total_chars,
+           count(DISTINCT t) AS n_distinct,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM (SELECT doc_id,
+                 'l1' || chr(10) || lang || ',"q" end' AS t
+          FROM documents)
+  """
+
   // same union-window forward as-of; first_value IGNORE NULLS over the
   // following frame with the identical (ts, event_id) ordering
   val joinAsofForward: String = """

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier, GBTClassificationModel, GBTClassifier, RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier, GBTClassificationModel, GBTClassifier, LogisticRegression, LogisticRegressionModel, RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.linalg.Vectors
@@ -184,6 +184,32 @@ object ML {
     }
     model.transform(input.filter($"split" === "test"))
       .select($"vec_id", $"bin_label".cast(IntegerType).as("label"),
+        $"prediction".cast(IntegerType).as("prediction"))
+      .orderBy($"vec_id")
+  }
+
+  private val lrCache = TrieMap.empty[String, LogisticRegressionModel]
+
+  /** Multinomial logistic regression over the embedding space — the
+    * linear learner beside the tree family (RF/DT/GBT). L-BFGS with a
+    * fixed iteration cap; gradients are treeAggregated over the FIXED
+    * input partitioning (prepared() repartitions on vec_id), so the
+    * optimization path — and therefore the predictions — are
+    * deterministic run to run (MLSpec-pinned, same contract as the
+    * tree learners). Linear models are the 100 TB workhorse: one
+    * gradient pass per iteration, no per-node histogram state.
+    */
+  def mlLogregTrainPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val input = prepared(spark, sfDir)
+    val model = cachedModel(lrCache, sfDir) {
+      new LogisticRegression()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setMaxIter(50).setRegParam(0.01).setElasticNetParam(0.0)
+        .fit(input.filter(col("split") === "train"))
+    }
+    model.transform(input.filter($"split" === "test"))
+      .select($"vec_id", $"label",
         $"prediction".cast(IntegerType).as("prediction"))
       .orderBy($"vec_id")
   }

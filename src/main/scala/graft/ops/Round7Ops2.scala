@@ -426,6 +426,55 @@ object Round7Ops2 {
       .orderBy("pair")
   }
 
+  /** SQL PIVOT clause (vs agg_pivot's DataFrame `.pivot`): the
+    * SQL-syntax spelling of the same rotate, with explicit IN values
+    * (pivot columns must be enumerable — at scale an open-ended pivot
+    * is a schema explosion) and null→0 coalesce because PIVOT emits
+    * NULL for absent combinations where a CASE aggregation emits 0.
+    */
+  def sqlPivotClause(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("g7p_orders")
+    spark.sql("""
+      SELECT o_orderpriority, coalesce(p, 0) AS n_p, coalesce(o, 0) AS n_o,
+             coalesce(f, 0) AS n_f
+      FROM (SELECT o_orderpriority, o_orderstatus FROM g7p_orders)
+      PIVOT (count(*) FOR o_orderstatus IN ('P' AS p, 'O' AS o, 'F' AS f))
+      ORDER BY o_orderpriority
+    """)
+  }
+
+  /** Quoted-multiline CSV round trip — the parser trap that silently
+    * corrupts naive ingest: a field containing embedded newlines,
+    * delimiters, AND quote characters (derived deterministically from
+    * the corpus) is written RFC-4180 style (quote = escape = `"`) and
+    * read back with `multiLine=true`. Content preservation is proven
+    * by order-free aggregates recomputed from the base table by the
+    * oracle. At scale multiLine costs splittability (a file is one
+    * task); the op documents that trade — it is the correctness tier,
+    * with single-line escaped encodings as the parallel path.
+    */
+  def sourceCsvQuotedMultiline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mlcsv").toString
+    def tricky(df: DataFrame): DataFrame =
+      df.withColumn("tricky",
+        concat(lit("l1\n"), $"lang", lit(",\"q\" end")))
+    tricky(documents(spark, sfDir))
+      .select($"doc_id", $"tricky")
+      .write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(tmp)
+    spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .schema("doc_id LONG, tricky STRING")
+      .csv(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length($"tricky")).as("total_chars"),
+        countDistinct($"tricky").as("n_distinct"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+  }
+
   /** Forward as-of join: each click paired with the same user's NEXT
     * purchase at-or-after it ((ts, event_id) lexicographic) — the
     * attribution direction joinAsofLastEvent doesn't cover. Same

@@ -19,6 +19,7 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "agg_hll_sketch", // DataSketches binary engine-specific (bounded)
     "agg_count_min_sketch", // CMS layout engine-specific (bounded)
     "ml_dt_train_predict", "ml_kmeans_cluster", // not SQL-expressible
+    "ml_logreg_train_predict", // not SQL-expressible (L-BFGS linear model)
     "ml_gbt_train_predict", // not SQL-expressible (binary GBT)
     "ml_cross_validation", // fold assignment engine-specific
     "ml_cv_best_model", // fold assignment engine-specific (winner pinned in MLSpec)
@@ -28,7 +29,7 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     // Bump DELIBERATELY with each widening, in the same commit that
     // updates SURVEY.md §2 and README — this pin is what makes
     // inventory drift (round 5/6 verdicts) impossible to ship silently.
-    assert(SparkEntry.queries.size === 173,
+    assert(SparkEntry.queries.size === 176,
       "SparkEntry.queries changed size: update SURVEY.md §2 + README " +
         "and bump this pin in the same commit")
   }

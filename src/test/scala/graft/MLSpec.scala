@@ -112,6 +112,21 @@ class MLSpec extends AnyFunSuite with SparkFixture {
     assert(preds.subsetOf(Set(0, 1)), s"binary GBT must predict {0,1}: $preds")
   }
 
+  test("logreg: deterministic multinomial predictions covering the test split") {
+    import spark.implicits._
+    val a = ML.mlLogregTrainPredict(spark, sf).collect().toSeq
+    val b = ML.mlLogregTrainPredict(spark, sf).collect().toSeq
+    assert(a === b, "fixed partitioning + capped L-BFGS must reproduce exactly")
+    val nTest = ML.mlRfTrainPredictInput(spark, sf)
+      .filter($"split" === "test").count()
+    assert(a.size.toLong === nTest)
+    // no accuracy floor: real labels carry no signal (header note) —
+    // predictions just have to stay in the label domain
+    val preds = ML.mlLogregTrainPredict(spark, sf)
+      .select($"prediction").as[Int].collect().toSet
+    assert(preds.subsetOf((0 to 9).toSet), s"multinomial domain: $preds")
+  }
+
   test("cross-validation: one row per grid point, metrics in range, deterministic") {
     import spark.implicits._
     val rows = ML.mlCrossValidation(spark, sf)
