@@ -1931,4 +1931,330 @@ object Oracle {
                  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
     ORDER BY o_orderkey
   """
+
+  // ---- round-7 widening, part 4 ----
+
+  // plain join over the raw table — proves DPP changes the scan, not
+  // the answer
+  val scaleDppJoin: String = """
+    WITH dim(et, category) AS (VALUES
+      ('click','engagement'), ('view','engagement'),
+      ('purchase','conversion'), ('signup','conversion'),
+      ('error','ops'))
+    SELECT event_type, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN dim ON event_type = et
+    WHERE category = 'conversion'
+    GROUP BY event_type ORDER BY event_type
+  """
+
+  val analyticRetentionCohort: String = """
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(CAST(date_trunc('day', ts) AS DATE))
+               OVER (PARTITION BY user_id) AS cohort_day
+      FROM events)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) // 7 AS INT) AS week_offset,
+           count(DISTINCT user_id) AS active_users,
+           count(*) AS n_events
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
+  // open/close via row_number from both ends (same (ts, event_id)
+  // total order as the Spark min_by/max_by struct)
+  val tsDownsampleOhlc: String = """
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts, event_id) AS ra,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts DESC, event_id DESC) AS rd
+      FROM e)
+    SELECT event_type, bucket,
+      CAST(max(CASE WHEN ra = 1 THEN v END) AS DOUBLE) AS open,
+      CAST(max(v) AS DOUBLE) AS high,
+      CAST(min(v) AS DOUBLE) AS low,
+      CAST(max(CASE WHEN rd = 1 THEN v END) AS DOUBLE) AS close,
+      CAST(sum(v) AS DOUBLE) AS volume,
+      count(*) AS n_events
+    FROM r GROUP BY event_type, bucket ORDER BY event_type, bucket
+  """
+
+  // identical injected markup, identical strip chain: tags → &quot; →
+  // whitespace squeeze → trim ('g' flag: DuckDB replaces first match
+  // only by default, Spark replaces all)
+  val textHtmlStrip: String = """
+    WITH h AS (
+      SELECT doc_id,
+        '<html><body class="doc"><h1>' || source || '</h1><p>' ||
+        replace(text, 'table', '&quot;table&quot;') ||
+        '</p><br/></body></html>' AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                  '&quot;', '"'),
+          '\s+', ' ', 'g')) AS clean
+      FROM h)
+    SELECT doc_id, clean, length(clean) AS n_chars_clean
+    FROM s ORDER BY doc_id
+  """
+
+  val fnUrlParse: String = """
+    WITH u AS (
+      SELECT doc_id,
+        'https://' || source || '.example.com/' || lang || '/doc/' ||
+        CAST(doc_id AS VARCHAR) || '?q=' || CAST(n_chars AS VARCHAR) ||
+        '&page=2' AS url
+      FROM documents)
+    SELECT doc_id,
+      regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+      regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+      CAST(regexp_extract(url, '[?&]q=([^&#]*)', 1) AS BIGINT) AS q_chars,
+      CAST(regexp_extract(url, '[?&]page=([^&#]*)', 1) AS INT) AS page
+    FROM u ORDER BY doc_id
+  """
+
+  // threshold in integer math; lift is one identical double expression
+  val aggHeavyHitters: String = """
+    WITH t AS (SELECT count(*) AS total,
+                      count(DISTINCT user_id) AS n_users FROM events),
+    c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT user_id, n,
+      CAST(n AS DOUBLE) * CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE)
+        AS lift
+    FROM c, t WHERE n * n_users * 10 >= total * 12
+    ORDER BY n DESC, user_id
+  """
+
+  val sampleReservoirHash: String = """
+    SELECT event_type, event_id, user_id, pick FROM (
+      SELECT event_type, event_id, user_id,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS pick
+      FROM events)
+    WHERE pick <= 4 ORDER BY event_type, pick
+  """
+
+  // exact integer counts; single identical double expression under
+  // ROUND(ln(...), 6) — the repo's cross-engine log protocol
+  val textCollocationPmi: String = """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    un AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+    bp AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+               i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+      FROM toks),
+    bg AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bp),
+    pc AS (SELECT w1, w2, count(*) AS n_xy FROM bg
+           GROUP BY w1, w2 HAVING count(*) >= 5),
+    tot AS (SELECT (SELECT sum(n_w) FROM un) AS nt,
+                   (SELECT count(*) FROM bg) AS nb)
+    SELECT pc.w1, pc.w2, n_xy,
+      ROUND(LN(CAST(n_xy AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(u1.n_w AS DOUBLE) * CAST(u2.n_w AS DOUBLE))), 6) AS pmi
+    FROM pc
+    JOIN un u1 ON pc.w1 = u1.w
+    JOIN un u2 ON pc.w2 = u2.w, tot
+    ORDER BY pc.w1, pc.w2
+  """
+
+  // same spine + two IGNORE NULLS window passes; the interpolation CASE
+  // is textually identical modulo date_diff argument order
+  val tsInterpolateLinear: String = """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             max(value) AS day_max
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, CAST(min(day) AS TIMESTAMP) AS d0,
+             CAST(max(day) AS TIMESTAMP) AS d1
+      FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds),
+    j AS (
+      SELECT s.user_id, s.day, d.day_max,
+        last_value(d.day_max IGNORE NULLS)
+          OVER (PARTITION BY s.user_id ORDER BY s.day
+                ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN d.day_max IS NOT NULL THEN s.day END IGNORE NULLS)
+          OVER (PARTITION BY s.user_id ORDER BY s.day
+                ROWS UNBOUNDED PRECEDING) AS pd,
+        first_value(d.day_max IGNORE NULLS)
+          OVER (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN d.day_max IS NOT NULL THEN s.day END IGNORE NULLS)
+          OVER (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day, day_max IS NOT NULL AS is_actual,
+      CASE WHEN pd = nd THEN pv
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE) / CAST(date_diff('day', pd, nd) AS DOUBLE))
+      END AS interp
+    FROM j ORDER BY user_id, day
+  """
+
+  val sqlGroupByAll: String = """
+    SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+      count(*) AS n_items,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+  """
+
+  // ---- round-7 widening, part 5 ----
+
+  val sqlExistsCorrelated: String = """
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey
+                        AND l2.l_discount > 0.09)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """
+
+  // within each (g_rf, g_ls) stratum the nullable grouping columns are
+  // uniformly NULL or uniformly present, so no NULL-ordering divergence
+  val aggGroupingId: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      count(*) AS n_items,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+  """
+
+  val fnBinaryCodec: String = """
+    SELECT doc_id,
+      to_base64(encode(text)) AS b64,
+      substring(hex(encode(text)), 1, 32) AS hex32,
+      octet_length(encode(text)) AS n_bytes,
+      decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok
+    FROM documents ORDER BY doc_id
+  """
+
+  // unmatched clicks keep a row with NULLs; NULLS FIRST matches the
+  // Spark side's asc_nulls_first
+  val streamIntervalJoinOuter: String = """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+    ORDER BY c.user_id, click_id, purchase_id NULLS FIRST
+  """
+
+  // identical deterministic injection; rates are one double division
+  val pipelinePiiAudit: String = """
+    WITH r AS (
+      SELECT source, text ||
+        CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+             THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END AS raw
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+      sum(CASE WHEN regexp_matches(raw, '[a-z0-9.]+@[a-z0-9.]+')
+               THEN 1 ELSE 0 END) AS n_email,
+      sum(CASE WHEN regexp_matches(raw, '\+[0-9][0-9-]{5,}')
+               THEN 1 ELSE 0 END) AS n_phone,
+      CAST(sum(CASE WHEN regexp_matches(raw, '[a-z0-9.]+@[a-z0-9.]+')
+                    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        AS email_rate,
+      CAST(sum(CASE WHEN regexp_matches(raw, '\+[0-9][0-9-]{5,}')
+                    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        AS phone_rate
+    FROM r GROUP BY source ORDER BY source
+  """
+
+  val sqlWindowClause: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+      rank() OVER w AS rnk,
+      CAST(count(*) OVER w AS INT) AS n_seen,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w2 AS DOUBLE)
+        AS run_total
+    FROM orders
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+            ROWS UNBOUNDED PRECEDING),
+      w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING)
+    ORDER BY o_orderkey
+  """
+
+  // 1-based slice t[i : i+2] = 3 chars, i in 1 .. len-2 (range is
+  // end-exclusive)
+  val textCharNgrams: String = """
+    WITH g AS (
+      SELECT lang,
+        unnest(list_transform(range(1, length(text) - 1),
+          i -> text[CAST(i AS INT) : CAST(i + 2 AS INT)])) AS gram
+      FROM documents WHERE length(text) >= 3),
+    c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY lang, gram)
+    SELECT lang, gram, n, rn FROM (
+      SELECT lang, gram, n,
+        row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rn
+      FROM c)
+    WHERE rn <= 20 ORDER BY lang, rn
+  """
+
+  // same union-window construction: backward last + forward first over
+  // one (user, time) ordering, then a pure-integer CASE picks the winner
+  val joinAsofNearest: String = """
+    WITH u AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS um,
+        CASE WHEN event_type = 'purchase' THEN event_id END AS p_id,
+        CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_um
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    w AS (
+      SELECT *,
+        last_value(p_id IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY um, event_id
+                ROWS UNBOUNDED PRECEDING) AS b_id,
+        last_value(p_um IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY um, event_id
+                ROWS UNBOUNDED PRECEDING) AS b_um,
+        first_value(p_id IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY um, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id,
+        first_value(p_um IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY um, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_um
+      FROM u)
+    SELECT event_id AS click_id, user_id,
+      CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+           WHEN f_id IS NULL THEN b_id
+           WHEN b_id IS NULL THEN f_id
+           WHEN um - b_um <= f_um - um THEN b_id
+           ELSE f_id END AS nearest_purchase_id,
+      CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+           WHEN f_id IS NULL THEN b_um - um
+           WHEN b_id IS NULL THEN f_um - um
+           WHEN um - b_um <= f_um - um THEN b_um - um
+           ELSE f_um - um END AS gap_us
+    FROM w WHERE event_type = 'click'
+    ORDER BY click_id
+  """
 }

@@ -91,6 +91,22 @@ object ScaleTechniques {
       .orderBy($"o_orderpriority")
   }
 
+  /** Shared directory-partitioned copy of `events` (partition column:
+    * `event_type`). One-time amortized layout step, like the bucketed
+    * tables; reused by both the static pruning scan and the dynamic
+    * partition pruning join.
+    */
+  def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = "/tmp/graft_part_events_" + sfDir.hashCode.toHexString
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      events(spark, sfDir)
+        .select($"event_id", $"user_id", $"value", $"event_type")
+        .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
+    }
+    spark.read.parquet(out)
+  }
+
   /** Directory-partitioned layout + static partition pruning: the
     * predicate on the partition column becomes a PartitionFilter (no
     * data files of other partitions are even listed), the 100 TB
@@ -98,15 +114,7 @@ object ScaleTechniques {
     */
   def scanPartitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = "/tmp/graft_part_events_" + sfDir.hashCode.toHexString
-    // one-time layout: like the bucketed tables, the partitioned write
-    // is the amortized preparation step, not part of every query
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
-      events(spark, sfDir)
-        .select($"event_id", $"user_id", $"value", $"event_type")
-        .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
-    }
-    spark.read.parquet(out)
+    partitionedEvents(spark, sfDir)
       .filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"value", $"event_type")
       .orderBy($"event_id")

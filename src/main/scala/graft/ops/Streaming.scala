@@ -209,6 +209,22 @@ object Streaming {
       p("purchase_ts") < c("click_ts") + expr("INTERVAL '10' MINUTE"))
   }
 
+  /** Left-outer stream-stream interval join: unmatched clicks emit a
+    * NULL-purchase row, but only once the watermark proves no purchase
+    * can still arrive inside the click's 10-minute window — the
+    * outer-ness is watermark-gated, which is exactly what bounds the
+    * state (asserted in StreamingSpec).
+    */
+  def intervalJoinOuterStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "10 minutes")
+    val p = purchases.withWatermark("purchase_ts", "20 minutes")
+    c.join(p,
+      c("user_id") === p("p_user") &&
+      p("purchase_ts") >= c("click_ts") &&
+      p("purchase_ts") < c("click_ts") + expr("INTERVAL '10' MINUTE"),
+      "left_outer")
+  }
+
   /** Append-mode tumbling counts; windows emit once the 10-min
     * watermark passes their end, later events are dropped.
     */

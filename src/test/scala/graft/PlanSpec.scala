@@ -175,4 +175,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"),
       s"rate table must broadcast:\n${p.take(1500)}")
   }
+
+  test("dim filter on a non-partition attribute prunes fact partitions at runtime (DPP)") {
+    // The dim filter names no partition value, so only a runtime
+    // dynamicpruning subquery (fed by the dim broadcast) can skip the
+    // non-qualifying event_type directories.
+    val p = plan(graft.ops.Round7Ops3.scaleDppJoin(spark,
+      "/root/testdata/sf0.01"))
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter in:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"5-row dim must broadcast:\n${p.take(1500)}")
+  }
 }

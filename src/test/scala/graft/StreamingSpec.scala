@@ -244,6 +244,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits NULL-purchase rows only after the watermark closes the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val q = Streaming.intervalJoinOuterStream(clicks.toDF(), purchases.toDF())
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("ivjo")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Click(1, ts("2024-01-01 00:00:00"), 7),   // will match 101
+        Click(2, ts("2024-01-01 00:30:00"), 7))   // will never match
+      purchases.addData(
+        Purchase(101, ts("2024-01-01 00:05:00"), 7))
+      q.processAllAvailable()
+      val early = spark.table("ivjo").as[(Long, Option[Long])].collect().toMap
+      assert(early.get(1L).flatten === Some(101L))
+      assert(!early.contains(2L),
+        "NULL row must NOT emit while the click's window could still match")
+      // advance both watermarks far past click 2's window
+      clicks.addData(Click(90, ts("2024-01-01 03:00:00"), 99))
+      purchases.addData(Purchase(990, ts("2024-01-01 03:00:00"), 99))
+      q.processAllAvailable()
+      val late = spark.table("ivjo").as[(Long, Option[Long])].collect().toMap
+      assert(late.get(2L) === Some(None),
+        "unmatched click must emit a NULL-purchase row once the watermark passes")
+    } finally q.stop()
+  }
+
   test("stateful sessionization: session emitted on event-time timeout, state freed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
