@@ -1458,8 +1458,8 @@ object Oracle {
              substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t.threshold AS p
       FROM documents d JOIN t USING (lang))
     SELECT lang, first(n_docs) AS n_docs, round(first(rate), 6) AS rate,
-           sum(CASE WHEN p THEN 1 ELSE 0 END) AS n_sampled,
-           sum(CASE WHEN p THEN doc_id END) AS id_checksum
+           CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN p THEN doc_id END) AS BIGINT) AS id_checksum
     FROM picked GROUP BY lang ORDER BY lang
   """
 
@@ -1484,7 +1484,7 @@ object Oracle {
           FROM toks WHERE len(t) >= 2)
         GROUP BY doc_id, bigram)
       GROUP BY doc_id)
-    SELECT top.doc_id, n_tokens,
+    SELECT top.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            round(CAST(top_token_n AS DOUBLE) / n_tokens, 6) AS top_token_frac,
            round(CAST(dup_bigram_n AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac,
            (CAST(top_token_n AS DOUBLE) / n_tokens < 0.2
@@ -1727,7 +1727,8 @@ object Oracle {
              sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM b)
-    SELECT user_id, session_id, min(ts) AS session_start,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start,
            max(ts) AS session_end, count(*) AS n_events
     FROM r GROUP BY user_id, session_id
     ORDER BY user_id, session_start
@@ -1764,7 +1765,7 @@ object Oracle {
              row_number() OVER (PARTITION BY ctx
                                 ORDER BY n3 DESC, nxt ASC) AS rk
       FROM tri)
-    SELECT b.ctx, b.nxt, cc.n_ctx,
+    SELECT b.ctx, b.nxt, CAST(cc.n_ctx AS BIGINT) AS n_ctx,
            round(CAST(b.n3 AS DOUBLE) / cc.n_ctx, 6) AS p_next
     FROM best b JOIN cc ON b.ctx = cc.ctx
     WHERE b.rk = 1 AND cc.n_ctx >= 20
@@ -1790,7 +1791,8 @@ object Oracle {
       SELECT user_id, session_id, min(ts) AS session_start,
              max(ts) AS session_end
       FROM r GROUP BY user_id, session_id)
-    SELECT e.event_id, e.user_id, s.session_id, s.session_start
+    SELECT e.event_id, e.user_id,
+           CAST(s.session_id AS BIGINT) AS session_id, s.session_start
     FROM events e JOIN sessions s
       ON e.user_id = s.user_id
      AND e.ts >= s.session_start AND e.ts <= s.session_end
@@ -1840,7 +1842,8 @@ object Oracle {
 
   // order-free aggregates re-derived from the source table
   val sourceTextRoundtrip: String = """
-    SELECT count(*) AS n_lines, sum(length(text)) AS total_chars,
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            min(text) AS min_line, max(text) AS max_line
     FROM documents
   """
@@ -1895,7 +1898,7 @@ object Oracle {
   // field (chr(10) = the embedded newline)
   val sourceCsvQuotedMultiline: String = """
     SELECT count(*) AS n_rows,
-           sum(length(t)) AS total_chars,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars,
            count(DISTINCT t) AS n_distinct,
            min(doc_id) AS min_id, max(doc_id) AS max_id
     FROM (SELECT doc_id,
@@ -2176,10 +2179,10 @@ object Oracle {
              ELSE '' END AS raw
       FROM documents)
     SELECT source, count(*) AS n_docs,
-      sum(CASE WHEN regexp_matches(raw, '[a-z0-9.]+@[a-z0-9.]+')
-               THEN 1 ELSE 0 END) AS n_email,
-      sum(CASE WHEN regexp_matches(raw, '\+[0-9][0-9-]{5,}')
-               THEN 1 ELSE 0 END) AS n_phone,
+      CAST(sum(CASE WHEN regexp_matches(raw, '[a-z0-9.]+@[a-z0-9.]+')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+      CAST(sum(CASE WHEN regexp_matches(raw, '\+[0-9][0-9-]{5,}')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
       CAST(sum(CASE WHEN regexp_matches(raw, '[a-z0-9.]+@[a-z0-9.]+')
                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         AS email_rate,

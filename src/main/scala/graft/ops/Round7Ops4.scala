@@ -61,9 +61,12 @@ object Round7Ops4 {
     import spark.implicits._
     documents(spark, sfDir)
       .select($"doc_id",
-        base64($"text".cast(BinaryType)).as("b64"),
+        // Spark's base64 is MIME-chunked (\r\n every 76 chars) since 3.3's
+        // java.util.Base64 switch; strip to the RFC 4648 canonical form
+        // every other engine (and DuckDB's to_base64) emits.
+        regexp_replace(base64($"text".cast(BinaryType)), "\r\n", "").as("b64"),
         substring(hex($"text".cast(BinaryType)), 1, 32).as("hex32"),
-        octet_length($"text").as("n_bytes"),
+        octet_length($"text").cast(LongType).as("n_bytes"),
         (expr("CAST(unbase64(base64(CAST(text AS BINARY))) AS STRING)") === $"text")
           .as("roundtrip_ok"))
       .orderBy($"doc_id")

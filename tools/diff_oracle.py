@@ -66,6 +66,37 @@ def main():
                       "final select (and CAST(... AS DOUBLE) in the oracle)")
                 n_fail += 1
                 continue
+            # Round-7 lesson (the HUGEINT incident): the driver's hasher
+            # is type-sensitive where this mimic's fetchall() is not.
+            # All nine round-7 reds had a DuckDB sum(BIGINT) → HUGEINT
+            # column (pandas renders int128 as float64: "5.0" vs "5"),
+            # while 17 driver-GREEN queries have INTEGER-vs-BIGINT or
+            # VARCHAR-vs-JSON diffs — those stringize identically and
+            # are safe. So compare by stringization-equivalence class:
+            # same class → ok; different class → driver hash breaks.
+            def tclass(t):
+                if t is None:
+                    return "missing"
+                t = t.upper()
+                if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                         "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                    return "int"        # str() identical across widths
+                if t in ("VARCHAR", "JSON"):
+                    return "str"
+                return t                # HUGEINT, DECIMAL(..), FLOAT,
+                                        # DOUBLE, TIMESTAMP.. exact-match
+            stypes = {r[0]: r[1] for r in desc}
+            otypes = {r[0]: r[1]
+                      for r in con.execute("DESCRIBE " + sql).fetchall()}
+            tdiff = {c: (stypes.get(c), otypes.get(c))
+                     for c in set(stypes) | set(otypes)
+                     if tclass(stypes.get(c)) != tclass(otypes.get(c))}
+            if tdiff:
+                print(f"FAIL {name}: column TYPE mismatch (driver hash is "
+                      f"type-sensitive): {tdiff} — CAST the oracle (e.g. "
+                      "sum→BIGINT) or the Spark side until DESCRIBE agrees")
+                n_fail += 1
+                continue
             sdf = con.execute(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'")
             scols = [d[0] for d in sdf.description]
