@@ -31,13 +31,12 @@ object Round7Ops3 {
     // PartitionPruning rule looks for a selective predicate, so an
     // in-memory dim never triggers DPP. On disk (as any real dim
     // table is) the Filter survives and the pruning subquery appears.
-    val dimPath = "/tmp/graft_dpp_dim_" + sfDir.hashCode.toHexString
-    if (!new java.io.File(s"$dimPath/_SUCCESS").exists()) {
+    val dimPath = ScaleTechniques.materializeOnce("dpp_dim_v1") { tmp =>
       Seq(
         ("click", "engagement"), ("view", "engagement"),
         ("purchase", "conversion"), ("signup", "conversion"),
         ("error", "ops")).toDF("et", "category")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dimPath)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     }
     val dim = spark.read.parquet(dimPath)
     fact.join(dim.filter($"category" === "conversion"), $"event_type" === $"et")

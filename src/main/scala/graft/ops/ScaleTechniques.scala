@@ -12,6 +12,41 @@ import org.apache.spark.sql.types._
   */
 object ScaleTechniques {
 
+  /** Publish-once materialization of a derived /tmp layout. Writers
+    * race two ways: threads in this JVM (Bench/Verify run queries
+    * concurrently in tests) — serialized by the lock — and separate
+    * JVMs (a Bench and a Verify at once) — handled by writing to a
+    * unique temp sibling and ATOMICALLY renaming into place, so a
+    * reader never observes a half-written directory (the old
+    * `_SUCCESS`-existence check passed while part files were still
+    * streaming in). Loser of a cross-JVM race just deletes its temp.
+    * `key` should embed the dataset identity + a layout version, not a
+    * bare hashCode (collision would silently alias two datasets).
+    */
+  private val matLock = new Object
+  def materializeOnce(key: String)(write: String => Unit): String =
+    matLock.synchronized {
+      val dest = new java.io.File(s"/tmp/graft_mat/$key")
+      def done = new java.io.File(dest, "_SUCCESS").exists()
+      if (!done) {
+        dest.getParentFile.mkdirs()
+        val tmp = new java.io.File(dest.getPath + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        write(tmp.getPath)
+        if (!tmp.renameTo(dest)) {
+          // another JVM published first (rename onto an existing dir
+          // fails) — keep theirs, drop ours
+          if (!done) throw new IllegalStateException(
+            s"materializeOnce($key): rename failed and no published copy")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(tmp)
+        }
+      }
+      dest.getPath
+    }
+
   /** Two-phase salted aggregation: phase 1 spreads each hot key over
     * 16 salt shards (bounded per-task state even if one user owns half
     * the stream), phase 2 merges shard partials. Result is identical
@@ -98,11 +133,11 @@ object ScaleTechniques {
     */
   def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = "/tmp/graft_part_events_" + sfDir.hashCode.toHexString
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    val out = materializeOnce(
+      s"part_events_v1_${new java.io.File(sfDir).getName}") { tmp =>
       events(spark, sfDir)
         .select($"event_id", $"user_id", $"value", $"event_type")
-        .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
+        .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(tmp)
     }
     spark.read.parquet(out)
   }
