@@ -2260,4 +2260,127 @@ object Oracle {
     FROM w WHERE event_type = 'click'
     ORDER BY click_id
   """
+
+  // ---- round-8 widening ----
+
+  // same trigram construction as textTrigramLm; each -ln p rounded 9dp
+  // and summed in exact DECIMAL so accumulation order is irrelevant
+  val textPerplexityScore: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS ctx,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i + 2])) AS nxt
+      FROM toks WHERE len(t) >= 3),
+    tri AS (SELECT ctx, nxt, count(*) AS n3 FROM occ GROUP BY ctx, nxt),
+    cc AS (SELECT ctx, CAST(sum(n3) AS BIGINT) AS n_ctx FROM tri GROUP BY ctx)
+    SELECT o.doc_id, count(*) AS n_trigrams,
+           round(CAST(sum(CAST(round(ln(CAST(cc.n_ctx AS DOUBLE) / tri.n3), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+             AS mean_nll
+    FROM occ o
+    JOIN tri ON o.ctx = tri.ctx AND o.nxt = tri.nxt
+    JOIN cc ON o.ctx = cc.ctx
+    GROUP BY o.doc_id ORDER BY o.doc_id
+  """
+
+  // identical quantization arithmetic: every step (float→double widen,
+  // scale division, round-half-away, integer dot in double, sqrt,
+  // divide) is IEEE-exact or correctly rounded on both engines
+  val simEmbeddingQuantize: String = """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    q AS (
+      SELECT vec_id,
+             list_transform(e, x -> round(x * (127.0 /
+               list_max(list_transform(e, y -> abs(y)))))) AS q
+      FROM e),
+    n AS (SELECT vec_id, q, list_inner_product(q, q) AS qn FROM q)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_inner_product(a.q, b.q) AS BIGINT) AS q_dot,
+           round(list_inner_product(a.q, b.q) /
+                 (sqrt(a.qn) * sqrt(b.qn)), 6) AS q_cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ORDER BY q_cos DESC, id_a, id_b LIMIT 50
+  """
+
+  // same unrolled lag chain; numerator is exact DECIMAL (2dp money ×
+  // power-of-two weights), one double division at the end
+  val tsEwma: String = {
+    val lags = (0 to 7).map(j => s"lag(v, $j) OVER w AS v_$j").mkString(",\n             ")
+    val num = (0 to 7).map(j =>
+      s"CASE WHEN v_$j IS NOT NULL THEN v_$j * ${1L << (7 - j)} ELSE CAST(0 AS DECIMAL(30,2)) END")
+      .mkString(" + ")
+    val den = (0 to 7).map(j =>
+      s"CASE WHEN v_$j IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END").mkString(" + ")
+    s"""
+    WITH b AS (
+      SELECT user_id, event_id, ts, ${m("value")} AS v FROM events),
+    l AS (
+      SELECT user_id, event_id,
+             $lags
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
+    FROM l ORDER BY user_id, event_id
+    """
+  }
+
+  // the CC recursive-CTE oracle extended with the survivorship rollup
+  val pipelineDedupSurvivorship: String = """
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+            (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= 0.8),
+    und AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a)
+    SELECT l.cluster_id, min(d.doc_id) AS canonical_id,
+           count(*) AS n_members,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           list_aggregate(list_sort(list_distinct(list(d.lang))), 'string_agg', ',')
+             AS langs,
+           list_aggregate(list_sort(list_distinct(list(d.source))), 'string_agg', ',')
+             AS sources
+    FROM lbl l JOIN documents d ON l.doc_id = d.doc_id
+    GROUP BY l.cluster_id ORDER BY l.cluster_id
+  """
+
+  // DuckDB has true count(DISTINCT) OVER; set cardinality is order-free
+  val winDistinctRolling: String = """
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS INT)
+             AS n_distinct_types
+    FROM events ORDER BY user_id, event_id
+  """
+
+  // JSON path extraction mirrors Spark's variant_get typed path
+  val fnVariant: String = """
+    SELECT event_type, count(*) AS n_events,
+           min(k) AS min_k, max(k) AS max_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           count(CASE WHEN k >= 50 THEN 1 END) AS n_high
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+  """
 }

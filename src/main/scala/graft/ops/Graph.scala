@@ -44,7 +44,15 @@ object Graph {
     val nodes = deg.select($"src".as("node"))
     val n = nodes.count()
     var ranks = nodes.select($"node", lit(1.0 / n).as("r"))
+    // edges/deg stay pinned for every round; each round's rank
+    // checkpoint is dropped as soon as the next one is materialized —
+    // without this the blocks of EVERY round (and, across a bench
+    // sweep, every run) stay resident and storage memory grows without
+    // bound (the round-7 driver-bench slowdown)
+    val sc = spark.sparkContext
+    val baseIds = sc.getPersistentRDDs.keySet
     for (_ <- 1 to 5) {
+      val prevIds = sc.getPersistentRDDs.keySet -- baseIds
       val contrib = edges.join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select($"dst", ($"r" / $"deg").as("c"))
@@ -54,6 +62,8 @@ object Graph {
         .select($"dst".as("node"),
           (lit(0.15 / n) + lit(0.85) * $"contrib").as("r"))
         .localCheckpoint(true)
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     }
     ranks.select($"node", round($"r" * n, 6).as("rank_scaled"))
       .orderBy($"node")

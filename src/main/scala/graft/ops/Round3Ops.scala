@@ -184,6 +184,13 @@ object Round3Ops {
       .unionAll(edges.select($"id_b".as("id"), $"id_a".as("nb")))
       .repartition(nPart, col("nb"))
       .localCheckpoint(true)
+    // und (and anything the caller pinned) stays resident across
+    // rounds; each round's label checkpoint is freed once its
+    // successor is materialized (same bounded-storage pattern as
+    // graphPagerank — unbounded checkpoint retention was the round-7
+    // driver-bench contamination)
+    val sc = spark.sparkContext
+    val baseIds = sc.getPersistentRDDs.keySet
     // initialization IS the first propagation round: label = min(self,
     // neighbors) straight off the edge list — one round fewer in the loop
     var labels = und.groupBy($"id")
@@ -192,6 +199,7 @@ object Round3Ops {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
+      val prevIds = sc.getPersistentRDDs.keySet -- baseIds
       // the previous label rides through the min-aggregation (neighbors
       // contribute NULL prev), so convergence detection costs no extra
       // join — per round: one neighbor join, one label-of-label join,
@@ -208,6 +216,8 @@ object Round3Ops {
         .select($"id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"), $"prev")
         .localCheckpoint(true)
       changed = next.filter($"lbl" < $"prev").count()
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       labels = next.select($"id", $"lbl")
       iter += 1
     }

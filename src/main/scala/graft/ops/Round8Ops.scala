@@ -1,0 +1,193 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-8 widening: trigram-LM perplexity scoring, int8 embedding
+  * quantization with quantized-space top-k, exact-decimal EWMA,
+  * dedup survivorship (golden record per duplicate cluster), rolling
+  * distinct-count windows, and the Spark 4 VARIANT surface.
+  */
+object Round8Ops {
+
+  /** Corpus-LM perplexity scoring — the quality-filter step that ranks
+    * documents by how "expected" their token stream is under the
+    * corpus's own trigram model (high mean negative-log-prob = outlier
+    * doc). p(w3 | w1 w2) = cnt(w1 w2 w3)/cnt(w1 w2), both counts from
+    * one explode+aggregate pass over the corpus; every document
+    * trigram exists in the model by construction, so no backoff branch
+    * is needed.
+    *
+    * Engine-tie protocol: each -ln p term is rounded to 9 dp and
+    * accumulated in DECIMAL(28,9) — exact and order-free, so the only
+    * cross-engine risk is a libm ulp landing within 5e-10 of a
+    * rounding boundary (the text_collocation_pmi ln protocol, one
+    * magnitude stricter); the per-doc mean converts to double once.
+    *
+    * Scale shape: trigram occurrences shuffle on (ctx, nxt) —
+    * vocabulary-bounded, not corpus-bounded — then once on doc_id for
+    * the per-doc mean. No driver state, no window over the corpus.
+    */
+  def textPerplexityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val occ = documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> struct(" +
+          "concat(element_at(t, i), ' ', element_at(t, i + 1)) AS ctx, " +
+          "element_at(t, i + 2) AS nxt))")).as("g"))
+      .select($"doc_id", $"g.ctx".as("ctx"), $"g.nxt".as("nxt"))
+    val tri = occ.groupBy($"ctx", $"nxt").agg(count(lit(1)).as("n3"))
+    val ctxC = tri.groupBy($"ctx").agg(sum($"n3").as("n_ctx"))
+    occ.join(tri, Seq("ctx", "nxt"))
+      .join(ctxC, Seq("ctx"))
+      .withColumn("nll",
+        round(log($"n_ctx".cast(DoubleType) / $"n3"), 9)
+          .cast(DecimalType(28, 9)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum($"nll").cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_nll"))
+      .orderBy($"doc_id")
+  }
+
+  /** Int8 embedding quantization + top-k in quantized space — the 4×
+    * memory-reduction path an ANN index takes at 100 TB (int8 codes +
+    * per-vector scale instead of float32). Symmetric linear
+    * quantization: q_i = round(x_i * 127 / max|x|). Quantized values
+    * are small integers; they are carried as exact doubles so the
+    * compiled graft_dot kernel (codegen'd primitive loop) computes the
+    * integer dot products — every product ≤ 127² and sum ≤ 64·127²
+    * is exactly representable, so accumulation order cannot matter and
+    * the result ties out bit-for-bit on any engine.
+    *
+    * float→double widening, the scale division, round-half-away, sqrt
+    * and the final division are all IEEE-exact or correctly rounded,
+    * so Spark and DuckDB derive identical codes and cosines with NO
+    * rounding slack needed before the final display round.
+    */
+  def simEmbeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val q = embeddings(spark, sfDir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("scale",
+        lit(127.0) / expr("array_max(transform(e, x -> abs(x)))"))
+      // codes carried as float for the graft_dot kernel: |q| ≤ 127 and
+      // every partial sum ≤ 64·127² < 2²⁴, so float storage and the
+      // kernel's double accumulation are both exact — no rounding slack
+      .withColumn("q", expr("transform(e, x -> CAST(round(x * scale) AS FLOAT))"))
+      .withColumn("qn", call_function("graft_dot", $"q", $"q"))
+      .select($"vec_id", $"q", $"qn")
+    val a = q.select($"vec_id".as("id_a"), $"q".as("q_a"), $"qn".as("qn_a"))
+    val b = q.select($"vec_id".as("id_b"), $"q".as("q_b"), $"qn".as("qn_b"))
+    a.join(broadcast(b), $"id_a" < $"id_b")
+      .withColumn("q_dot", call_function("graft_dot", $"q_a", $"q_b"))
+      .withColumn("q_cos", $"q_dot" / (sqrt($"qn_a") * sqrt($"qn_b")))
+      .select($"id_a", $"id_b", $"q_dot".cast(LongType).as("q_dot"),
+        round($"q_cos", 6).as("q_cos"))
+      .orderBy($"q_cos".desc, $"id_a", $"id_b")
+      .limit(50)
+  }
+
+  /** Exponentially weighted moving average over each user's last 8
+    * event values (α = 1/2) — the smoothing pass a metrics pipeline
+    * runs per entity. The recurrence is unrolled into an explicit lag
+    * chain so it stays a SINGLE user-keyed window (no iterative
+    * self-joins), and the weights are powers of two over 2-dp DECIMAL
+    * values: every product v_j·2^(7−j) and the weight total are exact
+    * integers scaled by 2^-7·10^-2, so the weighted sum is order-free
+    * exact and the one double division at the end ties out on any
+    * engine. At 100 TB this is one shuffle on user_id and a bounded
+    * 8-slot frame per row — state never grows with history length.
+    */
+  def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val base = events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", money($"value").as("v"))
+    val lagged = (0 to 7).foldLeft(base) { (df, j) =>
+      df.withColumn(s"v_$j", lag($"v", j).over(w))
+    }
+    val num = (0 to 7).map { j =>
+      val wgt = lit(1L << (7 - j)).cast(DecimalType(10, 0))
+      when(col(s"v_$j").isNotNull, col(s"v_$j") * wgt)
+        .otherwise(lit(0).cast(DecimalType(30, 2)))
+    }.reduce(_ + _)
+    val den = (0 to 7).map { j =>
+      when(col(s"v_$j").isNotNull, lit(1L << (7 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    lagged
+      .select($"user_id", $"event_id",
+        round(num.cast(DoubleType) / den.cast(DoubleType), 6).as("ewma"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Survivorship / golden-record construction: each near-duplicate
+    * cluster (connected components over verified near-dup pairs)
+    * collapses to one canonical row — min doc_id wins (deterministic,
+    * order-free), with merged provenance (sorted distinct langs and
+    * sources) and audit mass (total chars). This is the step that
+    * turns pair detection into an actually deduplicated corpus; the
+    * cluster map shuffles on cluster_id, bounded by #duplicates, not
+    * corpus size.
+    */
+  def pipelineDedupSurvivorship(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = Round3Ops.dedupConnectedComponents(spark, sfDir)
+      .select($"doc_id", $"cluster_id")
+    clusters.join(documents(spark, sfDir), Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(min($"doc_id").as("canonical_id"),
+        count(lit(1)).as("n_members"),
+        sum($"n_chars").as("total_chars"),
+        array_join(array_sort(collect_set($"lang")), ",").as("langs"),
+        array_join(array_sort(collect_set($"source")), ",").as("sources"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Rolling distinct-cardinality window: per user, the number of
+    * DISTINCT event types in the last 10 events — the engagement-
+    * breadth signal sessions are scored by. Spark has no
+    * count(DISTINCT) OVER; `size(collect_set() OVER)` is the
+    * equivalent with identical semantics (set size is order-free, so
+    * no cross-engine tie risk). One user-keyed shuffle, 10-row frame
+    * state per row.
+    */
+  def winDistinctRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-9, Window.currentRow)
+    events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        size(collect_set($"event_type").over(w)).as("n_distinct_types"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
+    * parsed once into VARIANT (`parse_json`) and field-extracted with
+    * `variant_get` typed paths — the open-schema ingest path that
+    * replaces per-access JSON re-parsing (shredded, binary-encoded,
+    * predicate-pushable at scan level in lakehouse formats). VARIANT
+    * itself never leaves the query: extracted typed columns feed a
+    * plain aggregate, so the output stays oracle-comparable.
+    */
+  def fnVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .select($"event_type",
+        expr("CAST(variant_get(parse_json(props), '$.k', 'long') AS BIGINT)")
+          .as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min($"k").as("min_k"), max($"k").as("max_k"),
+        sum($"k").as("sum_k"),
+        count(when($"k" >= 50, 1)).as("n_high"))
+      .orderBy($"event_type")
+  }
+}
