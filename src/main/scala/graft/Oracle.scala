@@ -2372,6 +2372,83 @@ object Oracle {
     FROM events ORDER BY user_id, event_id
   """
 
+  // bitmaps are an exact-distinct mechanism; the oracle is the plain form
+  val aggBitmapDistinct: String = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+  """
+
+  // layout-independent answer: same band filter over the raw table
+  val scaleSortedSkipping: String = """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-11 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+  """
+
+  // UNION ALL with an explicit NULL stands in for the missing column
+  val pipelineSchemaDriftAudit: String = """
+    SELECT coalesce(priority, '<pre-drift>') AS priority,
+           count(*) AS n_rows,
+           CAST(sum(price) AS DOUBLE) AS revenue
+    FROM (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             NULL AS priority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    GROUP BY 1 ORDER BY 1
+  """
+
+  // SCD2 rebuilt with the identical gaps-and-islands construction, then
+  // the containment join ([valid_from, valid_to) with open last interval)
+  val joinScd2PointInTime: String = """
+    WITH b AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM b),
+    runs AS (
+      SELECT user_id, event_type, island, min(ts) AS valid_from
+      FROM r GROUP BY user_id, event_type, island),
+    dim AS (
+      SELECT user_id, event_type AS status, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM runs)
+    SELECT e.event_id, e.user_id, d.status AS status_at_purchase,
+           d.valid_from AS status_since
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+  """
+
+  // ascii corpus: UTF8_LCASE grouping ≡ grouping by lower()
+  val fnStringCollation: String = """
+    SELECT lower(l) AS lang_ci, count(*) AS n_docs,
+           CAST(sum(CASE WHEN l = lower(l) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lowercase
+    FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS l
+          FROM documents)
+    GROUP BY lower(l) ORDER BY lang_ci
+  """
+
   // JSON path extraction mirrors Spark's variant_get typed path
   val fnVariant: String = """
     SELECT event_type, count(*) AS n_events,

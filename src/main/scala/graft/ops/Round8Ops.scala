@@ -169,6 +169,126 @@ object Round8Ops {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Exact distinct counting via fixed-size bitmaps — the scalable
+    * alternative to COUNT(DISTINCT)'s expand+dedup shuffle: ids are
+    * bucketed (`bitmap_bucket_number`), each (group, bucket) partial
+    * aggregates into a constant-width bitmap (`bitmap_construct_agg`
+    * ORs bit positions — mergeable, so map-side combine works), and
+    * bucket cardinalities sum exactly because buckets partition the id
+    * space. At 100 TB the shuffled state per group is #buckets ×
+    * 4 KB bitmaps instead of one row per distinct id; result is EXACT,
+    * unlike HLL. The oracle is plain COUNT(DISTINCT).
+    */
+  def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .groupBy($"event_type", expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"),
+        count(lit(1)).as("pn"))
+      .groupBy($"event_type")
+      .agg(sum(expr("bitmap_count(bm)")).cast(LongType).as("n_distinct_users"),
+        sum($"pn").cast(LongType).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** Sorted-layout data skipping: the events copy is range-partitioned
+    * and sorted by ts before writing, so every parquet row group's
+    * min/max footer stats span a NARROW time band and a point-band
+    * query prunes most row groups at scan time (the same mechanic
+    * Z-order generalizes to multiple columns — see pipeline_zorder_key;
+    * at 100 TB this is the difference between reading one day and one
+    * month). The layout is a one-time amortized write via
+    * materializeOnce; the answer is layout-independent (oracle = the
+    * same filter over the raw table).
+    */
+  def scaleSortedSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = ScaleTechniques.materializeOnce(
+      s"events_tssorted_v1_${new java.io.File(sfDir).getName}") { tmp =>
+      events(spark, sfDir)
+        .repartitionByRange(8, $"ts")
+        .sortWithinPartitions($"ts")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    }
+    spark.read.parquet(out)
+      .filter($"ts" >= ntz("2024-01-10 00:00:00") &&
+        $"ts" < ntz("2024-01-11 00:00:00"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(money($"value")).cast(DoubleType).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Schema-drift-tolerant ingestion audit: two snapshot generations of
+    * the same feed — the newer one carries an added column — are
+    * combined with unionByName(allowMissingColumns) (positional UNION
+    * would silently misalign or reject), and the audit reports volume
+    * and revenue per drift-coalesced group. This is the evolution path
+    * every long-lived 100 TB feed needs: late columns appear as NULLs
+    * on old rows, queryable immediately, no backfill.
+    */
+  def pipelineSchemaDriftAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = orders(spark, sfDir)
+    val v1 = base.filter(pmod($"o_orderkey", lit(2)) === 0)
+      .select($"o_orderkey", money($"o_totalprice").as("price"))
+    val v2 = base.filter(pmod($"o_orderkey", lit(2)) === 1)
+      .select($"o_orderkey", money($"o_totalprice").as("price"),
+        $"o_orderpriority".as("priority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(coalesce($"priority", lit("<pre-drift>")).as("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"price").cast(DoubleType).as("revenue"))
+      .orderBy($"priority")
+  }
+
+  /** Point-in-time (temporal) join against the SCD2 dimension built by
+    * [[Round7Ops.pipelineScd2]]: each purchase is resolved to the
+    * status interval containing its timestamp — the "what did the
+    * dimension say WHEN the fact happened" join that makes training
+    * data leak-free (joining current state would leak the future).
+    * The user_id equi-key keeps it a hash join with the interval
+    * bounds as residual; every event falls in exactly one interval by
+    * construction, so the join neither drops nor duplicates facts.
+    */
+  def joinScd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Round7Ops.pipelineScd2(spark, sfDir)
+      .select($"user_id", $"status", $"valid_from", $"valid_to")
+    val facts = events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+        $"ts" >= $"valid_from" &&
+        ($"valid_to".isNull || $"ts" < $"valid_to"))
+      .select($"event_id", facts("user_id").as("user_id"),
+        $"status".as("status_at_purchase"), $"valid_from".as("status_since"))
+      .orderBy($"event_id")
+  }
+
+  /** Spark 4 collation surface: case-insensitive grouping via
+    * UTF8_LCASE collation — the engine-level answer to the lower()-
+    * everywhere anti-pattern (collation-aware comparisons stay
+    * codegen'd and, on sorted data, sort-order-compatible). A
+    * deterministic mixed-case variant is derived first; the collated
+    * group key is then re-lowered (and cast back to a plain string) so
+    * the output is representative-independent and oracle-comparable.
+    */
+  def fnStringCollation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val mixed = when(pmod($"doc_id", lit(2)) === 0, upper($"lang"))
+      .otherwise($"lang")
+    documents(spark, sfDir)
+      .select(mixed.as("l"))
+      .groupBy(expr("collate(l, 'UTF8_LCASE')").as("lc"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"l" === lower($"l"), 1L).otherwise(0L)).as("n_lowercase"))
+      .select(lower($"lc").cast(StringType).as("lang_ci"),
+        $"n_docs", $"n_lowercase")
+      .orderBy($"lang_ci")
+  }
+
   /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
     * parsed once into VARIANT (`parse_json`) and field-extracted with
     * `variant_get` typed paths — the open-schema ingest path that
