@@ -187,4 +187,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"),
       s"5-row dim must broadcast:\n${p.take(1500)}")
   }
+
+  test("sorted-skipping band filter is pushed to the sorted layout's scan") {
+    val p = plan(graft.ops.Round8Ops.scaleSortedSkipping(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
+      s"ts band must reach the parquet footer stats:\n${p.take(2000)}")
+  }
+
+  test("SCD2 point-in-time join is a hash join on user_id, not a nested loop") {
+    val p = plan(graft.ops.Round8Ops.joinScd2PointInTime(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval residual must ride the user_id equi-key:\n${p.take(2000)}")
+  }
+
+  test("bitmap distinct is two-phase mergeable aggregation (no expand)") {
+    val p = plan(graft.ops.Round8Ops.aggBitmapDistinct(spark, sf))
+    assert(!p.contains("Expand"),
+      s"bitmap path must not use COUNT(DISTINCT)'s Expand:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation over mergeable bitmaps")
+  }
+
+  test("quantized top-k broadcasts only the compact code table") {
+    val p = plan(graft.ops.Round8Ops.simEmbeddingQuantize(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"code table (≤ |V|·64 bytes) must broadcast:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must not global-sort:\n${p.take(1500)}")
+  }
 }
