@@ -2449,6 +2449,89 @@ object Oracle {
     GROUP BY lower(l) ORDER BY lang_ci
   """
 
+  // identical exact-moment → single-double-expression recipe as
+  // aggCorrPairs; stats computed once in a CTE (the broadcast mirror)
+  val mlFeatureScaling: String = """
+    WITH b AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(12,2)) AS q,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS e
+      FROM lineitem),
+    s AS (
+      SELECT count(*) AS n,
+             min(q) AS q_min, max(q) AS q_max, sum(q) AS q_sum,
+             sum(q * q) AS q_sum2,
+             min(e) AS e_min, max(e) AS e_max, sum(e) AS e_sum,
+             sum(e * e) AS e_sum2
+      FROM b)
+    SELECT l_orderkey, l_linenumber,
+      round((CAST(q AS DOUBLE) - CAST(q_sum AS DOUBLE) / CAST(n AS DOUBLE)) /
+            sqrt((CAST(q_sum2 AS DOUBLE) - CAST(q_sum AS DOUBLE) *
+                  CAST(q_sum AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+        AS q_z,
+      round((CAST(q AS DOUBLE) - CAST(q_min AS DOUBLE)) /
+            (CAST(q_max AS DOUBLE) - CAST(q_min AS DOUBLE)), 6) AS q_mm,
+      round((CAST(e AS DOUBLE) - CAST(e_sum AS DOUBLE) / CAST(n AS DOUBLE)) /
+            sqrt((CAST(e_sum2 AS DOUBLE) - CAST(e_sum AS DOUBLE) *
+                  CAST(e_sum AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+        AS e_z,
+      round((CAST(e AS DOUBLE) - CAST(e_min AS DOUBLE)) /
+            (CAST(e_max AS DOUBLE) - CAST(e_min AS DOUBLE)), 6) AS e_mm
+    FROM b CROSS JOIN s
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+  """
+
+  // same one-scan conditional sums, unpivoted row-per-rule
+  val pipelineDqExpectations: String = """
+    WITH a AS (
+      SELECT count(*) AS n_checked,
+        CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
+        CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.10
+                 THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_range,
+        CAST(sum(CASE WHEN l_tax >= 0.09 THEN 1 ELSE 0 END) AS BIGINT)
+          AS tax_below_cap,
+        CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS price_positive,
+        CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01 00:00:00'
+                        OR l_shipdate > TIMESTAMP '2002-01-01 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_in_window
+      FROM lineitem)
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+    FROM (
+      SELECT n_checked, 'qty_in_range' AS rule, qty_in_range AS n_violations FROM a
+      UNION ALL
+      SELECT n_checked, 'discount_in_range', discount_in_range FROM a
+      UNION ALL
+      SELECT n_checked, 'tax_below_cap', tax_below_cap FROM a
+      UNION ALL
+      SELECT n_checked, 'price_positive', price_positive FROM a
+      UNION ALL
+      SELECT n_checked, 'shipdate_in_window', shipdate_in_window FROM a)
+    ORDER BY rule
+  """
+
+  // IS NOT DISTINCT FROM = Spark's <=>; NULL bucket matches itself
+  val joinNullSafeEq: String = """
+    WITH k AS (
+      SELECT nullif(user_id % 7, 3) AS k, event_id FROM events),
+    a AS (SELECT k, count(*) AS n_a FROM k GROUP BY k),
+    b AS (SELECT k AS k_b, count(*) AS n_b FROM k GROUP BY k)
+    SELECT a.k, n_a, n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k_b
+    ORDER BY a.k NULLS FIRST
+  """
+
+  // the backfilled state recomputed declaratively: purchase values ×2
+  val pipelineBackfillPartition: String = """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(CASE WHEN event_type = 'purchase'
+                              THEN value * 2 ELSE value END
+                         AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+  """
+
   // JSON path extraction mirrors Spark's variant_get typed path
   val fnVariant: String = """
     SELECT event_type, count(*) AS n_events,

@@ -289,6 +289,116 @@ object Round8Ops {
       .orderBy($"lang_ci")
   }
 
+  /** Feature standardization from exact decimal moments — the scaling
+    * pass every ML pipeline runs before training: global min/max and
+    * mean/std computed ONCE from 2dp-quantized exact sums (order-free,
+    * engine-tie safe like agg_corr_pairs), broadcast back as a 1-row
+    * frame, then z-score and min-max features derived per row with one
+    * identical double expression on each engine. Two passes total over
+    * the data regardless of feature count; the stats row is bytes.
+    */
+  def mlFeatureScaling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = lineitem(spark, sfDir).select($"l_orderkey", $"l_linenumber",
+      money($"l_quantity").as("q"), money($"l_extendedprice").as("e"))
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      min($"q").as("q_min"), max($"q").as("q_max"), sum($"q").as("q_sum"),
+      sum($"q" * $"q").as("q_sum2"),
+      min($"e").as("e_min"), max($"e").as("e_max"), sum($"e").as("e_sum"),
+      sum($"e" * $"e").as("e_sum2"))
+    def z(v: String) = {
+      val (n, s, s2) = (s"CAST(n AS DOUBLE)", s"CAST(${v}_sum AS DOUBLE)",
+        s"CAST(${v}_sum2 AS DOUBLE)")
+      s"round((CAST($v AS DOUBLE) - $s / $n) / " +
+        s"sqrt(($s2 - $s * $s / $n) / $n), 6)"
+    }
+    def mm(v: String) =
+      s"round((CAST($v AS DOUBLE) - CAST(${v}_min AS DOUBLE)) / " +
+        s"(CAST(${v}_max AS DOUBLE) - CAST(${v}_min AS DOUBLE)), 6)"
+    base.filter($"l_orderkey" < 100)
+      .crossJoin(broadcast(stats))
+      .select($"l_orderkey", $"l_linenumber",
+        expr(z("q")).as("q_z"), expr(mm("q")).as("q_mm"),
+        expr(z("e")).as("e_z"), expr(mm("e")).as("e_mm"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Data-quality expectation suite (the Great-Expectations shape):
+    * every rule is evaluated in ONE scan as a conditional sum, then the
+    * wide result unpivots to a (rule, n_violations, pass) report — a
+    * query auditors read and pipelines gate on. Adding a rule adds a
+    * column to the single aggregate, never a second pass; at 100 TB
+    * the report costs one partial+final aggregate of #rules counters.
+    */
+  def pipelineDqExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rules = Seq(
+      ("qty_in_range", "l_quantity < 1.0 OR l_quantity > 50.0"),
+      ("discount_in_range", "l_discount < 0.0 OR l_discount > 0.10"),
+      ("tax_below_cap", "l_tax >= 0.09"),
+      ("price_positive", "l_extendedprice <= 0.0"),
+      ("shipdate_in_window",
+        "l_shipdate < TIMESTAMP_NTZ '1992-01-01 00:00:00' OR " +
+          "l_shipdate > TIMESTAMP_NTZ '2002-01-01 00:00:00'"))
+    val vio = rules.map { case (nm, c) =>
+      sum(when(expr(c), 1L).otherwise(0L)).as(nm)
+    }
+    val agg = lineitem(spark, sfDir)
+      .agg(count(lit(1)).as("n_checked"), vio: _*)
+    val stacked = rules.map { case (nm, _) => s"'$nm', $nm" }.mkString(", ")
+    agg.select($"n_checked", expr(
+        s"stack(${rules.size}, $stacked) AS (rule, n_violations)"))
+      .select($"rule", $"n_checked", $"n_violations",
+        ($"n_violations" === 0L).as("pass"))
+      .orderBy($"rule")
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — the semantics dimension-key joins need when
+    * "unknown" is itself a bucket (plain `=` silently drops every NULL
+    * row). Spark plans `<=>` as a HASH join key (null-safe equality is
+    * still an equi-key), so the NULL bucket shuffles like any other
+    * value instead of forcing a nested loop.
+    */
+  def joinNullSafeEq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = events(spark, sfDir)
+      .select(nullif(pmod($"user_id", lit(7)), lit(3)).as("k"), $"event_id")
+    val a = keyed.groupBy($"k").agg(count(lit(1)).as("n_a"))
+    val b = keyed.groupBy($"k".as("k_b")).agg(count(lit(1)).as("n_b"))
+    a.join(b, $"k" <=> $"k_b")
+      .select($"k", $"n_a", $"n_b")
+      .orderBy($"k".asc_nulls_first)
+  }
+
+  /** Dynamic partition overwrite — the backfill primitive: a corrected
+    * recompute of ONE partition (`purchase`) replaces exactly that
+    * directory while every other partition's files are untouched
+    * (static overwrite mode would truncate the whole table — the
+    * classic backfill disaster). The audit re-reads the table and
+    * proves only the target partition changed. At 100 TB this is how
+    * a bad day/type is repaired: rewrite one directory, not the lake.
+    */
+  def pipelineBackfillPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val ev = events(spark, sfDir)
+      .select($"event_id", $"user_id", $"value", $"event_type")
+    ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("event_type").parquet(tmp)
+    ev.filter($"event_type" === "purchase")
+      .withColumn("value", $"value" * 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(tmp)
+    spark.read.parquet(tmp)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(money($"value")).cast(DoubleType).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
     * parsed once into VARIANT (`parse_json`) and field-extracted with
     * `variant_get` typed paths — the open-schema ingest path that
