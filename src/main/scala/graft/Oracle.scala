@@ -2532,6 +2532,32 @@ object Oracle {
     FROM events GROUP BY event_type ORDER BY event_type
   """
 
+  // identical last-writer-wins window; trailing delete drops the key
+  val pipelineCdcApply: String = """
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events WHERE event_type IN ('signup', 'view', 'error')),
+    r AS (
+      SELECT user_id, ts, op, v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log)
+    SELECT user_id, CAST(v AS DOUBLE) AS final_value, ts AS last_updated
+    FROM r WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+  """
+
+  // provenance recovered from the path must equal the data partition,
+  // so the report is exactly the per-type profile of the raw table
+  val scanMetadataColumns: String = """
+    SELECT event_type AS path_partition, count(*) AS n_events,
+           min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+           count(*) AS n_consistent
+    FROM events GROUP BY event_type ORDER BY path_partition
+  """
+
   // JSON path extraction mirrors Spark's variant_get typed path
   val fnVariant: String = """
     SELECT event_type, count(*) AS n_events,

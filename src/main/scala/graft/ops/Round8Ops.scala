@@ -399,6 +399,53 @@ object Round8Ops {
       .orderBy($"event_type")
   }
 
+  /** CDC change-log application — the lakehouse MERGE-from-stream
+    * primitive: a totally-ordered changelog of upserts and deletes is
+    * collapsed to final state by last-writer-wins per key (ONE window
+    * pass on the key partitioning; the (ts, event_id) order makes the
+    * winner unique), and a trailing delete removes the key entirely.
+    * Unlike pipeline_upsert (two-state FULL OUTER merge) this is the
+    * log-replay form: at 100 TB the changelog shuffles once on the
+    * key and per-key state is one row, however long the log.
+    */
+  def pipelineCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val log = events(spark, sfDir)
+      .filter($"event_type".isin("signup", "view", "error"))
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"),
+        money($"value").as("v"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"user_id", $"v".cast(DoubleType).as("final_value"),
+        $"ts".as("last_updated"))
+      .orderBy($"user_id")
+  }
+
+  /** Hidden metadata-column surface (`_metadata.file_path`): file-level
+    * provenance without a manifest — here the partition value is
+    * recovered from the path alone and proven equal to the data, the
+    * audit a lake runs to detect rows landed in the wrong directory.
+    * Metadata columns are populated by the reader for free (no extra
+    * IO); the aggregate is partition-count-independent so the answer
+    * is layout-stable across writer parallelism.
+    */
+  def scanMetadataColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ScaleTechniques.partitionedEvents(spark, sfDir)
+      .select($"event_id", $"event_type",
+        regexp_extract(col("_metadata.file_path"), "event_type=([a-z]+)", 1)
+          .as("path_partition"))
+      .groupBy($"path_partition")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"),
+        sum(when($"event_type" === $"path_partition", 1L).otherwise(0L))
+          .as("n_consistent"))
+      .orderBy($"path_partition")
+  }
+
   /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
     * parsed once into VARIANT (`parse_json`) and field-extracted with
     * `variant_get` typed paths — the open-schema ingest path that
