@@ -84,7 +84,10 @@ object Round8Ops {
       .withColumn("q", expr("transform(e, x -> CAST(round(x * scale) AS FLOAT))"))
       .withColumn("qn", call_function("graft_dot", $"q", $"q"))
       .select($"vec_id", $"q", $"qn")
-    val a = q.select($"vec_id".as("id_a"), $"q".as("q_a"), $"qn".as("qn_a"))
+    // single-file parquet reads as one partition — spread the probe
+    // side so the O(n²/2) pair loop parallelizes (simCosineTopk lesson)
+    val a = q.repartition(col("vec_id"))
+      .select($"vec_id".as("id_a"), $"q".as("q_a"), $"qn".as("qn_a"))
     val b = q.select($"vec_id".as("id_b"), $"q".as("q_b"), $"qn".as("qn_b"))
     a.join(broadcast(b), $"id_a" < $"id_b")
       .withColumn("q_dot", call_function("graft_dot", $"q_a", $"q_b"))
