@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: 8g left the unified memory pool (~4.6g) thin for a
+  // 32-thread local sweep — storage/execution contention showed up as
+  // in-sweep queries running 2-7x slower than isolated (SCALE.md). The
+  // machine has 128 GiB; 24g keeps headroom for the driver harness.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
