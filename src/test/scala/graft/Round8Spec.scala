@@ -70,6 +70,27 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     assert(q.filter($"bad" > 0).count() === 0)
   }
 
+  test("quantized cosine: within int8 error bound of exact, recall@50 >= 0.8 on exact top-10") {
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val exact = graft.ops.LlmOps.simCosineTopk(spark, sf)
+      .select($"id_a", $"id_b", $"cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val quant = Round8Ops.simEmbeddingQuantize(spark, sf)
+      .select($"id_a", $"id_b", $"q_cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // error bound: int8 symmetric quantization perturbs each coord by
+    // <= max|x|/254; cosine error stays well under 0.03 at 64 dims
+    val common = exact.keySet.intersect(quant.keySet)
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(exact(k) - quant(k)) < 0.03,
+        s"pair $k: exact=${exact(k)} quant=${quant(k)}")
+    }
+    val top10 = exact.toSeq.sortBy(-_._2).take(10).map(_._1)
+    val recall = top10.count(quant.contains).toDouble / top10.size
+    assert(recall >= 0.8, s"recall@50 of exact top-10 = $recall")
+  }
+
   test("null-safe join: the NULL bucket matches itself (plain = would drop it)") {
     val r = Round8Ops.joinNullSafeEq(spark, sf)
     val nullRow = r.filter($"k".isNull).collect()
