@@ -2558,6 +2558,25 @@ object Oracle {
     FROM events GROUP BY event_type ORDER BY path_partition
   """
 
+  // quantile_disc = percentile_disc: both pick the same actual value,
+  // no interpolation, no rounding protocol needed
+  val aggPercentileDisc: String = """
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS p25,
+           quantile_disc(l_quantity, 0.50) AS p50,
+           quantile_disc(l_quantity, 0.75) AS p75,
+           quantile_disc(l_extendedprice, 0.95) AS p95_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """
+
+  // character-class-only pattern: Java and RE2 semantics coincide
+  val fnRegexpExtractAll: String = """
+    SELECT m, count(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+e[a-z]+')) AS m
+          FROM documents)
+    GROUP BY m ORDER BY n DESC, m LIMIT 30
+  """
+
   // JSON path extraction mirrors Spark's variant_get typed path
   val fnVariant: String = """
     SELECT event_type, count(*) AS n_events,

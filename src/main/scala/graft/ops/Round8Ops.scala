@@ -449,6 +449,45 @@ object Round8Ops {
       .orderBy($"path_partition")
   }
 
+  /** Discrete percentiles (`percentile_disc` WITHIN GROUP): picks an
+    * ACTUAL value from the distribution instead of interpolating — the
+    * form SLO/latency reporting needs (an interpolated p99 latency is
+    * a latency no request ever had), and the engine-tie-safe one: no
+    * arithmetic happens, so both engines return bit-identical values
+    * with no rounding protocol. Plans as an ordered-group aggregate,
+    * partial-sortable at scale.
+    */
+  def aggPercentileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitem(spark, sfDir).createOrReplaceTempView("g8_lineitem_pd")
+    spark.sql("""
+      SELECT l_returnflag,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+        percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price
+      FROM g8_lineitem_pd
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+  }
+
+  /** regexp_extract_all surface: every match is surfaced (not just the
+    * first), exploded and counted — the pattern-mining shape (PII
+    * scans, token census) that single-match regexp_extract silently
+    * undercounts. Pattern sticks to character classes so Java and RE2
+    * regex semantics coincide. Match census shuffles on the bounded
+    * match vocabulary, not the corpus.
+    */
+  def fnRegexpExtractAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select(explode(expr(
+        "regexp_extract_all(text, '[a-z]+e[a-z]+', 0)")).as("m"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"m")
+      .limit(30)
+  }
+
   /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
     * parsed once into VARIANT (`parse_json`) and field-extracted with
     * `variant_get` typed paths — the open-schema ingest path that
