@@ -2577,6 +2577,64 @@ object Oracle {
     GROUP BY m ORDER BY n DESC, m LIMIT 30
   """
 
+  // checksum reproduced from the rows alone: sorted lines + trailing \n
+  // is exactly what the single-writer text sink emits
+  val sourceBinaryfile: String = """
+    SELECT CAST(1 AS BIGINT) AS n_files,
+           CAST(sum(length(text)) + count(*) AS BIGINT) AS total_bytes,
+           md5(string_agg(text, chr(10) ORDER BY text) || chr(10))
+             AS content_md5
+    FROM documents
+  """
+
+  // identical raw-moment → central-moment double expressions
+  val aggSkewKurtosis: String = """
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS s1,
+             sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS s2,
+             sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS s3,
+             sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS s4
+      FROM lineitem GROUP BY l_returnflag),
+    d AS (
+      SELECT l_returnflag, CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+             CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+             CAST(s4 AS DOUBLE) AS d4
+      FROM m),
+    c AS (
+      SELECT l_returnflag,
+             d1 / nd AS mu,
+             d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+             d3 / nd - 3 * (d1 / nd) * (d2 / nd) + 2 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+             d4 / nd - 4 * (d1 / nd) * (d3 / nd) + 6 * (d1 / nd) * (d1 / nd) * (d2 / nd) - 3 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+      FROM d)
+    SELECT l_returnflag, round(mu, 6) AS mean_qty,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM c ORDER BY l_returnflag
+  """
+
+  // same single ordered full frame; DISTINCT collapses the per-row copies
+  val winNthValue: String = """
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS top_order,
+           nth_value(o_orderkey, 2) OVER w AS runnerup_order,
+           last_value(o_orderkey) OVER w AS smallest_order,
+           count(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+  """
+
+  // hash values are definitionally engine-independent
+  val fnHashSha: String = """
+    SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex,
+           substring(sha256(lang || '|' || text), 1, 16) AS salted_prefix
+    FROM documents ORDER BY doc_id
+  """
+
   // JSON path extraction mirrors Spark's variant_get typed path
   val fnVariant: String = """
     SELECT event_type, count(*) AS n_events,

@@ -488,6 +488,95 @@ object Round8Ops {
       .limit(30)
   }
 
+  /** binaryFile source — the multimodal ingest path: opaque payloads
+    * (images/audio/docs) enter as whole-file binary records with path
+    * metadata, no schema assumed. A deterministic single text file is
+    * laid down first (sorted lines, one writer), then read back as
+    * bytes and content-addressed with md5 — the checksum the oracle
+    * reproduces from the rows alone, proving byte-exact ingest. At
+    * scale each file is one record: the reader parallelizes across
+    * files, never splits within one.
+    */
+  def sourceBinaryfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_binfile").toString
+    documents(spark, sfDir).select($"text").orderBy($"text")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(tmp)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "part-*")
+      .load(tmp)
+      .agg(count(lit(1)).cast(LongType).as("n_files"),
+        sum(octet_length($"content")).cast(LongType).as("total_bytes"),
+        min(md5($"content")).as("content_md5"))
+  }
+
+  /** Skewness and excess kurtosis from exact decimal raw moments
+    * (Σx..Σx⁴ are order-free exact; quantity ≤ 50 keeps x⁴ sums well
+    * inside DECIMAL(38,8)), converted once and combined with ONE
+    * identical double expression per statistic — the engine-tie-safe
+    * recipe (agg_stats / agg_corr_pairs) extended to 3rd/4th moments.
+    * Built-in skewness()/kurtosis() would pit two engines' streaming
+    * update orders against each other.
+    */
+  def aggSkewKurtosis(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = lineitem(spark, sfDir)
+      .select($"l_returnflag", money($"l_quantity").as("x"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+        sum($"x" * $"x").as("s2"),
+        sum($"x" * $"x" * $"x").as("s3"),
+        sum($"x" * $"x" * $"x" * $"x").as("s4"))
+    m.selectExpr("l_returnflag",
+        "CAST(n AS DOUBLE) AS nd", "CAST(s1 AS DOUBLE) AS d1",
+        "CAST(s2 AS DOUBLE) AS d2", "CAST(s3 AS DOUBLE) AS d3",
+        "CAST(s4 AS DOUBLE) AS d4")
+      .selectExpr("l_returnflag",
+        "d1 / nd AS mu", "d2 / nd - (d1 / nd) * (d1 / nd) AS m2",
+        "d3 / nd - 3 * (d1 / nd) * (d2 / nd) + 2 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3",
+        "d4 / nd - 4 * (d1 / nd) * (d3 / nd) + 6 * (d1 / nd) * (d1 / nd) * (d2 / nd) - 3 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4")
+      .selectExpr("l_returnflag",
+        "round(mu, 6) AS mean_qty",
+        "round(m3 / (m2 * sqrt(m2)), 6) AS skewness",
+        "round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis")
+      .orderBy($"l_returnflag")
+  }
+
+  /** nth_value window navigation: the runner-up order per customer —
+    * first/second/last picked from ONE (price desc, orderkey) ordered
+    * full frame; the total order makes every pick deterministic.
+    */
+  def winNthValue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, sfDir)
+      .select($"o_custkey",
+        first($"o_orderkey").over(w).as("top_order"),
+        nth_value($"o_orderkey", 2).over(w).as("runnerup_order"),
+        last($"o_orderkey").over(w).as("smallest_order"),
+        count(lit(1)).over(w).as("n_orders"))
+      .distinct()
+      .orderBy($"o_custkey")
+  }
+
+  /** Cryptographic-hash surface (sha-256 + md5): content addressing
+    * for dedup manifests and cache keys — pure codegen'd projection,
+    * byte-identical across engines by definition of the hash.
+    */
+  def fnHashSha(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select($"doc_id",
+        sha2($"text", 256).as("sha256_hex"),
+        md5($"text").as("md5_hex"),
+        substring(sha2(concat($"lang", lit("|"), $"text"), 256), 1, 16)
+          .as("salted_prefix"))
+      .orderBy($"doc_id")
+  }
+
   /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
     * parsed once into VARIANT (`parse_json`) and field-extracted with
     * `variant_get` typed paths — the open-schema ingest path that
