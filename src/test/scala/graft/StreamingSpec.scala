@@ -383,6 +383,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         "re-delivered batch must leave the target unchanged")
     } finally q.stop()
   }
+
+  test("file-source stream: AvailableNow drains a directory once; new files only on restart") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_filestream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    // file sources discover whole files atomically — the landing-zone
+    // ingest pattern (vs MemoryStream's in-JVM rows); AvailableNow
+    // drains what exists then stops, the batch-backfill trigger.
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted
+      === Seq(1L, 2L))
+    // new file lands; the SAME checkpoint must process ONLY the delta
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(in)
+    run()
+    assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted
+      === Seq(1L, 2L, 3L),
+      "restart must pick up exactly the new file, no replays")
+  }
 }
 
 case class Click(click_id: Long, click_ts: Timestamp, user_id: Long)
