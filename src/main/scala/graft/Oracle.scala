@@ -2635,6 +2635,33 @@ object Oracle {
     FROM documents ORDER BY doc_id
   """
 
+  // same d² identity over ::DOUBLE[] lists; ORDER BY raw d² so the
+  // comparison (not the rounded display value) decides the top-k
+  val simEuclideanTopk: String = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    n AS (SELECT vec_id, e, list_inner_product(e, e) AS n2 FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(sqrt(a.n2 + b.n2 - 2 * list_inner_product(a.e, b.e)), 6)
+             AS l2_dist
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ORDER BY a.n2 + b.n2 - 2 * list_inner_product(a.e, b.e) ASC,
+             id_a, id_b
+    LIMIT 50
+  """
+
+  // identical char-class split; sum cast BIGINT (HUGEINT lesson)
+  val textPretokenizeBpe: String = """
+    SELECT doc_id, count(*) AS n_pretokens,
+           count(DISTINCT tok) AS n_unique,
+           CAST(sum(length(tok)) AS BIGINT) AS n_chars
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS tok
+          FROM documents)
+    GROUP BY doc_id ORDER BY doc_id
+  """
+
   // JSON path extraction mirrors Spark's variant_get typed path
   val fnVariant: String = """
     SELECT event_type, count(*) AS n_events,

@@ -577,6 +577,52 @@ object Round8Ops {
       .orderBy($"doc_id")
   }
 
+  /** Euclidean (L2) top-k — the second metric every vector store
+    * serves: d² = ‖a‖² + ‖b‖² − 2⟨a,b⟩ reuses the SAME compiled dot
+    * kernel as the cosine path (norms precomputed once per vector), so
+    * adding a metric adds zero new shuffle structure. d² is compared
+    * raw (monotone in d, no sqrt in the hot loop); sqrt + round only
+    * on the 50 survivors.
+    */
+  def simEuclideanTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    // raw float arrays into the kernel (it widens per element and
+    // accumulates in double — the same arithmetic as the oracle's
+    // ::DOUBLE[] list_inner_product)
+    val t = embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".as("e"))
+      .withColumn("n2", call_function("graft_dot", $"e", $"e"))
+    val a = t.repartition(col("vec_id"))
+      .select($"vec_id".as("id_a"), $"e".as("ea"), $"n2".as("na"))
+    val b = t.select($"vec_id".as("id_b"), $"e".as("eb"), $"n2".as("nb"))
+    a.join(broadcast(b), $"id_a" < $"id_b")
+      .withColumn("d2",
+        $"na" + $"nb" - lit(2.0) * call_function("graft_dot", $"ea", $"eb"))
+      .orderBy($"d2".asc, $"id_a", $"id_b")
+      .limit(50)
+      .select($"id_a", $"id_b", round(sqrt($"d2"), 6).as("l2_dist"))
+  }
+
+  /** BPE-style pre-tokenization census: the GPT-2 pre-tokenizer's
+    * class split (letter runs / digit runs / other runs) realized as a
+    * character-class regex — the token-budget estimator a training
+    * pipeline runs before the real BPE merge table is applied. Pure
+    * character classes keep Java and RE2 semantics identical; the
+    * shuffle carries the class vocabulary, not the corpus.
+    */
+  def textPretokenizeBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select($"doc_id", explode(expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)")).as("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pretokens"),
+        countDistinct($"tok").as("n_unique"),
+        sum(length($"tok")).as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
   /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
     * parsed once into VARIANT (`parse_json`) and field-extracted with
     * `variant_get` typed paths — the open-schema ingest path that
