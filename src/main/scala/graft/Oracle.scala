@@ -2662,6 +2662,29 @@ object Oracle {
     GROUP BY doc_id ORDER BY doc_id
   """
 
+  // membership via unnest + join; list_distinct mirrors array_distinct
+  val joinArrayMembership: String = """
+    SELECT term, count(*) AS n_docs,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM (SELECT doc_id,
+                 unnest(list_distinct(string_split(text, ' '))) AS term
+          FROM documents)
+    WHERE term IN ('key', 'table', 'merge', 'spark', 'window')
+    GROUP BY term ORDER BY term
+  """
+
+  // identical UNPIVOT rotation + exact decimal totals
+  val sqlUnpivotClause: String = """
+    SELECT l_returnflag, metric,
+      CAST(round(sum(CAST(v AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+    FROM (
+      SELECT l_returnflag, l_quantity, l_extendedprice, l_tax
+      FROM lineitem
+    ) UNPIVOT (v FOR metric IN (l_quantity, l_extendedprice, l_tax))
+    GROUP BY l_returnflag, metric
+    ORDER BY l_returnflag, metric
+  """
+
   // JSON path extraction mirrors Spark's variant_get typed path
   val fnVariant: String = """
     SELECT event_type, count(*) AS n_events,

@@ -623,6 +623,45 @@ object Round8Ops {
       .orderBy($"doc_id")
   }
 
+  /** Array-membership join rewritten as an explode equi-join: the
+    * "rows tagged with any of these terms" query. The naive form —
+    * `array_contains` in a join condition — is a nested-loop theta
+    * join (every row × every term); exploding the array first turns
+    * membership into a plain hash-join key, shuffle-partitionable at
+    * any scale. distinct-before-join keeps one output row per
+    * (doc, term) even when a term repeats inside a document.
+    */
+  def joinArrayMembership(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("key", "table", "merge", "spark", "window").toDF("term")
+    val docTerms = documents(spark, sfDir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("term"))
+    docTerms.join(broadcast(terms), Seq("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"term")
+  }
+
+  /** SQL UNPIVOT clause (the declarative inverse of PIVOT): wide
+    * metric columns rotate into (metric, value) rows inside the query
+    * language itself — schema evolution without a rewrite; plans as
+    * Expand, one row per (input row × metric), no shuffle added.
+    */
+  def sqlUnpivotClause(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitem(spark, sfDir).createOrReplaceTempView("g8_lineitem_up")
+    spark.sql("""
+      SELECT l_returnflag, metric,
+        CAST(round(sum(CAST(v AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      FROM (
+        SELECT l_returnflag, l_quantity, l_extendedprice, l_tax
+        FROM g8_lineitem_up
+      ) UNPIVOT (v FOR metric IN (l_quantity, l_extendedprice, l_tax))
+      GROUP BY l_returnflag, metric
+      ORDER BY l_returnflag, metric
+    """)
+  }
+
   /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
     * parsed once into VARIANT (`parse_json`) and field-extracted with
     * `variant_get` typed paths — the open-schema ingest path that
