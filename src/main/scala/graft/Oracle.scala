@@ -2685,6 +2685,31 @@ object Oracle {
     ORDER BY l_returnflag, metric
   """
 
+  // same union-window as-of with the identical integer-µs tolerance CASE
+  val joinAsofTolerance: String = """
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_um
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    w AS (
+      SELECT *,
+        last_value(click_id IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS last_click_id,
+        last_value(click_um IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS last_click_um
+      FROM u)
+    SELECT event_id AS purchase_id, user_id,
+      CASE WHEN epoch_us(ts) - last_click_um <= 3600000000
+           THEN last_click_id END AS click_within_1h,
+      CASE WHEN epoch_us(ts) - last_click_um <= 3600000000
+           THEN epoch_us(ts) - last_click_um END AS gap_us
+    FROM w WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+  """
+
   // JSON path extraction mirrors Spark's variant_get typed path
   val fnVariant: String = """
     SELECT event_type, count(*) AS n_events,

@@ -662,6 +662,36 @@ object Round8Ops {
     """)
   }
 
+  /** As-of join with a tolerance bound (pandas merge_asof(tolerance)):
+    * each purchase takes the last click BUT only if it happened within
+    * the preceding hour — stale matches become NULL instead of
+    * attributing a conversion to a week-old click. Same single
+    * user-keyed window as the plain as-of; the tolerance is one
+    * integer-µs CASE on the carried timestamp, so bounding the match
+    * costs nothing at any scale.
+    */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, sfDir)
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("click_id", when($"event_type" === "click", $"event_id"))
+      .withColumn("click_um",
+        when($"event_type" === "click",
+          expr("unix_micros(CAST(ts AS TIMESTAMP))")))
+      .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_um", last($"click_um", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("gap_us",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))") - $"last_click_um")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        when($"gap_us" <= 3600L * 1000000L, $"last_click_id")
+          .as("click_within_1h"),
+        when($"gap_us" <= 3600L * 1000000L, $"gap_us").as("gap_us"))
+      .orderBy($"purchase_id")
+  }
+
   /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
     * parsed once into VARIANT (`parse_json`) and field-extracted with
     * `variant_get` typed paths — the open-schema ingest path that
