@@ -2710,6 +2710,53 @@ object Oracle {
     ORDER BY purchase_id
   """
 
+  // same day-index − row_number island collapse, pure integer math
+  val winStreakLongest: String = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS day_idx
+      FROM events),
+    runs AS (
+      SELECT user_id,
+             day_idx - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx) AS island
+      FROM days),
+    lens AS (
+      SELECT user_id, count(*) AS len
+      FROM runs GROUP BY user_id, island)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM lens GROUP BY user_id ORDER BY user_id
+  """
+
+  // identical 9dp-rounded lns, exact-decimal OLS moments, one double
+  // expression per coefficient (the corr/perplexity protocol)
+  val textZipfFit: String = """
+    WITH tf AS (
+      SELECT term, count(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term),
+    ranked AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y
+      FROM (SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS r
+            FROM tf)
+      WHERE r <= 200),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        AS zipf_slope,
+      round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        AS intercept
+    FROM m
+  """
+
   // JSON path extraction mirrors Spark's variant_get typed path
   val fnVariant: String = """
     SELECT event_type, count(*) AS n_events,

@@ -692,6 +692,61 @@ object Round8Ops {
       .orderBy($"purchase_id")
   }
 
+  /** Longest consecutive-day activity streak per user — the retention
+    * metric engagement teams track: distinct active days collapse to
+    * runs via the day-index − row_number island trick (consecutive
+    * days share one island key), then max run length. Pure integer
+    * arithmetic end-to-end; two aggregates and one window on the SAME
+    * user partitioning — state bounded by active days per user.
+    */
+  def winStreakLongest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = events(spark, sfDir)
+      .select($"user_id",
+        expr("datediff(CAST(date_trunc('DAY', ts) AS DATE), DATE '2024-01-01')")
+          .cast(LongType).as("day_idx"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day_idx")
+    days
+      .withColumn("island", $"day_idx" - row_number().over(w))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(max($"len").as("longest_streak"),
+        sum($"len").as("n_active_days"))
+      .orderBy($"user_id")
+  }
+
+  /** Zipf-law fit over the term frequency distribution: OLS slope of
+    * ln(freq) on ln(rank) — the corpus-health diagnostic (natural text
+    * ≈ −1; synthetic or boilerplate-heavy corpora drift off). Ranks
+    * are deterministic ((count desc, term) row_number); each ln is
+    * rounded to 9 dp and the OLS moments accumulate in exact DECIMAL,
+    * so engines tie out — the perplexity/corr protocol applied to the
+    * regression moments. Vocabulary-bounded state throughout.
+    */
+  def textZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("f"))
+    val ranked = tf
+      .withColumn("r", row_number().over(
+        Window.orderBy($"f".desc, $"term".asc)))
+      .filter($"r" <= 200)
+      .select(
+        round(log($"r".cast(DoubleType)), 9).cast(DecimalType(28, 9)).as("x"),
+        round(log($"f".cast(DoubleType)), 9).cast(DecimalType(28, 9)).as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n_terms",
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope",
+        "round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept")
+  }
+
   /** Spark 4 VARIANT ingestion surface: semi-structured `props` JSON
     * parsed once into VARIANT (`parse_json`) and field-extracted with
     * `variant_get` typed paths — the open-schema ingest path that
