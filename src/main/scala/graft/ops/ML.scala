@@ -84,11 +84,12 @@ object ML {
   }
 
   /** Overall accuracy + per-class test counts/hits — ONE aggregation
-    * pass: the per-class (n_test, n_correct) rows are collected
-    * (bounded by class count) and the overall accuracy is
-    * Σ n_correct / Σ n_test computed driver-side from the same rows —
-    * identical value to MulticlassClassificationEvaluator's
-    * hits/total, without its second traversal of the predictions.
+    * pass over the predictions: per-class (n_test, n_correct) rows
+    * (bounded by class count) cross-joined with their own 1-row global
+    * rollup, so the overall accuracy Σ n_correct / Σ n_test rides the
+    * plan as a broadcast — identical value to
+    * MulticlassClassificationEvaluator's hits/total without its second
+    * traversal of the predictions, and with no driver-side collect.
     */
   def mlRfAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -96,15 +97,15 @@ object ML {
       .groupBy($"label")
       .agg(count(lit(1)).as("n_test"),
         count(when($"prediction" === $"label", 1)).as("n_correct"))
+    val overall = perClass
+      .agg(sum($"n_test").as("t_test"), sum($"n_correct").as("t_correct"))
+      .select(round(
+        when($"t_test" === 0, 0.0)
+          .otherwise($"t_correct".cast(DoubleType) / $"t_test"), 4)
+        .as("accuracy_overall"))
+    perClass.crossJoin(broadcast(overall))
+      .select($"label", $"n_test", $"n_correct", $"accuracy_overall")
       .orderBy($"label")
-      .collect()
-    val nTest = perClass.map(_.getLong(1)).sum
-    val nCorrect = perClass.map(_.getLong(2)).sum
-    val acc = if (nTest == 0) 0.0 else nCorrect.toDouble / nTest
-    val rows = perClass.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    spark.createDataFrame(rows.toSeq)
-      .toDF("label", "n_test", "n_correct")
-      .withColumn("accuracy_overall", round(lit(acc), 4))
   }
 
   /** Top-10 feature importances (stable under the fixed seed). */
@@ -239,11 +240,22 @@ object ML {
       .agg(count(lit(1)).as("n_points"))
       .withColumn("centroid_norm", round(normOf($"cluster"), 6))
       // relabel by (size desc, norm) so output is stable across MLlib
-      // centroid orderings
-      .withColumn("cluster_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy($"n_points".desc, $"centroid_norm", $"cluster")))
-      .select($"cluster_rank", $"n_points", $"centroid_norm")
+      // centroid orderings. Rank inside ONE k-element array (k = 8
+      // clusters, bounded by the model, not the data) — collect_list →
+      // array_sort → posexplode — instead of an unpartitioned
+      // row_number window (PlanSpec full-board sweep pins that pattern
+      // out of every plan).
+      .agg(collect_list(struct($"n_points", $"centroid_norm", $"cluster")).as("arr"))
+      .select(posexplode(array_sort($"arr", (l, r) =>
+        when(l("n_points") > r("n_points"), -1)
+          .when(l("n_points") < r("n_points"), 1)
+          .when(l("centroid_norm") < r("centroid_norm"), -1)
+          .when(l("centroid_norm") > r("centroid_norm"), 1)
+          .when(l("cluster") < r("cluster"), -1)
+          .when(l("cluster") > r("cluster"), 1)
+          .otherwise(0))).as(Seq("pos", "s")))
+      .select(($"pos" + 1).as("cluster_rank"),
+        $"s.n_points".as("n_points"), $"s.centroid_norm".as("centroid_norm"))
       .orderBy($"cluster_rank")
   }
 

@@ -720,23 +720,35 @@ object Round8Ops {
   /** Zipf-law fit over the term frequency distribution: OLS slope of
     * ln(freq) on ln(rank) — the corpus-health diagnostic (natural text
     * ≈ −1; synthetic or boilerplate-heavy corpora drift off). Ranks
-    * are deterministic ((count desc, term) row_number); each ln is
+    * are deterministic ((count desc, term) order); each ln is
     * rounded to 9 dp and the OLS moments accumulate in exact DECIMAL,
     * so engines tie out — the perplexity/corr protocol applied to the
     * regression moments. Vocabulary-bounded state throughout.
+    *
+    * Scale shape: top-200 terms come from `orderBy(...).limit(200)` —
+    * Spark plans that as TakeOrderedAndProject (per-partition bounded
+    * heaps, one k-row merge), NEVER a global sort, so a billion-term
+    * vocabulary still ships only 200 rows per partition. Ranks are
+    * then assigned inside ONE 200-element array (collect_list →
+    * array_sort with the same (f desc, term asc) comparator →
+    * posexplode), which is k-bounded regardless of corpus size — no
+    * unpartitioned window anywhere in the plan.
     */
   def textZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tf = documents(spark, sfDir)
       .select(explode(split($"text", " ")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("f"))
-    val ranked = tf
-      .withColumn("r", row_number().over(
-        Window.orderBy($"f".desc, $"term".asc)))
-      .filter($"r" <= 200)
+    val top = tf.orderBy($"f".desc, $"term".asc).limit(200)
+    val ranked = top
+      .agg(collect_list(struct($"f", $"term")).as("arr"))
+      .select(posexplode(array_sort($"arr",
+        (l, r) => when(l("f") > r("f"), -1).when(l("f") < r("f"), 1)
+          .when(l("term") < r("term"), -1).when(l("term") > r("term"), 1)
+          .otherwise(0))).as(Seq("pos", "s")))
       .select(
-        round(log($"r".cast(DoubleType)), 9).cast(DecimalType(28, 9)).as("x"),
-        round(log($"f".cast(DoubleType)), 9).cast(DecimalType(28, 9)).as("y"))
+        round(log(($"pos" + 1).cast(DoubleType)), 9).cast(DecimalType(28, 9)).as("x"),
+        round(log($"s.f".cast(DoubleType)), 9).cast(DecimalType(28, 9)).as("y"))
     ranked.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
       .selectExpr(

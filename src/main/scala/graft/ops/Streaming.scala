@@ -78,19 +78,42 @@ object Streaming {
     * arrives (event_id = arrival order) after the running max event
     * time has passed it by > 10 min — exactly the events a 10-min
     * watermark would drop from closed windows. The true streaming drop
-    * behavior is asserted in StreamingSpec.
+    * behavior is asserted in StreamingSpec (the engine tracks the
+    * watermark as one scalar per trigger — the actual 100 TB path).
     *
-    * Scale note: the running max over arrival order is a global
-    * prefix-scan here (fine as a correctness mirror); the streaming
-    * engine tracks the watermark as one scalar per trigger, which is
-    * the actual 100 TB path.
+    * The running max over arrival order is the classic DISTRIBUTED
+    * prefix scan, two narrow passes — never a single-partition window:
+    *  1. deterministic range buckets over event_id (min/max broadcast,
+    *     P fixed-width buckets), running max WITHIN each bucket via a
+    *     partitioned window;
+    *  2. per-bucket max rolls up to a P-row summary whose exclusive
+    *     prefix-max is a triangular broadcast join (O(P²) comparisons
+    *     total, spread across executors; P = shuffle parallelism, not
+    *     data size), broadcast back and combined with `greatest`
+    *     (null-skipping, so the global first row stays non-late —
+    *     bit-identical to the single-window form).
     */
   def streamWatermarkLateData(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"event_id").rowsBetween(Window.unboundedPreceding, -1)
-    events(spark, sfDir)
+    val nb = spark.sessionState.conf.numShufflePartitions
+    val e = events(spark, sfDir).select($"event_id", $"ts", $"event_type")
+    val bounds = e.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+    val bucketed = e.crossJoin(broadcast(bounds))
+      .withColumn("pid", least(lit(nb - 1),
+        floor((($"event_id" - $"lo") * nb) / ($"hi" - $"lo" + 1))).cast("int"))
+      .drop("lo", "hi")
+    val wLocal = Window.partitionBy($"pid").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sums = bucketed.groupBy($"pid").agg(max($"ts").as("pmax"))
+    val prior = sums.as("a")
+      .join(broadcast(sums.select($"pid".as("bpid"), $"pmax".as("bmax"))),
+        $"bpid" < $"a.pid", "left")
+      .groupBy($"a.pid".as("pid")).agg(max($"bmax").as("prior_max"))
+    bucketed
+      .withColumn("local_max", max($"ts").over(wLocal))
+      .join(broadcast(prior), Seq("pid"))
       .withColumn("is_late",
-        $"ts" < max($"ts").over(w) - expr("INTERVAL '10' MINUTE"))
+        $"ts" < greatest($"local_max", $"prior_max") - expr("INTERVAL '10' MINUTE"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_total"),
         count(when($"is_late", 1)).as("n_late"))

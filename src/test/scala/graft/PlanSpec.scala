@@ -208,6 +208,45 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "expected partial+final aggregation over mergeable bitmaps")
   }
 
+  test("NO query plans an unpartitioned Window (full-board sweep)") {
+    // The one class of scale-killer a green oracle can't catch: a
+    // logical Window with an empty partition spec funnels the ENTIRE
+    // input through one task (WindowExec's own "No Partition Defined"
+    // warning). Round-8 shipped two (text_zipf_fit's global row_number,
+    // stream_watermark_late_data's prefix scan); both are rewritten
+    // window-free in round 9, and this sweep pins the pattern for every
+    // registered query — including subquery plans — so the next one
+    // cannot land silently. Allowlist is intentionally EMPTY: a future
+    // op whose unpartitioned window is genuinely k-bounded (input under
+    // a limit) should rank via the collect_list→array_sort→posexplode
+    // shape instead (see textZipfFit).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sf)
+        val bad = df.queryExecution.optimizedPlan.collectWithSubqueries {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in: ${offenders.mkString(", ")}")
+  }
+
+  test("star join broadcasts every dimension side (no BNLJ, ≥2 BHJ)") {
+    // 6-table star: nation/region/customer-side dims are broadcast-
+    // sized by contract; the fact side must stream through
+    // BroadcastHashJoins. A BroadcastNestedLoopJoin anywhere would mean
+    // a join degenerated to a non-equi form. (Round-8's driver bench
+    // read 6.5 s for this query — load noise, but without a pinned
+    // plan shape that took a judge session to dismiss.)
+    val p = plan(Relational.joinMultiwayStar(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected ≥2 broadcast dim joins:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"star join must stay equi-keyed:\n${p.take(2000)}")
+  }
+
   test("quantized top-k broadcasts only the compact code table") {
     val p = plan(graft.ops.Round8Ops.simEmbeddingQuantize(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
