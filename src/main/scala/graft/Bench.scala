@@ -74,7 +74,18 @@ object Bench {
     // Clamped to >=1 (0/negative would make times(times.size/2) throw);
     // even run counts report the upper median.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val results: Map[String, Double] = selected.map { case (name, fn) =>
+    // Load self-diagnosis (round-8 lesson): the driver's sweep ran on a
+    // machine busy with its own oracle work and reported a slow tail
+    // 6-14x above isolation on identical code — indistinguishable from
+    // a regression without re-measuring. Record the OS load average
+    // around the sweep and the wall-vs-measured ratio, and report each
+    // query's MIN alongside the median: min is the least-contended
+    // observation, so median >> min across the board reads as machine
+    // load, not code.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val wallT0 = System.nanoTime()
+    val results: Map[String, (Double, Double)] = selected.map { case (name, fn) =>
       val times = Seq.fill(runs) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -93,17 +104,27 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> times(times.size / 2)
+      name -> (times(times.size / 2), times.head)
     }.toMap
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
-    val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${fmt(v)}"))
+    val wallS = (System.nanoTime() - wallT0) / 1e9
+    val loadEnd = osBean.getSystemLoadAverage
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalMin = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    // `queries` stays median-only (round-over-round schema stability);
+    // `queries_min` and `load` are additive diagnostics.
+    val full = results.toSeq.sortBy(-_._2._1)
+      .map { case (k, (med, _)) => s"\"$k\":${fmt(med)}" }.mkString("{", ",", "}")
+    val fullMin = results.toSeq.sortBy(-_._2._1)
+      .map { case (k, (_, mn)) => s"\"$k\":${fmt(mn)}" }.mkString("{", ",", "}")
+    val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${fmt(v._1)}"))
       .mkString("{", ",", "}")
+    val loadJson =
+      s"""{"sys_load_avg_start":${fmt(loadStart)},"sys_load_avg_end":${fmt(loadEnd)},""" +
+      s""""cpus":$cpus,"runs_per_query":$runs,"wall_s":${fmt(wallS)},"total_min_s":${fmt(totalMin)}}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"load":$loadJson,"sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"queries_min":$fullMin,"load":$loadJson,"sf":"$sfDir"}"""
     // full sweeps only: a selective CLI run (iteration aid) must not
     // clobber the committed full-sweep snapshot
     if (args.isEmpty) try {
