@@ -2558,15 +2558,35 @@ object Oracle {
     FROM events GROUP BY event_type ORDER BY path_partition
   """
 
-  // quantile_disc = percentile_disc: both pick the same actual value,
-  // no interpolation, no rounding protocol needed
+  // The SQL-standard definition computed EXPLICITLY (smallest value
+  // with cume_dist >= p) rather than DuckDB's quantile_disc, whose
+  // floor((n-1)*p) rank can sit one position below Spark's standard
+  // percentile_disc (ceil(n*p)) for some (n, p); the two only agreed
+  // here because heavy duplication in l_quantity/l_extendedprice put
+  // equal values at adjacent ranks. The explicit form is definition-
+  // robust at any SF. (cume_dist is rank/n in exact-int division; at
+  // equality with p the double is exact, so the >= never flips.)
   val aggPercentileDisc: String = """
-    SELECT l_returnflag,
-           quantile_disc(l_quantity, 0.25) AS p25,
-           quantile_disc(l_quantity, 0.50) AS p50,
-           quantile_disc(l_quantity, 0.75) AS p75,
-           quantile_disc(l_extendedprice, 0.95) AS p95_price
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    WITH q AS (
+      SELECT l_returnflag, l_quantity AS v,
+             cume_dist() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_quantity) AS cd
+      FROM lineitem),
+    e AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             cume_dist() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cd
+      FROM lineitem)
+    SELECT l_returnflag, p25, p50, p75, p95_price
+    FROM (SELECT l_returnflag,
+                 min(v) FILTER (WHERE cd >= 0.25) AS p25,
+                 min(v) FILTER (WHERE cd >= 0.50) AS p50,
+                 min(v) FILTER (WHERE cd >= 0.75) AS p75
+          FROM q GROUP BY l_returnflag)
+    JOIN (SELECT l_returnflag,
+                 min(v) FILTER (WHERE cd >= 0.95) AS p95_price
+          FROM e GROUP BY l_returnflag) USING (l_returnflag)
+    ORDER BY l_returnflag
   """
 
   // character-class-only pattern: Java and RE2 semantics coincide

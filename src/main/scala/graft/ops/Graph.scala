@@ -48,11 +48,12 @@ object Graph {
     // checkpoint is dropped as soon as the next one is materialized —
     // without this the blocks of EVERY round (and, across a bench
     // sweep, every run) stay resident and storage memory grows without
-    // bound (the round-7 driver-bench slowdown)
+    // bound (the round-7 driver-bench slowdown). Only the id THIS loop
+    // checkpointed is freed (checkpointRddId), never a registry diff —
+    // a concurrent query's checkpoint blocks must survive us.
     val sc = spark.sparkContext
-    val baseIds = sc.getPersistentRDDs.keySet
+    var prevCkpt: Option[Int] = None
     for (_ <- 1 to 5) {
-      val prevIds = sc.getPersistentRDDs.keySet -- baseIds
       val contrib = edges.join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select($"dst", ($"r" / $"deg").as("c"))
@@ -62,8 +63,10 @@ object Graph {
         .select($"dst".as("node"),
           (lit(0.15 / n) + lit(0.85) * $"contrib").as("r"))
         .localCheckpoint(true)
-      prevIds.foreach(id =>
+      val newCkpt = ScaleTechniques.checkpointRddId(ranks)
+      prevCkpt.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkpt = newCkpt
     }
     ranks.select($"node", round($"r" * n, 6).as("rank_scaled"))
       .orderBy($"node")

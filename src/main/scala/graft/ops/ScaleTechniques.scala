@@ -23,6 +23,39 @@ object ScaleTechniques {
     * `key` should embed the dataset identity + a layout version, not a
     * bare hashCode (collision would silently alias two datasets).
     */
+  /** Identity component for cache keys over a source dataset dir: the
+    * leaf name (readability) plus a fingerprint of the CANONICAL path
+    * and the newest file mtime inside it. Two directories sharing a
+    * leaf name (…/a/sf0.1 vs …/b/sf0.1) get distinct keys instead of
+    * silently aliasing one cached layout, and regenerating the data in
+    * place rolls the fingerprint so every derived /tmp layout keyed on
+    * it is rebuilt — the dataset-identity contract [[materializeOnce]]
+    * asks of its callers. Dots are mapped out so the key is also a
+    * valid catalog table-name fragment.
+    */
+  def datasetKey(sfDir: String): String = {
+    val dir = new java.io.File(sfDir)
+    val newest = Option(dir.listFiles())
+      .map(_.map(_.lastModified).foldLeft(0L)(math.max)).getOrElse(0L)
+    val hex = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s"${dir.getCanonicalPath}@$newest".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"${dir.getName.replace('.', '_')}_$hex"
+  }
+
+  /** RDD id backing a `localCheckpoint(true)`'d Dataset (its plan is a
+    * LogicalRDD over the materialized blocks). The iterative loops
+    * (pagerank, connected components) use this to free EXACTLY their
+    * own previous round's blocks: the old snapshot-diff of the global
+    * persistent-RDD registry would unpersist ANY RDD persisted after
+    * the snapshot — including a concurrent query's checkpoint blocks,
+    * which are unrecoverable once evicted (lineage is truncated).
+    */
+  def checkpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
   private val matLock = new Object
   def materializeOnce(key: String)(write: String => Unit): String =
     matLock.synchronized {
@@ -72,7 +105,7 @@ object ScaleTechniques {
     */
   def joinBucketedColocated(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tag = sfDir.hashCode.toHexString
+    val tag = datasetKey(sfDir)
     val (to, tl) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
     // One-time layout, three states per table: already cataloged (hit);
     // data on disk but catalog entry lost (fresh JVM with the default
@@ -133,8 +166,7 @@ object ScaleTechniques {
     */
   def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = materializeOnce(
-      s"part_events_v1_${new java.io.File(sfDir).getName}") { tmp =>
+    val out = materializeOnce(s"part_events_v1_${datasetKey(sfDir)}") { tmp =>
       events(spark, sfDir)
         .select($"event_id", $"user_id", $"value", $"event_type")
         .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(tmp)

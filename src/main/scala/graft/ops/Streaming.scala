@@ -316,6 +316,26 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Spark 4's successor arbitrary-state API: the same per-user running
+    * totals as [[statefulUserTotals]], expressed through
+    * `transformWithState` + a [[UserTotalsProcessor]] with a NAMED
+    * ValueState. Functionally identical output (StreamingSpec asserts
+    * parity on the same micro-batch sequence); operationally the new
+    * API brings named/typed state variables, per-state TTL, and
+    * independent timers — and requires the RocksDB state store
+    * provider, which is also the provider you'd run at 100 TB
+    * (changelog checkpointing, bounded memory via native spill).
+    */
+  def statefulUserTotalsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events.select($"user_id".as[Long], $"value".as[Double])
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** Stateful sessionization with EventTimeTimeout: per user, events
     * within a 30-min gap extend the open session; a session is emitted
     * (Append mode) when the event-time watermark passes its end + gap
@@ -365,5 +385,34 @@ object Streaming {
           }
       }
       .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+}
+
+/** StatefulProcessor behind [[Streaming.statefulUserTotalsTws]]: one
+  * named ValueState ("totals") per user holding (n_events, sum_value),
+  * updated per micro-batch and emitted on every update — the
+  * transformWithState rendering of the flatMapGroupsWithState totals
+  * operator. No TTL (running totals are cumulative by definition) and
+  * no timers (TimeMode.None): the state contract is one tuple per
+  * ACTIVE key in the executor-local store, scaling with keys, never
+  * with stream length.
+  */
+class UserTotalsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+    var n = n0; var s = s0
+    rows.foreach { case (_, v) => n += 1; s += v }
+    totals.update((n, s))
+    Iterator.single((user, n, s))
   }
 }

@@ -34,6 +34,31 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
         "and bump this pin in the same commit")
   }
 
+  test("SURVEY §2z generated inventory matches SparkEntry exactly") {
+    // The canonical inventory table is generated from SparkEntry by
+    // tools/gen_inventory.py; this pin makes skipping the regeneration
+    // a build failure, so the declared surface can never drift from
+    // the registered one (round-9 consolidation of 8 rounds of
+    // widening tables).
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val begin = "<!-- BEGIN GENERATED INVENTORY (tools/gen_inventory.py) -->"
+    val end = "<!-- END GENERATED INVENTORY -->"
+    val i0 = survey.indexOf(begin); val i1 = survey.indexOf(end)
+    assert(i0 >= 0 && i1 > i0, "SURVEY.md §2z markers missing")
+    val tableKeys = "\\| `([a-z0-9_]+)` \\|".r
+      .findAllMatchIn(survey.substring(i0, i1)).map(_.group(1)).toSet
+    assert(tableKeys === SparkEntry.queries.keySet,
+      "SURVEY §2z is stale: run python3 tools/gen_inventory.py " +
+        s"(missing=${SparkEntry.queries.keySet -- tableKeys} " +
+        s"extra=${tableKeys -- SparkEntry.queries.keySet})")
+    // verification tiers must agree with oracleSql registration too
+    val oracleRows = "\\| `([a-z0-9_]+)` \\| duckdb-oracle \\|".r
+      .findAllMatchIn(survey.substring(i0, i1)).map(_.group(1)).toSet
+    assert(oracleRows === SparkEntry.oracleSql.keySet,
+      "SURVEY §2z verification column is stale: run tools/gen_inventory.py")
+  }
+
   test("every query is oracle-checked unless documented otherwise") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing === documentedNoOracle,

@@ -138,6 +138,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("transformWithState totals match flatMapGroupsWithState on the same batches") {
+    // Spark 4's successor arbitrary-state API must reproduce the fMGWS
+    // operator's output exactly on an identical micro-batch sequence.
+    // transformWithState requires the RocksDB state store provider —
+    // set for this query only, then restored (other suites/tests use
+    // the default HDFS-backed provider).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = Streaming.statefulUserTotalsTws(spark, ms.toDF())
+      .writeStream.format("memory").queryName("stateful_tws")
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(1, ts("2024-01-01 00:01:00"), 7, "click", 2.0),
+        Ev(2, ts("2024-01-01 00:02:00"), 7, "click", 3.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, ts("2024-01-01 00:03:00"), 7, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_tws")
+        .orderBy($"n_events").as[(Long, Long, Double)].collect()
+      // identical to the fMGWS test's expectation on the same batches:
+      // batch 1 emits (7, 2, 5.0); batch 2 carries state -> (7, 3, 10.0)
+      assert(rows.toSeq === Seq((7L, 2L, 5.0), (7L, 3L, 10.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch sink: per-batch parquet appends land exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -404,7 +440,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
           b.write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "stream did not drain in 60s")
     }
     run()
     assert(spark.read.parquet(out).select($"id").as[Long].collect().sorted
