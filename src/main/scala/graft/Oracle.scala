@@ -2788,4 +2788,104 @@ object Oracle {
           FROM events)
     GROUP BY event_type ORDER BY event_type
   """
+
+  // ---- round 9 ----
+
+  // DECIMAL window/total sums -> identical doubles -> one rounded division
+  val winRatioToReport: String = """
+    WITH c AS (SELECT c_custkey, c_mktsegment,
+                      CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer)
+    SELECT c_custkey, c_mktsegment,
+      CAST(bal AS DOUBLE) AS acctbal,
+      floor(CAST(bal AS DOUBLE) /
+            CAST(sum(bal) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+            * 1e6 + 0.5) / 1e6 AS share_segment,
+      floor(CAST(bal AS DOUBLE) / CAST(sum(bal) OVER () AS DOUBLE)
+            * 1e6 + 0.5) / 1e6 AS share_total
+    FROM c ORDER BY c_custkey
+  """
+
+  // cumulative per-user totals over 3 deterministic micro-batches; the
+  // running count is BIGINT-cast (sum(BIGINT) -> HUGEINT, round-7 lesson)
+  val streamStatefulTotals: String = """
+    WITH b AS (SELECT user_id, event_id % 3 AS batch_id,
+                      CAST(value AS DECIMAL(12,2)) AS v FROM events),
+    a AS (SELECT user_id, batch_id, count(*) AS bn, sum(v) AS bs
+          FROM b GROUP BY user_id, batch_id)
+    SELECT user_id, batch_id,
+      CAST(sum(bn) OVER (PARTITION BY user_id ORDER BY batch_id) AS BIGINT)
+        AS n_events,
+      CAST(sum(bs) OVER (PARTITION BY user_id ORDER BY batch_id) AS DOUBLE)
+        AS sum_value
+    FROM a ORDER BY user_id, batch_id
+  """
+
+  // isodow on both engines (native dayofweek numberings disagree);
+  // interval-month addition clamps end-of-month exactly like add_months
+  val fnDatetimeExtras: String = """
+    SELECT o_orderkey,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS isodow,
+      CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start
+    FROM orders ORDER BY o_orderkey
+  """
+
+  // normalization chain order matches the Spark side exactly; each
+  // pattern matches at most once, so DuckDB's first-match
+  // regexp_replace equals Spark's replace-all
+  val dedupUrlCanonicalize: String = """
+    WITH u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+              WHEN doc_id % 3 = 1 THEN 'https://'
+              ELSE 'https://www.' END)
+        || source || '.Example.COM'
+        || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+        || '/doc/' || CAST(doc_id % 50 AS VARCHAR)
+        || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM documents),
+    c AS (
+      SELECT doc_id, url,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(lower(url), '#.*', ''), '\?utm.*', ''),
+          '/$', ''), ':443', ''), '://www\.', '://') AS canon
+      FROM u)
+    SELECT canon, count(*) AS n_aliases, min(doc_id) AS canonical_doc,
+           count(DISTINCT url) AS n_distinct_raw
+    FROM c GROUP BY canon ORDER BY canon
+  """
+
+  // entropy via the ln-protocol: every ln rounded to 9dp, accumulated
+  // in DECIMAL, one double conversion at the end
+  val pipelineDatasetCard: String = """
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM d GROUP BY source),
+    l AS (SELECT source, lang, count(*) AS cnt FROM d GROUP BY source, lang),
+    e AS (SELECT source, count(DISTINCT lang) AS n_langs,
+                 sum(CAST(cnt AS DECIMAL(8,0))
+                     * CAST(round(ln(CAST(cnt AS DOUBLE)), 9)
+                            AS DECIMAL(28,9))) AS s_nlnn
+          FROM l GROUP BY source)
+    SELECT s.source, n_docs, total_tokens, CAST(n_langs AS BIGINT) AS n_langs,
+      floor((CAST(CAST(round(ln(CAST(n_docs AS DOUBLE)), 9) AS DECIMAL(28,9))
+                  AS DOUBLE)
+             - CAST(s_nlnn AS DOUBLE) / CAST(n_docs AS DOUBLE))
+            * 1e6 + 0.5) / 1e6 AS lang_entropy,
+      floor(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            * 1e4 + 0.5) / 1e4 AS avg_chars
+    FROM s JOIN e ON s.source = e.source
+    ORDER BY s.source
+  """
 }

@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 widening: partition-share analytics, the transformWithState
+  * batch mirror, calendar arithmetic, URL canonicalization dedup, and
+  * the dataset-card profile. Same contract as every other ops file:
+  * declarative plans, SURVEY §7d determinism protocol (exact DECIMAL
+  * accumulation, ln-rounded-to-9dp decimal moments, doubles only as
+  * final casts, total ORDER BY).
+  */
+object Round9Ops {
+
+  /** Ratio-to-report: each customer's share of its market segment's
+    * total balance and of the grand total — the classic contribution
+    * report. Segment shares ride ONE partitioned window on the segment
+    * key; the grand total is a 1-row broadcast cross join (never an
+    * unpartitioned window — PlanSpec's board sweep). Balances
+    * accumulate in exact DECIMAL; both engines derive the same doubles
+    * before the one rounded division, so shares tie out bit-for-bit.
+    */
+  def winRatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment", money($"c_acctbal").as("bal"))
+    val grand = c.agg(sum($"bal").as("grand"))
+    c.withColumn("seg_total",
+        sum($"bal").over(Window.partitionBy($"c_mktsegment")))
+      .crossJoin(broadcast(grand))
+      .select($"c_custkey", $"c_mktsegment",
+        $"bal".cast(DoubleType).as("acctbal"),
+        // floor-quantization (floor(x·1e6 + 0.5)/1e6) instead of
+        // round(): both engines run the identical IEEE multiply/add/
+        // floor sequence, so a share that lands EXACTLY on a 5e-7
+        // boundary (or at −0.0, which round() signs differently across
+        // engines) cannot diverge
+        (floor($"bal".cast(DoubleType) / $"seg_total".cast(DoubleType)
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("share_segment"),
+        (floor($"bal".cast(DoubleType) / $"grand".cast(DoubleType)
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("share_total"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Batch mirror of [[Streaming.statefulUserTotalsTws]]'s Append-mode
+    * emission log: events arrive as three deterministic micro-batches
+    * (event_id mod 3 = arrival trigger), and each (user, batch) row
+    * carries the CUMULATIVE totals the processor would emit at that
+    * trigger. The cumulative pass is a window on the user partitioning
+    * (state per key, exactly the StateStore contract); the real
+    * incremental path is asserted in StreamingSpec with RocksDB state.
+    */
+  def streamStatefulTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val batches = events(spark, sfDir)
+      .select($"user_id", pmod($"event_id", lit(3)).as("batch_id"),
+        money($"value").as("v"))
+      .groupBy($"user_id", $"batch_id")
+      .agg(count(lit(1)).as("bn"), sum($"v").as("bs"))
+    val w = Window.partitionBy($"user_id").orderBy($"batch_id")
+    batches
+      .select($"user_id", $"batch_id",
+        sum($"bn").over(w).as("n_events"),
+        sum($"bs").over(w).cast(DoubleType).as("sum_value"))
+      .orderBy($"user_id", $"batch_id")
+  }
+
+  /** Calendar arithmetic surface: month shifting (end-of-month
+    * clamped), month boundaries, quarter/ISO-weekday/day-of-year
+    * fields, quarter truncation — the date dimensions every
+    * time-partitioned warehouse derives at ingest. All functions are
+    * codegen'd column expressions; ISO weekday is written as
+    * weekday()+1 (Mon=1..Sun=7) because the engines' native dayofweek
+    * numberings disagree (Spark Sun=1 vs DuckDB Sun=0) while the ISO
+    * numbering is shared.
+    */
+  def fnDatetimeExtras(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .select($"o_orderkey",
+        add_months($"o_orderdate".cast(DateType), 3).as("plus3m"),
+        last_day($"o_orderdate".cast(DateType)).as("month_end"),
+        quarter($"o_orderdate").cast(LongType).as("q"),
+        (weekday($"o_orderdate".cast(DateType)) + 1).cast(LongType).as("isodow"),
+        dayofyear($"o_orderdate").cast(LongType).as("doy"),
+        // DATE on both engines (DuckDB's quarter-trunc returns DATE)
+        date_trunc("quarter", $"o_orderdate").cast(DateType).as("q_start"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** URL canonicalization dedup — the crawl-frontier primitive: the
+    * same resource arrives under scheme/host case variants, a www
+    * prefix, an explicit default port, a trailing slash, tracking
+    * params, and fragments; canonicalization collapses them so the
+    * frontier dedups on ONE key. Synthetic-but-messy URLs are derived
+    * deterministically from documents (path = doc_id mod 50, so real
+    * collisions exist); every normalization step is a character-class
+    * regex or plain replace, shared verbatim by both engines. Shuffle
+    * is on the canonical key — corpus-partitioned, no driver state.
+    */
+  def dedupUrlCanonicalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val urls = documents(spark, sfDir).select($"doc_id",
+      concat(
+        when(pmod($"doc_id", lit(3)) === 0, lit("HTTPS://WWW."))
+          .when(pmod($"doc_id", lit(3)) === 1, lit("https://"))
+          .otherwise(lit("https://www.")),
+        $"source", lit(".Example.COM"),
+        when(pmod($"doc_id", lit(2)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/doc/"), pmod($"doc_id", lit(50)).cast(StringType),
+        when(pmod($"doc_id", lit(4)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod($"doc_id", lit(5)) === 0, lit("?utm_source=feed&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(pmod($"doc_id", lit(7)) === 0, lit("#sec2")).otherwise(lit("")))
+        .as("url"))
+    urls
+      .withColumn("canon",
+        regexp_replace( // trailing slash last, after query/fragment strip
+          regexp_replace(
+            regexp_replace(lower($"url"), "#.*", ""),
+            "\\?utm.*", ""),
+          "/$", ""))
+      .withColumn("canon", regexp_replace($"canon", ":443", ""))
+      .withColumn("canon", regexp_replace($"canon", "://www\\.", "://"))
+      .groupBy($"canon")
+      .agg(count(lit(1)).as("n_aliases"),
+        min($"doc_id").as("canonical_doc"),
+        countDistinct($"url").as("n_distinct_raw"))
+      .orderBy($"canon")
+  }
+
+  /** Dataset-card profile — the per-source numbers a training-data
+    * release documents: volume, token count, language spread and its
+    * Shannon entropy, mean document length. Entropy follows the
+    * ln-protocol (text_perplexity / text_zipf): H = ln(N) − (Σ n_l ·
+    * ln n_l)/N with every ln rounded to 9dp and accumulated in exact
+    * DECIMAL, converted to double once — so two engines' libm
+    * differences cannot reach the output. Shuffles are (source, lang)-
+    * bounded: vocabulary-of-languages scale, not corpus scale.
+    */
+  def pipelineDatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, sfDir)
+      .select($"source", $"lang", $"n_chars",
+        size(split($"text", " ")).cast(LongType).as("n_tokens"))
+    val perSrc = d.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_tokens").as("total_tokens"),
+      sum($"n_chars").as("total_chars"))
+    val entTerms = d.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"source")
+      .agg(countDistinct($"lang").as("n_langs"),
+        // cnt as DECIMAL(8,0): a LONG multiplicand needs 20+28+1 = 49
+        // digits, over Spark's 38-digit cap, and the overflow silently
+        // RESHRINKS the product scale (allowPrecisionLoss) — the two
+        // engines would accumulate at different precision. 8+28+1 = 37
+        // keeps the product exact at scale 9 on both.
+        sum($"cnt".cast(DecimalType(8, 0)) *
+          round(log($"cnt".cast(DoubleType)), 9)
+            .cast(DecimalType(28, 9))).as("s_nlnn"))
+    // floor-quantization instead of round() for the final digits: with
+    // N = 25 docs the pre-round value is an EXACT decimal, so it can sit
+    // exactly on the half boundary where Spark's BigDecimal HALF_UP and
+    // DuckDB's multiply-based round disagree; floor(x·1e6 + 0.5) is the
+    // identical IEEE sequence on both engines
+    perSrc.join(entTerms, Seq("source"))
+      .select($"source", $"n_docs", $"total_tokens", $"n_langs",
+        (floor((
+          round(log($"n_docs".cast(DoubleType)), 9).cast(DecimalType(28, 9))
+            .cast(DoubleType) -
+            $"s_nlnn".cast(DoubleType) / $"n_docs".cast(DoubleType))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("lang_entropy"),
+        (floor($"total_chars".cast(DoubleType) / $"n_docs".cast(DoubleType)
+          * lit(1e4) + lit(0.5)) / lit(1e4)).as("avg_chars"))
+      .orderBy($"source")
+  }
+}

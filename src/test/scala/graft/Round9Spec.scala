@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Round9Ops
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic properties of the round-9 operators — invariants the
+  * DuckDB hash-match can't express.
+  */
+class Round9Spec extends AnyFunSuite with SparkFixture {
+
+  test("ratio-to-report: segment shares sum to ~1 within each segment") {
+    import spark.implicits._
+    val sums = Round9Ops.winRatioToReport(spark, sf)
+      .groupBy($"c_mktsegment")
+      .agg(sum($"share_segment").as("s"), sum($"share_total").as("t"))
+      .collect()
+    sums.foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-3,
+        s"segment ${r.getString(0)} shares sum to ${r.getAs[Double]("s")}")
+    }
+    // total shares over ALL segments sum to ~1
+    assert(math.abs(sums.map(_.getAs[Double]("t")).sum - 1.0) < 1e-3)
+  }
+
+  test("stateful-totals mirror: last batch per user equals the plain aggregate") {
+    import spark.implicits._
+    val lastBatch = Round9Ops.streamStatefulTotals(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"batch_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(lastBatch === direct,
+      "cumulative emission log must converge to the full aggregate")
+  }
+
+  test("datetime extras: fields are internally consistent") {
+    import spark.implicits._
+    val bad = Round9Ops.fnDatetimeExtras(spark, sf)
+      .filter(!($"isodow".between(1, 7)) || !($"q".between(1, 4)) ||
+        !($"doy".between(1, 366)) ||
+        dayofmonth($"plus3m") > dayofmonth($"month_end"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("url canonicalization: aliases collapse and canon keys are clean") {
+    import spark.implicits._
+    val rows = Round9Ops.dedupUrlCanonicalize(spark, sf)
+    // every canonical key is lowercase, fragment/utm/port/www-free
+    val dirty = rows.filter($"canon".rlike("[A-Z]|#|utm|:443|://www\\."))
+      .count()
+    assert(dirty === 0)
+    // canonicalization actually merged something (doc_id mod 50 collides)
+    assert(rows.filter($"n_aliases" > 1).count() > 0)
+  }
+
+  test("dataset card: entropy bounded by ln(n_langs), token counts positive") {
+    import spark.implicits._
+    val bad = Round9Ops.pipelineDatasetCard(spark, sf)
+      .filter($"lang_entropy" < -1e-9 ||
+        $"lang_entropy" > log($"n_langs".cast("double")) + lit(1e-6) ||
+        $"total_tokens" <= 0)
+      .count()
+    assert(bad === 0)
+  }
+}
