@@ -132,6 +132,63 @@ object Round9Ops {
       .orderBy($"canon")
   }
 
+  /** Product-quantization ANN — the memory tier beyond int8
+    * (sim_embedding_quantize): 64 float32 dims compress to m=4 byte
+    * codes (64× smaller), one codeword per 16-dim subspace from a
+    * k=16 codebook. Codebooks are data-sampled (first k vectors'
+    * slices — the IVF-centroid convention; engine-specific, so this is
+    * a ScalaTest-recall op, no oracle). Search is ADC: the query's dot
+    * product against every codeword (m·k = 64 values, broadcast)
+    * is summed per vector along its code — candidates never touch
+    * float embeddings — then the top-100 candidates re-rank EXACTLY
+    * through the compiled graft_dot kernel. Scale shape: encoding is
+    * corpus×m rows against a broadcast codebook with a (vec_id, j)-
+    * partitioned argmin window; search is a broadcast join on the
+    * 64-row ADC table + TakeOrderedAndProject; nothing corpus-sized
+    * ships, no driver state.
+    */
+  def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = 4; val subDim = 16; val k = 16
+    val t = LlmOps.embeddingsWithNorm(spark, sfDir)
+    def subs(df: DataFrame): DataFrame =
+      df.select($"vec_id", posexplode(array((0 until m).map(j =>
+        slice($"embedding", j * subDim + 1, subDim)): _*)).as(Seq("j", "sub")))
+    val cb = subs(t.filter($"vec_id" < k))
+      .select($"j", $"vec_id".as("cid"), $"sub".as("csub"))
+      .withColumn("cn2", LlmOps.dot($"csub", $"csub"))
+    // encode: nearest codeword per (vector, subspace) by L2 distance
+    val enc = subs(t)
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("d2",
+        $"cn2" - lit(2.0) * LlmOps.dot($"sub", $"csub") +
+          LlmOps.dot($"sub", $"sub"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id", $"j").orderBy($"d2", $"cid")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"j", $"cid")
+    // ADC table: query-subvector · codeword for all m·k codewords
+    val probeSubs = subs(t.filter($"vec_id" === 0))
+      .select($"j", $"sub".as("qsub"))
+    val adc = cb.join(broadcast(probeSubs), Seq("j"))
+      .select($"j", $"cid", LlmOps.dot($"qsub", $"csub").as("qdot"), $"cn2")
+    val cand = enc.join(broadcast(adc), Seq("j", "cid"))
+      .groupBy($"vec_id")
+      .agg(sum($"qdot").as("approx_ip"), sqrt(sum($"cn2")).as("recon_nrm"))
+      .filter($"vec_id" =!= 0)
+      .orderBy(($"approx_ip" / $"recon_nrm").desc, $"vec_id")
+      .limit(100)
+      .select($"vec_id")
+    val probe = t.filter($"vec_id" === 0)
+      .select($"embedding".as("pe"), $"nrm".as("pn"))
+    t.join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(broadcast(probe))
+      .withColumn("cos", LlmOps.dot($"embedding", $"pe") / ($"nrm" * $"pn"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", round($"cos", 6).as("cosine"))
+  }
+
   /** Dataset-card profile — the per-source numbers a training-data
     * release documents: volume, token count, language spread and its
     * Shannon entropy, mean document length. Entropy follows the

@@ -59,6 +59,22 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     assert(rows.filter($"n_aliases" > 1).count() > 0)
   }
 
+  test("PQ ANN: deterministic, and exact re-rank recalls the true neighbors") {
+    import spark.implicits._
+    val pq = Round9Ops.simAnnPq(spark, sf)
+      .select($"vec_id").as[Long].collect()
+    val exact = graft.ops.LlmOps.simKnnQuery(spark, sf)
+      .select($"vec_id").as[Long].collect()
+    val recall = pq.toSet.intersect(exact.toSet).size
+    info(s"PQ recall@10 vs exact: $recall/10")
+    // ADC over 4x16 data-sampled codebooks + exact re-rank of 100
+    // candidates: floor set from the measured sf0.001 value (8/10)
+    // with headroom for data regeneration
+    assert(recall >= 6, s"PQ recall collapsed: $recall/10")
+    val pq2 = Round9Ops.simAnnPq(spark, sf).select($"vec_id").as[Long].collect()
+    assert(pq.toSeq === pq2.toSeq, "PQ search must be deterministic")
+  }
+
   test("dataset card: entropy bounded by ln(n_langs), token counts positive") {
     import spark.implicits._
     val bad = Round9Ops.pipelineDatasetCard(spark, sf)
