@@ -2888,4 +2888,61 @@ object Oracle {
     FROM s JOIN e ON s.source = e.source
     ORDER BY s.source
   """
+
+  // GROUP BY ALL / ORDER BY ALL are native DuckDB syntax
+  val sqlOrderByAll: String = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+  """
+
+  val pipelineLabelBalanceWeights: String = """
+    WITH t AS (SELECT label, count(*) AS n_examples
+               FROM embeddings GROUP BY label),
+    tot AS (SELECT CAST(sum(n_examples) AS BIGINT) AS n_total,
+                   count(*) AS n_classes FROM t)
+    SELECT label, n_examples,
+      floor(CAST(n_total AS DOUBLE) / CAST(n_classes * n_examples AS DOUBLE)
+            * 1e6 + 0.5) / 1e6 AS class_weight
+    FROM t, tot ORDER BY label
+  """
+
+  // exact integer staleness in microseconds (epoch_us both engines)
+  val pipelineFreshnessAudit: String = """
+    WITH p AS (SELECT event_type, count(*) AS n_events, max(ts) AS last_ts
+               FROM events GROUP BY event_type),
+    g AS (SELECT max(last_ts) AS global_last FROM p)
+    SELECT event_type, n_events, last_ts,
+      epoch_us(global_last) - epoch_us(last_ts) AS staleness_us
+    FROM p, g ORDER BY event_type
+  """
+
+  // per-bucket PSI terms 12dp-quantized into DECIMAL before the sum,
+  // so accumulation order cannot move the total (round-9 protocol)
+  val pipelineDriftPsi: String = """
+    WITH b AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN 'a' ELSE 'b' END AS half,
+             CAST(least(9, floor(value / 50)) AS INTEGER) AS bucket
+      FROM events),
+    c AS (SELECT bucket,
+                 count(CASE WHEN half = 'a' THEN 1 END) AS na,
+                 count(CASE WHEN half = 'b' THEN 1 END) AS nb
+          FROM b GROUP BY bucket),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                   CAST(sum(nb) AS BIGINT) AS tb FROM c),
+    terms AS (
+      SELECT CAST(round(
+        ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)) -
+         (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))) *
+        CAST(CAST(round(ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)) /
+                           (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))), 9)
+                  AS DECIMAL(28,9)) AS DOUBLE), 12) AS DECIMAL(24,12)) AS term
+      FROM c, tot WHERE na > 0 AND nb > 0)
+    SELECT count(*) AS n_buckets_used,
+           floor(CAST(sum(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi
+    FROM terms
+  """
 }

@@ -235,4 +235,98 @@ object Round9Ops {
           * lit(1e4) + lit(0.5)) / lit(1e4)).as("avg_chars"))
       .orderBy($"source")
   }
+
+  /** ORDER BY ALL + GROUP BY ALL together — the DuckDB-originated SQL
+    * shorthand Spark adopted (grouping keys inferred from the select
+    * list, total order over every output column). Same physical plan
+    * as the explicit form: two-phase hash aggregate + one range
+    * exchange for the output sort.
+    */
+  def sqlOrderByAll(spark: SparkSession, sfDir: String): DataFrame = {
+    lineitem(spark, sfDir).createOrReplaceTempView("r9_lineitem_oba")
+    spark.sql("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM r9_lineitem_oba
+      GROUP BY ALL
+      ORDER BY ALL
+    """)
+  }
+
+  /** Inverse-frequency class weights — what a trainer feeds its loss
+    * to rebalance skewed labels: w_c = N / (K · n_c). Per-class counts
+    * are one partial-aggregated shuffle; the (N, K) totals row rides a
+    * broadcast cross join. The weight is one shared double expression
+    * floor-quantized at 6dp (the round-9 engine-tie protocol).
+    */
+  def pipelineLabelBalanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = embeddings(spark, sfDir)
+    val tot = t.agg(count(lit(1)).as("n_total"),
+      countDistinct($"label").as("n_classes"))
+    t.groupBy($"label").agg(count(lit(1)).as("n_examples"))
+      .crossJoin(broadcast(tot))
+      .select($"label", $"n_examples",
+        (floor($"n_total".cast(DoubleType) /
+          ($"n_classes" * $"n_examples").cast(DoubleType)
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("class_weight"))
+      .orderBy($"label")
+  }
+
+  /** Feed-freshness audit — the staleness dashboard every ingestion
+    * pipeline keeps: per event type, volume, last event time, and the
+    * lag behind the freshest feed in EXACT integer microseconds
+    * (unix_micros both sides; a fractional-minutes double would
+    * reopen the division-rounding can). The global max is a broadcast
+    * 1-row cross join over the per-type aggregate — never a second
+    * scan, never an unpartitioned window.
+    */
+  def pipelineFreshnessAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perType = events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), max($"ts").as("last_ts"))
+    val freshest = perType.agg(max($"last_ts").as("global_last"))
+    perType.crossJoin(broadcast(freshest))
+      .select($"event_type", $"n_events", $"last_ts",
+        (expr("unix_micros(CAST(global_last AS TIMESTAMP))") -
+          expr("unix_micros(CAST(last_ts AS TIMESTAMP))")).as("staleness_us"))
+      .orderBy($"event_type")
+  }
+
+  /** Population Stability Index between the first and second half of
+    * the events stream — the drift monitor that decides when a model
+    * needs retraining: PSI = Σ (p_i − q_i)·ln(p_i/q_i) over 10 fixed
+    * value buckets (width 50, clamped). Counts are exact integers, so
+    * p, q and p/q are identical doubles on both engines; each ln rides
+    * the 9dp-round protocol and each TERM is 12dp-quantized into exact
+    * DECIMAL before the cross-bucket sum, so accumulation order cannot
+    * shift the total. Only buckets populated on both sides contribute
+    * (standard PSI practice); the audit reports how many were used.
+    */
+  def pipelineDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val mid = ntz("2024-01-15 00:00:00")
+    val bucketed = events(spark, sfDir)
+      .select(
+        when($"ts" < mid, lit("a")).otherwise(lit("b")).as("half"),
+        least(lit(9), floor($"value" / 50).cast(IntegerType)).as("bucket"))
+    val counts = bucketed.groupBy($"bucket")
+      .agg(count(when($"half" === "a", 1)).as("na"),
+        count(when($"half" === "b", 1)).as("nb"))
+    val tot = counts.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .filter($"na" > 0 && $"nb" > 0)
+      .select(
+        (($"na".cast(DoubleType) / $"ta".cast(DoubleType)) -
+          ($"nb".cast(DoubleType) / $"tb".cast(DoubleType))).as("pq"),
+        round(log(($"na".cast(DoubleType) / $"ta".cast(DoubleType)) /
+          ($"nb".cast(DoubleType) / $"tb".cast(DoubleType))), 9)
+          .cast(DecimalType(28, 9)).cast(DoubleType).as("lnr"))
+      .select(round($"pq" * $"lnr", 12).cast(DecimalType(24, 12)).as("term"))
+      .agg(count(lit(1)).as("n_buckets_used"),
+        (floor(sum($"term").cast(DoubleType) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("psi"))
+  }
+
 }
