@@ -2945,4 +2945,23 @@ object Oracle {
            floor(CAST(sum(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi
     FROM terms
   """
+
+  // result-identity with the plain join (the bloom filter is a pure
+  // shuffle reducer, never a semantics change)
+  val scaleRuntimeBloomJoin: String = """
+    SELECT o_custkey, count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_custkey ORDER BY o_custkey
+  """
+
+  // DuckDB plans EXISTS-in-projection as a native MARK join
+  val joinMarkExistence: String = """
+    SELECT c_custkey, c_mktsegment,
+           EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             AS has_orders
+    FROM customer ORDER BY c_custkey
+  """
 }

@@ -329,4 +329,58 @@ object Round9Ops {
           .as("psi"))
   }
 
+
+  /** Runtime bloom-filter join — Spark's InjectRuntimeFilter: the
+    * selective (filtered) side's join keys build a bloom filter DURING
+    * the query, and the probe side's scan applies might_contain BEFORE
+    * the shuffle, so rows that cannot join never ship. This is the
+    * shuffle-reduction tier between static pushdown and DPP: at 100 TB
+    * it turns "shuffle the whole fact table" into "shuffle the ~2%
+    * that can match". The isolated session disables broadcast (the
+    * big-big shape bloom exists for) and drops the application-side
+    * size threshold (10 GB by default — sized for real clusters, not
+    * sf0.01); creation-side limits stay stock. PlanSpec pins the
+    * injected filter; the oracle proves result-identity with the plain
+    * join.
+    */
+  def scaleRuntimeBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val o = orders(s2, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_custkey")
+    val l = lineitem(s2, sfDir)
+      .select($"l_orderkey", money($"l_extendedprice").as("price"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"price").cast(DoubleType).as("revenue"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Existence-flag (mark) join: every customer annotated with whether
+    * any order exists — the EXISTS-in-projection shape (DuckDB plans
+    * it as a MARK join). Spark's rendering: distinct the probe keys
+    * (one partial-aggregated shuffle, so a customer with 1000 orders
+    * contributes ONE row — no fan-out), left join, coalesce the flag.
+    * Unlike a semi join it keeps non-matching rows; unlike a raw left
+    * join it cannot duplicate.
+    */
+  def joinMarkExistence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val flags = orders(spark, sfDir)
+      .select($"o_custkey").distinct()
+      .withColumn("has_orders", lit(true))
+    customer(spark, sfDir)
+      .join(flags, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_mktsegment",
+        coalesce($"has_orders", lit(false)).as("has_orders"))
+      .orderBy($"c_custkey")
+  }
+
 }

@@ -247,6 +247,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"star join must stay equi-keyed:\n${p.take(2000)}")
   }
 
+  test("runtime bloom filter is injected on the probe side of the big-big join") {
+    // InjectRuntimeFilter: the filtered (creation) side builds a bloom
+    // filter at runtime and the probe side applies might_contain
+    // before its shuffle — the shuffle-volume reducer between static
+    // pushdown and DPP. The join itself must stay big-big (SMJ): a
+    // broadcast join would make the bloom redundant and Spark skips it.
+    val p = plan(graft.ops.Round9Ops.scaleRuntimeBloomJoin(spark, sf))
+    assert(p.toLowerCase.contains("bloom"),
+      s"expected a runtime bloom filter in:\n${p.take(2500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"bloom demo must keep the shuffle join:\n${p.take(1500)}")
+  }
+
   test("quantized top-k broadcasts only the compact code table") {
     val p = plan(graft.ops.Round8Ops.simEmbeddingQuantize(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
