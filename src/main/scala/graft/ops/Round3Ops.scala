@@ -38,17 +38,22 @@ object Round3Ops {
       .select($"doc_id", $"lang",
         call_function("graft_shingles", $"text", lit(3)).as("sh"))
       .withColumn("sz", size($"sh"))
-    // Same pair-generation shape as dedupNearJaccard: with only 5
-    // languages a plain lang-equi join would run one cartesian per
-    // lang task (5-way parallelism, measured 14 s at sf0.1). Salting
-    // the probe side across 32 buckets and broadcasting the compact
-    // sketch restores full parallelism: 14 s -> ~1.5 s.
+    // Same fragment-replicate (1-Bucket-Theta) SHUFFLE shape as
+    // dedupNearJaccard: with only 5 languages a plain lang-equi join
+    // would run one cartesian per lang task (5-way parallelism,
+    // measured 14 s at sf0.1). Salting the replicate side across 32
+    // buckets and shuffle-partitioning BOTH sides on (lang, bucket)
+    // restores langs×32-way parallelism while keeping everything off
+    // the broadcast path — the round-9 variant broadcast the full
+    // sketch table, which grows linearly with the corpus and breaks
+    // the 100 TB contract (PlanSpec now pins no-BroadcastExchange on
+    // this plan). Shuffle volume is nBuckets × sketch bytes — linear
+    // with a tunable constant.
     val nBuckets = 32
     val b = sh.select($"doc_id".as("id_b"), $"lang".as("lang_b"),
       $"sh".as("sh_b"), $"sz".as("sz_b"),
       pmod($"doc_id", lit(nBuckets)).as("bkt_b"))
     val a = sh.withColumn("bkt", explode(array((0 until nBuckets).map(lit): _*)))
-      .repartition(nBuckets, col("bkt"))
       .select($"doc_id".as("id_a"), $"lang", $"sh".as("sh_a"),
         $"sz".as("sz_a"), $"bkt")
     // The jaccard threshold lives INSIDE the join condition as pure
@@ -58,7 +63,7 @@ object Round3Ops {
     // conjunct, running the intersect kernel on every raw bucket
     // collision: measured 4× slower). The exact jaccard value is then
     // computed only for the surviving pairs.
-    a.join(broadcast(b),
+    a.join(b,
         $"lang" === $"lang_b" && $"bkt" === $"bkt_b" && $"id_a" < $"id_b" &&
         // j >= 0.5 forces 2*min >= max
         $"sz_a" * 2 >= $"sz_b" && $"sz_b" * 2 >= $"sz_a" &&

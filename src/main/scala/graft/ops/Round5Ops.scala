@@ -86,56 +86,138 @@ object Round5Ops {
       .orderBy($"grp")
   }
 
-  /** Approximate scale path for embedding near-dup: sign-random-
-    * projection (SRP / simhash-for-cosine, Charikar STOC'02) banding —
-    * L bands of r hyperplane sign bits each; a pair is a candidate iff
-    * some band's r bits all agree (P = p^r per band, p = 1 - θ/π),
-    * then candidates are verified with the EXACT compiled cosine.
-    * Candidate volume is sublinear in pairs on real (clustered)
-    * embedding corpora; this corpus's threshold 0.4 sits near SRP's
-    * floor (p(0.4) ≈ 0.63, so banding can't reach recall 1 with real
-    * pruning — the mathematical reason the EXACT grid plan in
-    * dedup_near_embedding stays the oracle-checked operator and this
-    * one is recall-asserted in Round5Spec instead). Planes are a
-    * fixed-seed Gaussian matrix — a few KB broadcast in the UDF
-    * closure, constant in the corpus.
+  // ---- SRP-banded ANN near-dup (the approximate scale path) ----
+  //
+  // SRP banding parameters. 16 sign bits per band (signature space
+  // 65 536) × 48 bands: a pair is a band-collision candidate with
+  // probability 1-(1-p^16)^48 where p = 1 - θ(cos)/π (Charikar
+  // STOC'02). At the near-dup operating point (cos ≈ 0.85-0.91 for
+  // the derived duplicates below, p ≈ 0.83-0.85) that is ≥ 0.88
+  // recall, while an unrelated pair (cos ≈ 0, p = 0.5) collides with
+  // probability 48·0.5^16 ≈ 7e-4 — candidate volume ≈ n·(dup rate) +
+  // 7e-4·C(n,2), i.e. ~1×n at bench scale, asserted < 8×n in
+  // Round5Spec. The round-9 variant used 3-bit bands (8 signatures):
+  // buckets held n/8 vectors and the "candidates" were the full pair
+  // cross product ×8 — an all-pairs join in ANN costume. Widening the
+  // band signature to 16 bits is what buys actual pruning.
+  private[graft] val annBands = 48
+  private[graft] val annRowsPerBand = 16
+  private[graft] val annTheta = 0.7
+
+  /** Near-dup corpus for the ANN path: the embeddings table plus a
+    * deterministic ~25% tier of derived near-duplicates (vec_id % 4 ==
+    * 0 → copy at id+10^9 perturbed to cosine ≈ 0.85-0.91 with its
+    * source). The synthetic embeddings are isotropic Gaussian — their
+    * max NATURAL pairwise cosine is ~0.51, i.e. the corpus contains no
+    * true near-duplicates, and at θ=0.4 (3.2σ of the noise cosine
+    * distribution) NO LSH family can prune: the Indyk–Motwani exponent
+    * is ρ = ln p(0.4)/ln p(0) = ln 0.637/ln 0.5 ≈ 0.65, so constant
+    * recall forces Θ(n^1.65) candidates — the mathematical reason the
+    * exact grid join (dedup_near_embedding) owns that threshold and
+    * the ANN tier instead demonstrates the regime ANN exists for:
+    * genuine near-duplicates at θ=0.7. The derived-duplicate staging
+    * is the same self-contained pattern as pipeline_upsert's derived
+    * merge input; perturbation is seeded by vec_id (java.util.Random's
+    * nextGaussian sequence is spec-fixed) so the corpus is
+    * deterministic across runs and engines.
     */
-  def dedupNearEmbeddingAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def annCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bands = 8; val rowsPerBand = 3; val dims = 64
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val perturb = udf { (id: Long, v: Seq[Float]) =>
+      val rng = new scala.util.Random(id)
+      val g = Array.fill(v.length)(rng.nextGaussian())
+      var gn = 0.0; var vn = 0.0
+      g.foreach(x => gn += x * x)
+      v.foreach(x => vn += x.toDouble * x)
+      // dup = v + 0.55·||v||·ĝ; ĝ is near-orthogonal to v in 64-d, so
+      // cos(v, dup) ≈ 1/sqrt(1+0.55²) ≈ 0.876 (measured 0.84-0.91)
+      val s = 0.55 * math.sqrt(vn) / math.sqrt(gn)
+      Array.tabulate(v.length)(d => (v(d) + s * g(d)).toFloat)
+    }
+    val base = embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val dups = base.filter(pmod($"vec_id", lit(4)) === 0)
+      .select(($"vec_id" + 1000000000L).as("vec_id"),
+        perturb($"vec_id", $"embedding").as("embedding"))
+    base.unionAll(dups)
+      // single-file parquet reads as ONE partition: spread the corpus
+      // so the 48×16-plane signature computation runs on all cores
+      // (at 100 TB the scan has thousands of map tasks and this is
+      // automatic; measured 9 s → <1 s at sf0.1)
+      .repartition(col("vec_id"))
+      .select($"vec_id", $"embedding",
+        sqrt(LlmOps.dot($"embedding", $"embedding")).as("nrm"))
+  }
+
+  /** Band-collision candidate pairs (pre-verification) over the
+    * near-dup corpus — exposed so Round5Spec can assert the candidate
+    * bound (< 8×n raw collision rows) independently of recall.
+    */
+  private[graft] def annCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = annBands; val rowsPerBand = annRowsPerBand; val dims = 64
     val rng = new scala.util.Random(42L)
-    val planes = Array.fill(bands * rowsPerBand, dims)(rng.nextGaussian())
+    // flat primitive plane matrix: the 768×64 projection is the hot
+    // loop (123M multiply-adds per side at sf0.1) and MUST run on
+    // primitive arrays — iterating the UDF's boxed Seq[Float] directly
+    // costs ~40 ns per element through the generic apply + unbox
+    // (measured 6 s vs 0.15 s for the whole signature pass), so the
+    // Seq is unboxed ONCE per call into a primitive buffer.
+    val planes = Array.fill(bands * rowsPerBand * dims)(rng.nextGaussian())
+    // asNondeterministic is an OPTIMIZER BARRIER, not a semantic
+    // declaration: the function is pure, but without it
+    // CollapseProject inlines the call into the Generate AND the
+    // not-null/size Filter Generate implies — 3 evaluations per
+    // vector instead of 1 (measured via an invocation counter).
     val bandSigs = udf { (v: Seq[Float]) =>
+      val n = math.min(v.length, dims)
+      val a = new Array[Double](n)
+      var k = 0
+      v.foreach { x => if (k < n) a(k) = x; k += 1 }
       Array.tabulate(bands) { band =>
         var sig = 0L
         var i = 0
         while (i < rowsPerBand) {
-          val p = planes(band * rowsPerBand + i)
+          val off = (band * rowsPerBand + i) * dims
           var dot = 0.0
           var d = 0
-          val n = math.min(v.length, dims)
-          while (d < n) { dot += p(d) * v(d); d += 1 }
+          while (d < n) { dot += planes(off + d) * a(d); d += 1 }
           sig = (sig << 1) | (if (dot > 0) 1L else 0L)
           i += 1
         }
         sig
       }
-    }
-    val t = LlmOps.embeddingsWithNorm(spark, sfDir)
-      .select($"vec_id", $"embedding", $"nrm",
-        posexplode(bandSigs($"embedding")))
-      .select($"vec_id", $"embedding", $"nrm",
-        $"pos".as("band"), $"col".as("sig"))
+    }.asNondeterministic()
+    val t = annCorpus(spark, sfDir)
+      .withColumn("sigs", bandSigs(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("sigs")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("pos").as("band"), col("col").as("sig"))
     // (band, sig) equi-join — shuffle-partitioned candidate
     // generation, nothing corpus-sized broadcast; band multiplicity
     // removed by the final distinct (same shape as dedup_minhash_lsh)
     t.as("x").join(t.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+      col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.vec_id") < col("y.vec_id"))
+  }
+
+  /** Approximate scale path for embedding near-dup: sign-random-
+    * projection banding (L=48 bands × r=16 hyperplane sign bits; see
+    * annCorpus/annBands for the operating-point math) over the
+    * derived near-dup corpus, candidates verified with the EXACT
+    * compiled cosine inside the join at θ=0.7. Planes are a fixed-seed
+    * Gaussian matrix — ~400 KB in the UDF closure, constant in the
+    * corpus. Candidate volume is ~1×n (bounded < 8×n in Round5Spec);
+    * recall ≥ 0.8 vs the exact grid join on the same corpus is the
+    * other spec floor. No oracle (SRP hash-family specific).
+    */
+  def dedupNearEmbeddingAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    annCandidates(spark, sfDir)
       .withColumn("cos",
         LlmOps.dot(col("x.embedding"), col("y.embedding")) /
           (col("x.nrm") * col("y.nrm")))
-      .filter($"cos" >= 0.4)
+      .filter($"cos" >= annTheta)
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         round($"cos", 6).as("cosine"))
       .distinct()

@@ -267,4 +267,54 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-50 must not global-sort:\n${p.take(1500)}")
   }
+
+  test("ngram jaccard + SRP ANN generate pairs via shuffle joins (no corpus broadcast)") {
+    // Round-10 rewrite of both ops: pair generation must be a
+    // fragment-replicate / (band,sig) SHUFFLE join. With statistics-
+    // driven auto-broadcast disabled (the 100 TB condition: a corpus-
+    // sized side never measures under the threshold), the physical
+    // plan must contain NO BroadcastExchange at all — the round-9
+    // ngram variant shipped the whole sketch table to every executor.
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq(
+        "dedup_ngram_jaccard" -> graft.ops.Round3Ops.dedupNgramJaccard(spark, sf),
+        "dedup_near_embedding_ann" -> graft.ops.Round5Ops.dedupNearEmbeddingAnn(spark, sf)
+      ).foreach { case (name, df) =>
+        val lp = df.queryExecution.optimizedPlan.toString
+        assert(!lp.toLowerCase.contains("hint") && !lp.contains("ResolvedHint"),
+          s"$name must not force a broadcast:\n${lp.take(1500)}")
+        val p = plan(df)
+        assert(!p.contains("BroadcastExchange"),
+          s"$name must shuffle, not broadcast, its pair-generation side:\n${p.take(2000)}")
+      }
+    } finally saved match {
+      case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("exact-cosine baseline's broadcast is pinned to the bounded embeddings table") {
+    // sim_cosine_topk is the declared exactness baseline: it may
+    // broadcast ONE side only because that side is the embeddings
+    // table (bounded by contract, SURVEY §6). Pin the hint to that
+    // scan so a future table swap can't silently create a corpus-sized
+    // broadcast.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val ap = graft.ops.LlmOps.simCosineTopk(spark, sf).queryExecution.analyzed
+    val hints = ap.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "declared broadcast hint must be present")
+    hints.foreach { h =>
+      val paths = h.collectLeaves().flatMap {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+        case other => Seq(s"non-file leaf: $other")
+      }
+      assert(paths.nonEmpty && paths.forall(_.contains("embeddings")),
+        s"broadcast side must be the embeddings scan only:\n${paths.mkString("\n")}")
+    }
+  }
 }

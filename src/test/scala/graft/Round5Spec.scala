@@ -33,14 +33,33 @@ class Round5Spec extends AnyFunSuite with SparkFixture {
 
   test("SRP ANN near-embedding is a subset of exact with recall >= 0.8") {
     import spark.implicits._
-    val exact = LlmOps2.dedupNearEmbedding(spark, sf)
+    // ground truth: brute-force all-pairs exact cosine over the SAME
+    // derived near-dup corpus at the same θ=0.7
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val t = Round5Ops.annCorpus(spark, sf)
+    val a = t.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = t.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val exact = a.join(b, $"id_a" < $"id_b")
+      .withColumn("cos", expr("graft_dot(ea, eb)") / ($"na" * $"nb"))
+      .filter($"cos" >= Round5Ops.annTheta)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 50, s"derived corpus must plant enough near-dup pairs, got ${exact.size}")
     val ann = Round5Ops.dedupNearEmbeddingAnn(spark, sf)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert((ann -- exact).isEmpty,
       "exact cosine verification must keep every ANN pair above threshold")
     val recall = (ann & exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"SRP banding recall $recall below floor")
+  }
+
+  test("SRP ANN candidate volume is bounded (< 8n raw band collisions, not O(n^2))") {
+    val n = Round5Ops.annCorpus(spark, sf).count()
+    val candidates = Round5Ops.annCandidates(spark, sf).count()
+    // the round-9 3-bit bands produced ~full-cross-product candidate
+    // volume (~n²/2 ×8 bands); 16-bit bands must keep it linear
+    assert(candidates < 8 * n,
+      s"candidate volume $candidates vs n=$n — banding is not pruning")
+    assert(candidates > 0, "banding must still produce candidates")
   }
 
   test("upsert: updates change price+status in place, inserts append, rest untouched") {
