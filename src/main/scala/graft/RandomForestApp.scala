@@ -108,6 +108,53 @@ object RandomForestApp {
     (prep(trainRaw), prep(testRaw))
   }
 
+  /** Train-only half of the reference's train-job → serialized-model →
+    * scoring-job workflow: fit the forest on the training file and
+    * return the model (CSV ingest keeps its StringIndexer path via
+    * prepareCsv when both halves run in-process — for the split
+    * CLI workflow use numeric CSV or parquet, whose feature prep is a
+    * pure row-wise function and needs no fitted state).
+    */
+  def train(spark: SparkSession, trainPath: String,
+      numTrees: Int = 50, maxDepth: Int = 8,
+      seed: Long = 42L): org.apache.spark.ml.classification.RandomForestClassificationModel = {
+    val train0 =
+      if (trainPath.endsWith(".csv")) prepareCsv(spark, trainPath, trainPath)._1
+      else readFeatures(spark, trainPath)
+    fitForest(train0, numTrees, maxDepth, seed)
+  }
+
+  private def fitForest(train0: DataFrame, numTrees: Int, maxDepth: Int,
+      seed: Long): org.apache.spark.ml.classification.RandomForestClassificationModel =
+    new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(train0.repartition(8, col("id")))
+
+  /** Persist a trained forest (MLlib's parquet tree layout — the
+    * Spark-native form of the reference's serialized-forest handoff
+    * between the training job and the scoring job).
+    */
+  def saveModel(model: org.apache.spark.ml.classification.RandomForestClassificationModel,
+      path: String): Unit =
+    model.write.overwrite().save(path)
+
+  /** Scoring-job half: LOAD the serialized forest and score a test
+    * file — no training data needed. Model shipping to executors is
+    * Spark's broadcast of the loaded model (the DistributedCache
+    * analogue noted in the class doc).
+    */
+  def loadAndScore(spark: SparkSession, modelPath: String,
+      testPath: String): DataFrame = {
+    import spark.implicits._
+    val model = org.apache.spark.ml.classification
+      .RandomForestClassificationModel.load(modelPath)
+    model.transform(readFeatures(spark, testPath))
+      .select($"id", $"label",
+        $"prediction".cast(IntegerType).as("prediction"))
+      .orderBy($"id")
+  }
+
   /** Train + score; returns (id, label, prediction) for the test set. */
   def trainAndScore(spark: SparkSession, trainPath: String, testPath: String,
       numTrees: Int = 50, maxDepth: Int = 8, seed: Long = 42L): DataFrame = {
@@ -115,11 +162,7 @@ object RandomForestApp {
     val (train0, test) =
       if (trainPath.endsWith(".csv")) prepareCsv(spark, trainPath, testPath)
       else (readFeatures(spark, trainPath), readFeatures(spark, testPath))
-    val train = train0.repartition(8, col("id"))
-    val model = new RandomForestClassifier()
-      .setLabelCol("label").setFeaturesCol("features")
-      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
-      .fit(train)
+    val model = fitForest(train0, numTrees, maxDepth, seed)
     model.transform(test)
       .select($"id", $"label",
         $"prediction".cast(IntegerType).as("prediction"))
@@ -128,10 +171,12 @@ object RandomForestApp {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println("usage: RandomForestApp <trainPath> <testPath> <outPath>")
+      System.err.println(
+        "usage: RandomForestApp <trainPath> <testPath> <outPath> [modelPath]")
       sys.exit(2)
     }
     val Array(trainPath, testPath, outPath) = args.take(3)
+    val modelPath = args.lift(3)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
@@ -140,7 +185,16 @@ object RandomForestApp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val pred = trainAndScore(spark, trainPath, testPath).cache()
+    // with a modelPath the run exercises the SPLIT workflow — train,
+    // serialize, reload, score with the reloaded model — so the
+    // written predictions prove the persisted forest, not the
+    // in-memory one
+    val pred = modelPath match {
+      case Some(mp) =>
+        saveModel(train(spark, trainPath), mp)
+        loadAndScore(spark, mp, testPath).cache()
+      case None => trainAndScore(spark, trainPath, testPath).cache()
+    }
     try {
       pred.coalesce(1).write.mode("overwrite").parquet(outPath)
       val n = pred.count()

@@ -119,6 +119,30 @@ object ML {
       .select($"feature_idx", round($"importance", 6).as("importance"))
   }
 
+  /** Model persistence round-trip — the reference class's defining
+    * train-once-score-many workflow: the forest is serialized with
+    * `model.write.overwrite().save` (MLlib's parquet tree layout),
+    * reloaded via `RandomForestClassificationModel.load`, and the test
+    * split is scored with the RELOADED model. MLSpec asserts the
+    * reloaded predictions are row-identical to the in-memory model's
+    * (mlRfTrainPredict). The save path is one deterministic directory
+    * per dataset, overwritten on every call — no /tmp growth across
+    * sweeps. No oracle (not SQL-expressible).
+    */
+  def mlRfSaveLoad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val key = java.lang.Integer.toHexString(
+      new java.io.File(sfDir).getAbsolutePath.hashCode)
+    val path = s"/tmp/graft_models/rf_$key"
+    classifier(spark, sfDir).write.overwrite().save(path)
+    val reloaded = RandomForestClassificationModel.load(path)
+    val test = prepared(spark, sfDir).filter($"split" === "test")
+    reloaded.transform(test)
+      .select($"vec_id", $"label",
+        $"prediction".cast(IntegerType).as("prediction"))
+      .orderBy($"vec_id")
+  }
+
   private val regCache = TrieMap.empty[String, RandomForestRegressionModel]
 
   /** Regression: predict events.value from time/type features. */

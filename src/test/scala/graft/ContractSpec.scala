@@ -21,6 +21,7 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "ml_dt_train_predict", "ml_kmeans_cluster", // not SQL-expressible
     "ml_logreg_train_predict", // not SQL-expressible (L-BFGS linear model)
     "ml_gbt_train_predict", // not SQL-expressible (binary GBT)
+    "ml_rf_save_load", // not SQL-expressible (reload identity pinned in MLSpec)
     "ml_cross_validation", // fold assignment engine-specific
     "ml_cv_best_model", // fold assignment engine-specific (winner pinned in MLSpec)
     "dedup_near_embedding_ann", // SRP hash-family specific (recall asserted)
@@ -30,7 +31,7 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     // Bump DELIBERATELY with each widening, in the same commit that
     // updates SURVEY.md §2 and README — this pin is what makes
     // inventory drift (round 5/6 verdicts) impossible to ship silently.
-    assert(SparkEntry.queries.size === 236,
+    assert(SparkEntry.queries.size === 237,
       "SparkEntry.queries changed size: update SURVEY.md §2 + README " +
         "and bump this pin in the same commit")
   }

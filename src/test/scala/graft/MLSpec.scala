@@ -82,6 +82,18 @@ class MLSpec extends AnyFunSuite with SparkFixture {
     assert(a === b)
   }
 
+  test("ml_rf_save_load op: reloaded-model predictions are identical to in-memory") {
+    import spark.implicits._
+    val inMem = ML.mlRfTrainPredict(spark, sf)
+      .as[(Long, Int, Int)].collect().toSeq
+    val reloaded = ML.mlRfSaveLoad(spark, sf)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(reloaded === inMem,
+      "scoring with the serialized+reloaded forest must reproduce the " +
+        "in-memory model's predictions row for row")
+    assert(reloaded.nonEmpty)
+  }
+
   test("rf regression produces finite predictions on the test split") {
     import spark.implicits._
     val pred = ML.mlRfRegression(spark, sf)

@@ -46,6 +46,24 @@ class RandomForestAppSpec extends AnyFunSuite with SparkFixture {
       s"category-determined label must be learnable through indexing, got $acc")
   }
 
+  test("split workflow: train/save then load/score equals the one-process run") {
+    import spark.implicits._
+    // the reference's two-job shape: a training job that serializes
+    // the forest, then a scoring job that only sees the model dir +
+    // test file
+    val p = s"$sf/embeddings.parquet"
+    val modelDir = "/tmp/graft_rfapp_model"
+    RandomForestApp.saveModel(
+      RandomForestApp.train(spark, p, numTrees = 10, maxDepth = 4), modelDir)
+    val split = RandomForestApp.loadAndScore(spark, modelDir, p)
+      .as[(Long, Int, Int)].collect().toSeq
+    val oneProc = RandomForestApp
+      .trainAndScore(spark, p, p, numTrees = 10, maxDepth = 4)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(split === oneProc)
+    assert(split.nonEmpty)
+  }
+
   test("parquet ingest: accepts the embeddings schema and scores") {
     import spark.implicits._
     val p = s"$sf/embeddings.parquet"
