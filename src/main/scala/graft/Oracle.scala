@@ -2874,9 +2874,9 @@ object Oracle {
           FROM d GROUP BY source),
     l AS (SELECT source, lang, count(*) AS cnt FROM d GROUP BY source, lang),
     e AS (SELECT source, count(DISTINCT lang) AS n_langs,
-                 sum(CAST(cnt AS DECIMAL(8,0))
+                 sum(CAST(cnt AS DECIMAL(9,0))
                      * CAST(round(ln(CAST(cnt AS DOUBLE)), 9)
-                            AS DECIMAL(28,9))) AS s_nlnn
+                            AS DECIMAL(27,9))) AS s_nlnn
           FROM l GROUP BY source)
     SELECT s.source, n_docs, total_tokens, CAST(n_langs AS BIGINT) AS n_langs,
       floor((CAST(CAST(round(ln(CAST(n_docs AS DOUBLE)), 9) AS DECIMAL(28,9))
@@ -2934,12 +2934,13 @@ object Oracle {
     tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
                    CAST(sum(nb) AS BIGINT) AS tb FROM c),
     terms AS (
-      SELECT CAST(round(
+      SELECT CAST(floor(
         ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)) -
          (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))) *
         CAST(CAST(round(ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)) /
                            (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))), 9)
-                  AS DECIMAL(28,9)) AS DOUBLE), 12) AS DECIMAL(24,12)) AS term
+                  AS DECIMAL(28,9)) AS DOUBLE)
+        * 1e12 + 0.5) / 1e12 AS DECIMAL(24,12)) AS term
       FROM c, tot WHERE na > 0 AND nb > 0)
     SELECT count(*) AS n_buckets_used,
            floor(CAST(sum(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi

@@ -211,14 +211,22 @@ object Round9Ops {
       .agg(count(lit(1)).as("cnt"))
       .groupBy($"source")
       .agg(countDistinct($"lang").as("n_langs"),
-        // cnt as DECIMAL(8,0): a LONG multiplicand needs 20+28+1 = 49
+        // cnt as DECIMAL(9,0): a LONG multiplicand needs 20+27+1 = 48
         // digits, over Spark's 38-digit cap, and the overflow silently
         // RESHRINKS the product scale (allowPrecisionLoss) — the two
-        // engines would accumulate at different precision. 8+28+1 = 37
-        // keeps the product exact at scale 9 on both.
-        sum($"cnt".cast(DecimalType(8, 0)) *
+        // engines would accumulate at different precision. 9+27+1 = 37
+        // keeps the product exact at scale 9 on both. The guard makes
+        // a count past the 1e9 ceiling FAIL LOUDLY: with ANSI off
+        // Spark's overflowing decimal cast yields NULL (silently
+        // nulling s_nlnn) while DuckDB's raises — the engines would
+        // diverge silently instead of erroring.
+        sum(when($"cnt" <= 999999999L, $"cnt")
+          .otherwise(raise_error(concat(
+            lit("pipeline_dataset_card: per-(source,lang) count "),
+            $"cnt".cast(StringType), lit(" overflows DECIMAL(9,0)"))))
+          .cast(DecimalType(9, 0)) *
           round(log($"cnt".cast(DoubleType)), 9)
-            .cast(DecimalType(28, 9))).as("s_nlnn"))
+            .cast(DecimalType(27, 9))).as("s_nlnn"))
     // floor-quantization instead of round() for the final digits: with
     // N = 25 docs the pre-round value is an EXACT decimal, so it can sit
     // exactly on the half boundary where Spark's BigDecimal HALF_UP and
@@ -323,7 +331,14 @@ object Round9Ops {
         round(log(($"na".cast(DoubleType) / $"ta".cast(DoubleType)) /
           ($"nb".cast(DoubleType) / $"tb".cast(DoubleType))), 9)
           .cast(DecimalType(28, 9)).cast(DoubleType).as("lnr"))
-      .select(round($"pq" * $"lnr", 12).cast(DecimalType(24, 12)).as("term"))
+      // per-term 12dp quantization uses the same floor(x·1eN + 0.5)
+      // IEEE sequence as the final psi — round(x, 12) is the exact
+      // pattern the round-9 SCALE.md lesson flags as divergent on
+      // exact-decimal half boundaries (Spark BigDecimal HALF_UP vs
+      // DuckDB multiply-based rounding). PSI terms are always >= 0
+      // (sign(p-q) = sign(ln(p/q))), so floor(x+0.5) IS half-up here.
+      .select((floor(($"pq" * $"lnr") * lit(1e12) + lit(0.5)) / lit(1e12))
+        .cast(DecimalType(24, 12)).as("term"))
       .agg(count(lit(1)).as("n_buckets_used"),
         (floor(sum($"term").cast(DoubleType) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("psi"))

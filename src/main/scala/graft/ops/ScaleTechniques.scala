@@ -25,22 +25,33 @@ object ScaleTechniques {
     */
   /** Identity component for cache keys over a source dataset dir: the
     * leaf name (readability) plus a fingerprint of the CANONICAL path
-    * and the newest file mtime inside it. Two directories sharing a
-    * leaf name (…/a/sf0.1 vs …/b/sf0.1) get distinct keys instead of
-    * silently aliasing one cached layout, and regenerating the data in
-    * place rolls the fingerprint so every derived /tmp layout keyed on
-    * it is rebuilt — the dataset-identity contract [[materializeOnce]]
-    * asks of its callers. Dots are mapped out so the key is also a
+    * and the FULL RECURSIVE (relative path, mtime) listing. Two
+    * directories sharing a leaf name (…/a/sf0.1 vs …/b/sf0.1) get
+    * distinct keys instead of silently aliasing one cached layout, and
+    * regenerating ANY file — including one inside a nested
+    * subdirectory, which a top-level-only newest-mtime scan missed —
+    * rolls the fingerprint so every derived /tmp layout keyed on it is
+    * rebuilt; adding/removing files rolls it too (the listing hashes
+    * paths, not just times). Dots are mapped out so the key is also a
     * valid catalog table-name fragment.
     */
   def datasetKey(sfDir: String): String = {
     val dir = new java.io.File(sfDir)
-    val newest = Option(dir.listFiles())
-      .map(_.map(_.lastModified).foldLeft(0L)(math.max)).getOrElse(0L)
+    val root = dir.getCanonicalFile
+    def walk(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).map(_.toSeq.flatMap(c =>
+        if (c.isDirectory) walk(c) else Seq(c))).getOrElse(Nil)
+    val listing = walk(root)
+      .map(f => s"${f.getPath.stripPrefix(root.getPath)}@${f.lastModified}")
+      .sorted.mkString("\n")
     val hex = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(s"${dir.getCanonicalPath}@$newest".getBytes("UTF-8"))
+      .digest(s"${root.getPath}\n$listing".getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
     s"${dir.getName.replace('.', '_')}_$hex"
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
   }
 
   /** RDD id backing a `localCheckpoint(true)`'d Dataset (its plan is a
@@ -71,12 +82,23 @@ object ScaleTechniques {
           // fails) — keep theirs, drop ours
           if (!done) throw new IllegalStateException(
             s"materializeOnce($key): rename failed and no published copy")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(tmp)
+          rmTree(tmp)
         }
       }
+      // GC: every legitimate fingerprint roll (dataset regenerated)
+      // would otherwise STRAND the previous layout for the same stem —
+      // accumulation without bound across regenerations. An old-key
+      // layout is derived from data that no longer exists, so any
+      // reader still on it is already reading a stale derivation;
+      // deleting it is strictly better than keeping both.
+      val stem = key.replaceAll("_[0-9a-f]{12}$", "")
+      if (stem != key)
+        Option(dest.getParentFile.listFiles()).foreach(_.foreach { f =>
+          if (f.getName != key && !f.getName.contains(".tmp-") &&
+            f.getName.matches(
+              java.util.regex.Pattern.quote(stem) + "_[0-9a-f]{12}"))
+            rmTree(f)
+        })
       dest.getPath
     }
 
@@ -117,6 +139,20 @@ object ScaleTechniques {
     def ensure(name: String, ddlCols: String, bucketCol: String)
         (write: => Unit): Unit = {
       val path = s"/tmp/graft_bucketed/$name"
+      // GC stale-key siblings: a dataset regeneration rolls the
+      // fingerprint in `name`, and without cleanup every roll strands
+      // the previous bucketed layout AND its catalog entry (same
+      // bounded-/tmp contract as materializeOnce's GC)
+      val stem = name.replaceAll("_[0-9a-f]{12}$", "")
+      if (stem != name) {
+        val stale = java.util.regex.Pattern.quote(stem) + "_[0-9a-f]{12}"
+        spark.catalog.listTables().collect()
+          .map(_.name).filter(n => n != name && n.matches(stale))
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+        Option(new java.io.File("/tmp/graft_bucketed").listFiles())
+          .foreach(_.foreach(f =>
+            if (f.getName != name && f.getName.matches(stale)) rmTree(f)))
+      }
       if (!spark.catalog.tableExists(name)) {
         if (new java.io.File(s"$path/_SUCCESS").exists()) {
           spark.sql(

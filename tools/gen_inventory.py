@@ -44,11 +44,17 @@ def def_sites():
     for path in sorted(SRC.rglob("*.scala")):
         obj = None
         for i, line in enumerate(path.read_text().splitlines(), 1):
-            # top-level objects only (no leading whitespace): a nested
-            # helper object must not shadow the enclosing container
-            m = re.match(r"(?:private\[\w+\]\s+)?object\s+(\w+)", line)
+            # top-level containers only (no leading whitespace): a
+            # nested helper object must not shadow the enclosing
+            # container, and a top-level class/trait (e.g. a stateful
+            # processor) must RESET the tracker — otherwise its method
+            # defs would be attributed to the preceding object and
+            # could claim an (object, method) key with a wrong line
+            m = re.match(
+                r"(?:private\[\w+\]\s+)?(?:case\s+|abstract\s+)?"
+                r"(object|class|trait)\s+(\w+)", line)
             if m:
-                obj = m.group(1)
+                obj = m.group(2) if m.group(1) == "object" else None
             d = re.match(r"\s*(?:private\[\w+\]\s+)?def\s+(\w+)\b", line)
             if d and obj:
                 sites.setdefault((obj, d.group(1)),
