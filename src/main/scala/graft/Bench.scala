@@ -84,8 +84,35 @@ object Bench {
     // load, not code.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // Per-query spill + GC attribution (round-9 lesson: the driver
+    // sweep read 37.7 s for a query that runs ~1 s isolated, and it
+    // took a judge session of re-measurement to prove it was machine
+    // load; spill/GC fields show it in one read — high gc_ms with flat
+    // spill_mb across the board reads as shared-JVM/memory pressure,
+    // per-query spill_mb reads as that query's own shuffle exceeding
+    // executor memory). Attribution is by a volatile current-query
+    // label from the async listener bus; a short post-query grace wait
+    // catches trailing task-end events, and residual misattribution is
+    // bounded and acceptable for a diagnostic.
+    val spillBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val gcMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    @volatile var currentQuery = ""
+    def acc(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+        k: String, v: Long): Unit =
+      m.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(v)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val q = currentQuery
+        val m = te.taskMetrics
+        if (q.nonEmpty && m != null) {
+          acc(spillBytes, q, m.memoryBytesSpilled + m.diskBytesSpilled)
+          acc(gcMs, q, m.jvmGCTime)
+        }
+      }
+    })
     val wallT0 = System.nanoTime()
     val results: Map[String, (Double, Double)] = selected.map { case (name, fn) =>
+      currentQuery = name
       val times = Seq.fill(runs) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -104,8 +131,10 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      Thread.sleep(20) // grace for trailing async task-end events
       name -> (times(times.size / 2), times.head)
     }.toMap
+    currentQuery = ""
     val wallS = (System.nanoTime() - wallT0) / 1e9
     val loadEnd = osBean.getSystemLoadAverage
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
@@ -123,8 +152,18 @@ object Bench {
       s""""cpus":$cpus,"runs_per_query":$runs,"wall_s":${fmt(wallS)},"total_min_s":${fmt(totalMin)}}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"load":$loadJson,"sf":"$sfDir"}"""
+    // spill/GC maps ride bench_full.json only (diagnostics, not the
+    // driver stdout contract); spill in MB (1dp), GC in whole ms,
+    // summed across the query's runs
+    def lk(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+        k: String): Long = Option(m.get(k)).map(_.get).getOrElse(0L)
+    val fullSpill = results.toSeq.sortBy(-_._2._1)
+      .map { case (k, _) => s"\"$k\":${fmt(lk(spillBytes, k) / 1048576.0)}" }
+      .mkString("{", ",", "}")
+    val fullGc = results.toSeq.sortBy(-_._2._1)
+      .map { case (k, _) => s""""$k":${lk(gcMs, k)}""" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"queries_min":$fullMin,"load":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"queries_min":$fullMin,"spill_mb":$fullSpill,"gc_ms":$fullGc,"load":$loadJson,"sf":"$sfDir"}"""
     // full sweeps only: a selective CLI run (iteration aid) must not
     // clobber the committed full-sweep snapshot
     if (args.isEmpty) try {

@@ -2820,6 +2820,21 @@ object Oracle {
     FROM a ORDER BY user_id, batch_id
   """
 
+  // exact-integer ledger: no decimal protocol needed; floor(x/2)
+  // folds the 6 arrival files into 3 rate-limited triggers on both
+  // engines (event_id >= 0, so % agrees with pmod)
+  val streamFileIngestRestart: String = """
+    WITH a AS (
+      SELECT event_type,
+             CAST(floor((event_id % 6) / 2.0) AS BIGINT) AS trigger,
+             count(*) AS n_arrived
+      FROM events GROUP BY 1, 2)
+    SELECT trigger, event_type, n_arrived,
+      CAST(sum(n_arrived) OVER (PARTITION BY event_type ORDER BY trigger)
+           AS BIGINT) AS n_total
+    FROM a ORDER BY trigger, event_type
+  """
+
   // isodow on both engines (native dayofweek numberings disagree);
   // interval-month addition clamps end-of-month exactly like add_months
   val fnDatetimeExtras: String = """

@@ -452,6 +452,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       === Seq(1L, 2L, 3L),
       "restart must pick up exactly the new file, no replays")
   }
+
+  test("rate-limited ingest: maxFilesPerTrigger + crash replay stays exactly-once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    // 6 single-file arrivals in the landing zone (one part file per
+    // append), 10 rows each — the batch mirror
+    // (stream_file_ingest_restart) models the same 6-file/2-per-
+    // trigger fold as an oracle-checked ledger
+    (0 until 6).foreach { f =>
+      Seq.tabulate(10)(i => (f * 10L + i, s"f$f")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val schema = spark.read.parquet(in).schema
+    val batchSizes = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def run(crashAtEpoch: Long): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(in)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], epochId: Long) =>
+          // idempotent sink: replace-by-epoch directory, so a replayed
+          // epoch overwrites its own previous (uncommitted) output
+          b.write.mode("overwrite").parquet(s"$out/epoch=$epochId")
+          batchSizes.synchronized { batchSizes += ((epochId, b.count())) }
+          // crash AFTER the sink write: the epoch's output exists but
+          // the checkpoint never committed it — the restart MUST
+          // replay it, and the sink's idempotence absorbs the replay
+          if (epochId == crashAtEpoch)
+            throw new RuntimeException(s"injected crash after epoch $epochId")
+        }
+        .start()
+      try { q.awaitTermination(120000); () }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+    run(crashAtEpoch = 0) // writes epoch 0 (2 files), dies uncommitted
+    run(crashAtEpoch = -1) // replays epoch 0, then drains 1 and 2
+    val ids = spark.read.parquet(out).select($"id").as[Long].collect().sorted
+    assert(ids === (0L until 60L).toSeq,
+      "crash + replay must deliver every row exactly once, no dupes/gaps")
+    val sizes = batchSizes.synchronized(batchSizes.toSeq)
+    assert(sizes.map(_._2).max <= 20,
+      s"maxFilesPerTrigger=2 must cap every batch at 2 files: $sizes")
+    assert(sizes.count(_._1 == 0L) == 2,
+      s"epoch 0 must run twice (crashed run + replay): $sizes")
+    assert(sizes.map(_._1).distinct.size == 3,
+      s"6 files / 2 per trigger must make 3 epochs: $sizes")
+  }
 }
 
 case class Click(click_id: Long, click_ts: Timestamp, user_id: Long)
