@@ -2835,6 +2835,86 @@ object Oracle {
     FROM a ORDER BY trigger, event_type
   """
 
+  // non-overlapping 4-token segments; DuckDB list slicing is 1-based
+  // inclusive like Spark's slice, and md5 hex is lowercase on both
+  val dedupSegmentExact: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    seg AS (SELECT doc_id,
+             md5(array_to_string(toks[i*4+1 : i*4+4], ' ')) AS h
+            FROM t, LATERAL unnest(range(len(toks)//4)) AS u(i)),
+    g AS (SELECT h AS seg_hash, count(*) AS n_copies,
+                 count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc
+          FROM seg GROUP BY h)
+    SELECT * FROM g WHERE n_copies >= 2 ORDER BY seg_hash
+  """
+
+  // exact integer microsecond arithmetic; (ts, event_id) ordering is
+  // a total order so lag/cumsum are deterministic on both engines
+  val analyticGapsIslands: String = """
+    WITH o AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)) > 600000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events),
+    i AS (SELECT user_id, ts,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+          FROM o)
+    SELECT user_id, CAST(island AS BIGINT) AS island, count(*) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+    FROM i GROUP BY user_id, island ORDER BY user_id, island
+  """
+
+  // discrete medians via the cume_dist >= p convention (mirrors SQL-
+  // standard percentile_disc; DuckDB's quantile_disc rounds its index
+  // differently — same lesson as agg_percentile_disc). med/dev/mad
+  // are exact 2dp decimals, so the score division starts from
+  // identical doubles on both engines.
+  val pipelineAnomalyMad: String = """
+    WITH q AS (SELECT event_id, event_type,
+                      CAST(value AS DECIMAL(12,2)) AS qv FROM events),
+    c AS (SELECT event_type, qv,
+                 cume_dist() OVER (PARTITION BY event_type ORDER BY qv) AS cd
+          FROM q),
+    m AS (SELECT event_type, min(qv) FILTER (WHERE cd >= 0.5) AS med
+          FROM c GROUP BY event_type),
+    d AS (SELECT q.event_id, q.event_type, q.qv, m.med,
+                 abs(q.qv - m.med) AS dev
+          FROM q JOIN m USING (event_type)),
+    c2 AS (SELECT event_type, dev,
+                  cume_dist() OVER (PARTITION BY event_type ORDER BY dev) AS cd
+           FROM d),
+    md AS (SELECT event_type, min(dev) FILTER (WHERE cd >= 0.5) AS mad
+           FROM c2 GROUP BY event_type),
+    s AS (SELECT d.event_type,
+                 CAST(d.dev AS DOUBLE) / (1.4826 * CAST(md.mad AS DOUBLE))
+                   AS score,
+                 d.med, md.mad
+          FROM d JOIN md USING (event_type))
+    SELECT event_type, count(*) AS n_events,
+      CAST(max(med) AS DOUBLE) AS med, CAST(max(mad) AS DOUBLE) AS mad,
+      CAST(count(CASE WHEN score > 3.0 THEN 1 END) AS BIGINT) AS n_outliers,
+      floor(max(score) * 1e6 + 0.5) / 1e6 AS max_score
+    FROM s GROUP BY event_type ORDER BY event_type
+  """
+
+  // vowel-group count and word count are exact integers; the linear
+  // formula is the only float math, floor-quantized at 4dp
+  val textReadabilityScore: String = """
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syllables,
+      floor((206.835
+        - 1.015 * (CAST(len(string_split(text,' ')) AS DOUBLE) /
+                   ceil(CAST(len(string_split(text,' ')) AS DOUBLE) / 15.0))
+        - 84.6 * (CAST(len(regexp_extract_all(text, '[aeiou]+')) AS DOUBLE) /
+                  CAST(len(string_split(text,' ')) AS DOUBLE)))
+        * 1e4 + 0.5) / 1e4 AS flesch
+    FROM documents ORDER BY doc_id
+  """
+
   // isodow on both engines (native dayofweek numberings disagree);
   // interval-month addition clamps end-of-month exactly like add_months
   val fnDatetimeExtras: String = """
