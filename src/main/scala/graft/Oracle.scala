@@ -2915,6 +2915,97 @@ object Oracle {
     FROM documents ORDER BY doc_id
   """
 
+  // same top-3-neighbour graph construction: weight ties broken by id
+  // (total order), so the edge set — and thus the triangle set — is a
+  // pure function of the data on both engines
+  val graphTriangleCount: String = """
+    WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+    w AS (SELECT a.s u, b.s v, count(*) w FROM ps a
+          JOIN ps b ON a.p = b.p AND a.s <> b.s GROUP BY 1, 2),
+    topk AS (SELECT u, v FROM (
+               SELECT u, v, row_number() OVER
+                 (PARTITION BY u ORDER BY w DESC, v) rk FROM w)
+             WHERE rk <= 3),
+    und AS (SELECT DISTINCT least(u, v) u, greatest(u, v) v FROM topk),
+    tri AS (SELECT a.u x, a.v y, b.v z FROM und a
+            JOIN und b ON a.u = b.u AND a.v < b.v
+            JOIN und c ON c.u = a.v AND c.v = b.v)
+    SELECT supplier, count(*) AS n_triangles FROM (
+      SELECT x AS supplier FROM tri UNION ALL
+      SELECT y FROM tri UNION ALL SELECT z FROM tri)
+    GROUP BY supplier ORDER BY supplier
+  """
+
+  // FP-Growth's min count is ceil(minSupport * n_baskets) computed in
+  // IEEE double — 1/64 is exact in binary, so the same expression here
+  // yields the identical threshold; singleton support = presence
+  // census, pair support = in-basket self-join, both exact counts
+  val mlFpmFrequentPairs: String = """
+    WITH b AS (SELECT DISTINCT l_orderkey o, p_brand i
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+    th AS (SELECT CAST(ceil(0.015625 * count(DISTINCT o)) AS BIGINT) t
+           FROM b),
+    s1 AS (SELECT i AS item1, CAST(NULL AS VARCHAR) AS item2,
+                  count(*) AS freq FROM b GROUP BY 1),
+    s2 AS (SELECT a.i AS item1, c.i AS item2, count(*) AS freq
+           FROM b a JOIN b c ON a.o = c.o AND a.i < c.i GROUP BY 1, 2)
+    SELECT item1, item2, freq
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2), th
+    WHERE freq >= t ORDER BY item1, item2
+  """
+
+  // identical exact-decimal-moments recipe as aggCorrPairs, over lead
+  // pairs on the (ts, event_id) total order
+  val tsAutocorr: String = """
+    WITH q AS (SELECT event_type, ts, event_id,
+                      CAST(value AS DECIMAL(12,2)) x FROM events),
+    l AS (SELECT event_type, x,
+            lead(x, 1) OVER w y1, lead(x, 2) OVER w y2,
+            lead(x, 3) OVER w y3
+          FROM q WINDOW w AS (PARTITION BY event_type
+                              ORDER BY ts, event_id)),
+    p AS (SELECT event_type, 1 AS lag, x, y1 AS y FROM l
+          UNION ALL SELECT event_type, 2, x, y2 FROM l
+          UNION ALL SELECT event_type, 3, x, y3 FROM l),
+    m AS (SELECT event_type, lag, count(*) n_pairs,
+                 sum(x) sx, sum(y) sy, sum(x*x) sxx, sum(y*y) syy,
+                 sum(x*y) sxy
+          FROM p WHERE y IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, lag, n_pairs,
+      round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+    FROM m ORDER BY event_type, lag
+  """
+
+  // the observed counters are plain aggregates of the same pass
+  val pipelineObserveMetrics: String = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(CASE WHEN len(text) > 500 THEN 1 END) AS BIGINT)
+        AS n_long,
+      CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+  """
+
+  // revenue sums stay DECIMAL until the final DOUBLE cast (hash-type
+  // protocol); the December rollover mirrors the Spark CASE exactly
+  val scaleExchangeReuse: String = """
+    WITH m AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) ym,
+                      sum(CAST(o_totalprice AS DECIMAL(12,2))) rev
+               FROM orders GROUP BY 1),
+    nx AS (SELECT CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END ym,
+                  rev AS prev_rev FROM m)
+    SELECT m.ym, CAST(m.rev AS DOUBLE) AS rev,
+      CAST(nx.prev_rev AS DOUBLE) AS prev_rev,
+      round(CAST(m.rev - nx.prev_rev AS DOUBLE)
+        / CAST(nx.prev_rev AS DOUBLE), 6) AS growth
+    FROM m JOIN nx USING (ym) ORDER BY m.ym
+  """
+
   // isodow on both engines (native dayofweek numberings disagree);
   // interval-month addition clamps end-of-month exactly like add_months
   val fnDatetimeExtras: String = """

@@ -1,0 +1,250 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.ml.fpm.FPGrowth
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-10 widening, part 2: bounded-degree graph analytics,
+  * frequent-pattern mining, time-series autocorrelation, the
+  * single-pass Observation metrics API, exchange-reuse as a scale
+  * technique, and two MLlib additions (PCA projection, ALS
+  * recommendations).
+  */
+object Round10Ops2 {
+
+  /** Triangle census over a bounded-degree similarity graph. The raw
+    * supplier co-supply relation is dense (at sf0.01 every supplier
+    * pair shares a part — a complete graph), so the graph is first
+    * thinned to each node's top-3 strongest neighbours (shared-part
+    * count, ties broken by id — a total order, so the graph is a pure
+    * function of the data), then symmetrized. That k-NN thinning is
+    * the 100 TB move: degree is capped by construction, so the wedge
+    * join that follows is O(k²·n) rather than O(Σdeg²) on a dense
+    * co-occurrence graph, and every shuffle key is a supplier id.
+    * Triangles close with a third equi-join (x<y<z each counted
+    * once); output is each supplier's triangle participation count.
+    */
+  def graphTriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ps = lineitem(spark, sfDir)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    // co-supply weight: number of distinct parts both suppliers ship.
+    // The per-part fanout is deg_p² — bounded here by the supplier
+    // list per part; a 100 TB run caps the per-key list first (the
+    // standard co-occurrence guard) before this join.
+    val w = ps.as("a").join(ps.as("b"),
+        $"a.p" === $"b.p" && $"a.s" =!= $"b.s")
+      .groupBy($"a.s".as("u"), $"b.s".as("v"))
+      .agg(count(lit(1)).as("w"))
+    val topk = w
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"u").orderBy($"w".desc, $"v")))
+      .filter($"rk" <= 3).select($"u", $"v")
+    val und = topk
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .distinct()
+    val tri = und.as("a")
+      .join(und.as("b"), $"a.u" === $"b.u" && $"a.v" < $"b.v")
+      .join(und.as("c"), $"c.u" === $"a.v" && $"c.v" === $"b.v")
+      .select($"a.u".as("x"), $"a.v".as("y"), $"b.v".as("z"))
+    tri.select(explode(array($"x", $"y", $"z")).as("supplier"))
+      .groupBy($"supplier").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"supplier")
+  }
+
+  /** Frequent-itemset mining (FP-Growth) over order→brand baskets,
+    * truncated to itemset size ≤ 2 so the support counts stay exactly
+    * SQL-expressible (singletons = presence census, pairs = in-basket
+    * self-join). minSupport 1/64 is exactly representable in binary,
+    * so Spark's `ceil(minSupport·n)` min-count and the oracle's
+    * identical expression agree for any basket count < 2⁴⁶. Scale
+    * shape: FP-Growth is the parallel-FP-tree algorithm — baskets
+    * group-partitioned, conditional trees built per item partition —
+    * vs the naive per-basket pair explosion the oracle runs; both
+    * count the same sets.
+    */
+  def mlFpmFrequentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = lineitem(spark, sfDir)
+      .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"p_brand")).as("items"))
+    val model = new FPGrowth()
+      .setItemsCol("items").setMinSupport(0.015625).setMinConfidence(0.5)
+      .fit(baskets)
+    model.freqItemsets
+      .filter(size($"items") <= 2)
+      .select(
+        element_at(sort_array($"items"), 1).as("item1"),
+        when(size($"items") === 2, element_at(sort_array($"items"), 2))
+          .as("item2"),
+        $"freq")
+      // Spark ASC is NULLS FIRST, DuckDB/ANSI is NULLS LAST — pin the
+      // singleton (item2 NULL) rows to the oracle's placement
+      .orderBy($"item1", $"item2".asc_nulls_last)
+  }
+
+  /** Lag-k autocorrelation (k = 1..3) of the event value series per
+    * event type — the agg_corr_pairs exact-decimal-moments recipe
+    * applied to (x_t, x_{t+k}) pairs formed by a lead window over the
+    * (ts, event_id) total order. One window pass materializes all
+    * three leads, `stack` unpivots them to (lag, x, y) rows, and one
+    * grouped aggregate computes the six exact DECIMAL moments per
+    * (type, lag); the Pearson formula then runs once on doubles,
+    * identically on both engines, rounded at 6dp. The window is
+    * partitioned by event_type, so state is per-key at any scale.
+    */
+  def tsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val leads = events(spark, sfDir)
+      .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
+      .select($"event_type", $"x",
+        lead($"x", 1).over(ord).as("y1"),
+        lead($"x", 2).over(ord).as("y2"),
+        lead($"x", 3).over(ord).as("y3"))
+    val pairs = leads
+      .selectExpr("event_type",
+        "stack(3, 1, x, y1, 2, x, y2, 3, x, y3) AS (lag, x, y)")
+      .filter($"y".isNotNull)
+    val mom = pairs.groupBy($"event_type", $"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+    mom.selectExpr("event_type", "lag", "n_pairs",
+        """round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          | / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |  * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+          |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+          |AS acf""".stripMargin.replace("\n", " "))
+      .orderBy($"event_type", $"lag")
+  }
+
+  /** Spark's Observation API: data-quality counters collected as a
+    * side effect of ONE pass over the corpus (a CollectMetrics node in
+    * the plan — zero extra jobs, vs re-scanning once per metric). The
+    * pass itself is driven by a `noop`-sink write, so nothing but the
+    * 1-row metric map ever reaches the driver; the returned frame is
+    * built from that map. This is the monitoring shape a 100 TB
+    * quality gate wants: piggyback the counters on the write you were
+    * already doing.
+    */
+  def pipelineObserveMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Observation("dq_metrics")
+    documents(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        count(when(length($"text") > 500, 1)).as("n_long"),
+        count(when($"lang" === "en", 1)).as("n_en"),
+        sum(size(split($"text", " ")).cast(LongType)).as("total_tokens"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_docs").asInstanceOf[Long], m("n_long").asInstanceOf[Long],
+      m("n_en").asInstanceOf[Long], m("total_tokens").asInstanceOf[Long]))
+      .toDF("n_docs", "n_long", "n_en", "total_tokens")
+  }
+
+  /** Month-over-month revenue growth via a self-join of one monthly
+    * aggregate — the plan-level point is exchange REUSE: both join
+    * branches read the identical scan→partial-agg→shuffle subtree, and
+    * Spark plans the second branch as a ReusedExchange over the first
+    * (pinned in PlanSpec), so the 100 TB fact table is scanned and
+    * shuffled ONCE, not twice. Revenue sums stay exact DECIMAL until
+    * the final DOUBLE cast; growth is rounded at 6dp.
+    */
+  def scaleExchangeReuse(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // coalesce makes the key expression non-nullable: otherwise the
+    // join infers isnotnull(ym) on one branch and isnotnull(CASE…) on
+    // the other, the pushed-down filters diverge, and the two agg
+    // subtrees stop being canonically equal — no reuse (observed).
+    // No order has a NULL date, so the 0 sentinel never materializes.
+    val monthly = orders(spark, sfDir)
+      .groupBy(coalesce(year($"o_orderdate") * 100 + month($"o_orderdate"),
+        lit(0)).as("ym"))
+      .agg(sum(money($"o_totalprice")).as("rev"))
+    val next = monthly.select(
+      when($"ym" % 100 === 12, $"ym" + 89).otherwise($"ym" + 1).as("ym"),
+      $"rev".as("prev_rev"))
+    monthly.join(next, "ym")
+      .select($"ym",
+        $"rev".cast(DoubleType).as("rev"),
+        $"prev_rev".cast(DoubleType).as("prev_rev"),
+        round(($"rev" - $"prev_rev").cast(DoubleType) /
+          $"prev_rev".cast(DoubleType), 6).as("growth"))
+      .orderBy($"ym")
+  }
+
+  /** PCA projection of the 64-dim embedding corpus to its top-8
+    * principal components — the dimensionality-reduction step that
+    * precedes clustering/ANN in an embedding pipeline. Covariance is
+    * accumulated distributed (one pass of Gram-matrix partial sums);
+    * only the 64×8 rotation is driver-side. Component sign is
+    * basis-dependent (not SQL-expressible — scalatest-only: MLSpec
+    * asserts the explained-variance ordering and that projected
+    * variance matches it).
+    */
+  def mlPcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val vecs = embeddings(spark, sfDir)
+      .select($"vec_id", $"label", toVec($"embedding").as("features"))
+    val model = new PCA().setK(8)
+      .setInputCol("features").setOutputCol("pc").fit(vecs)
+    model.transform(vecs)
+      .select($"vec_id" +: $"label" +:
+        (0 until 8).map(i =>
+          element_at(vector_to_array($"pc"), i + 1).as(s"pc${i + 1}")): _*)
+      .orderBy($"vec_id")
+  }
+
+  /** ALS collaborative filtering over the implicit user×event-type
+    * activity matrix (rating = interaction count), returning each
+    * user's top-2 recommended event types. The factorization is
+    * seed-pinned and deterministic for a fixed partitioning
+    * (block-coordinate descent order is data-partition-defined), but
+    * not SQL-expressible — scalatest-only: MLSpec asserts re-run
+    * determinism, coverage, and that recommendations exclude nothing
+    * outside the item vocabulary.
+    */
+  def mlAlsRecommend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // deterministic item ids without a global window (the board-wide
+    // "no unpartitioned Window" pin): murmur3 of the type name — any
+    // distinct Int works for ALS, and hash() is partition-independent
+    val items = events(spark, sfDir).select($"event_type").distinct()
+      .withColumn("item_id", hash($"event_type"))
+    val ratings = events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).cast(FloatType).as("rating"))
+      .join(broadcast(items), "event_type")
+      .select($"user_id".cast(IntegerType).as("user"),
+        $"item_id".as("item"), $"rating")
+    val model = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(4).setMaxIter(5).setRegParam(0.1).setSeed(7)
+      .setImplicitPrefs(true)
+      .fit(ratings)
+    model.setColdStartStrategy("drop")
+    model.recommendForAllUsers(2)
+      .select($"user".cast(LongType).as("user_id"),
+        posexplode($"recommendations"))
+      .select($"user_id", ($"pos" + 1).as("rec_rank"),
+        $"col.item".as("item_id"))
+      .join(broadcast(items), "item_id")
+      .select($"user_id", $"rec_rank", $"event_type".as("rec_type"))
+      .orderBy($"user_id", $"rec_rank")
+  }
+}

@@ -25,13 +25,15 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "ml_cross_validation", // fold assignment engine-specific
     "ml_cv_best_model", // fold assignment engine-specific (winner pinned in MLSpec)
     "dedup_near_embedding_ann", // SRP hash-family specific (recall asserted)
-    "sim_ann_pq") // PQ codebook choice engine-specific (recall asserted)
+    "sim_ann_pq", // PQ codebook choice engine-specific (recall asserted)
+    "ml_pca_project", // component sign/basis engine-specific (variance asserted)
+    "ml_als_recommend") // factorization engine-specific (determinism asserted)
 
   test("registered query count matches the declared SURVEY §2 inventory") {
     // Bump DELIBERATELY with each widening, in the same commit that
     // updates SURVEY.md §2 and README — this pin is what makes
     // inventory drift (round 5/6 verdicts) impossible to ship silently.
-    assert(SparkEntry.queries.size === 242,
+    assert(SparkEntry.queries.size === 249,
       "SparkEntry.queries changed size: update SURVEY.md §2 + README " +
         "and bump this pin in the same commit")
   }

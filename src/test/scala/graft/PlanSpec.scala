@@ -317,4 +317,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         s"broadcast side must be the embeddings scan only:\n${paths.mkString("\n")}")
     }
   }
+
+  test("month-over-month self-join reuses the monthly aggregate's exchange") {
+    // scale_exchange_reuse's whole point: both join branches sit on
+    // the identical scan→partial-agg→shuffle subtree, so the fact
+    // table is read and shuffled ONCE — the second branch must plan as
+    // ReusedExchange (or AQE's stage reuse), never a second scan.
+    val p = plan(graft.ops.Round10Ops2.scaleExchangeReuse(spark, sf))
+    assert(p.contains("ReusedExchange") || p.contains("StageReuse"),
+      s"self-joined aggregate must reuse its exchange:\n${p.take(2500)}")
+    // distinct scan NODES (tree lines repeat the shared subtree under
+    // the reused branch): one in the final plan + one in the initial
+    val scanIds = """\((\d+)\) Scan parquet""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size <= 2,
+      s"the orders scan must plan once per section, saw nodes $scanIds:\n" +
+        p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+  }
 }
