@@ -53,14 +53,27 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // floor division in exact integer math (ts - pmod(ts,1000) is a
-    // multiple of 1000): plain DIV truncates toward zero and would be
-    // 1µs off DuckDB's floored ns→µs conversion for pre-1970 (negative)
-    // nanosecond timestamps. No double round-trip — int64 ns exceeds
-    // double's 53-bit mantissa.
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        expr("CAST(timestamp_micros(CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // NANOS layout (pre-2026-08-13 generator): int64 ns under the
+        // legacy flag. Floor division in exact integer math
+        // (ts - pmod(ts,1000) is a multiple of 1000): plain DIV
+        // truncates toward zero and would be 1µs off DuckDB's floored
+        // ns→µs conversion for pre-1970 (negative) nanosecond
+        // timestamps. No double round-trip — int64 ns exceeds double's
+        // 53-bit mantissa.
+        raw.withColumn("ts",
+          expr("CAST(timestamp_micros(CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"))
+      case _: TimestampNTZType =>
+        // MICROS/adjUTC=false layout (2026-08-13 regeneration): Spark
+        // reads TIMESTAMP_NTZ µs natively, bit-identical to DuckDB.
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet-read type $other — " +
+            "expected int64 ns (legacy) or TIMESTAMP_NTZ µs")
+    }
   }
 
   // ---- determinism-protocol helpers (SURVEY §7d) ----

@@ -142,7 +142,14 @@ object Round10Ops2 {
   def pipelineObserveMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val obs = Observation("dq_metrics")
-    documents(spark, sfDir)
+    // Run the observed pass on a child session: registering an
+    // Observation initializes the session's ObservationManager, and a
+    // session with an initialized manager can no longer ride inside
+    // serialized task closures (it poisons e.g. MLlib models whose
+    // trainingSummary references the session). newSession() shares the
+    // SparkContext but isolates that state from the caller's session.
+    val child = spark.newSession()
+    documents(child, sfDir)
       .observe(obs,
         count(lit(1)).as("n_docs"),
         count(when(length($"text") > 500, 1)).as("n_long"),

@@ -33,7 +33,10 @@ class MLSpec extends AnyFunSuite with SparkFixture {
       .setLabelCol("label2").setFeaturesCol("features")
       .setNumTrees(30).setMaxDepth(6).setSeed(42L)
       .fit(base.filter($"split" === "train"))
-    val pred = model.transform(base.filter($"split" === "test"))
+    // copy() drops the trainingSummary (it holds a SparkSession ref,
+    // which must not ride inside the transform's task closure)
+    val pred = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .transform(base.filter($"split" === "test"))
     val acc = pred.filter($"prediction" === $"label2").count().toDouble /
       pred.count()
     assert(acc > 0.85, s"derived-signal accuracy $acc should be high")
