@@ -3151,4 +3151,160 @@ object Oracle {
              AS has_orders
     FROM customer ORDER BY c_custkey
   """
+
+  // percentile_disc boundaries emulated with the cume_dist recipe
+  // (same as aggPercentileDisc); scores are exact comparisons on
+  // integer days / counts / DECIMAL(12,2) sums
+  val analyticRfmSegment: String = """
+    WITH c AS (
+      SELECT o_custkey AS custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary0
+      FROM orders GROUP BY o_custkey),
+    a AS (SELECT max(last_order) AS anchor FROM c),
+    r AS (SELECT custkey,
+                 date_diff('day', last_order, anchor) AS recency_days,
+                 frequency, monetary0
+          FROM c CROSS JOIN a),
+    qr AS (SELECT recency_days AS v,
+                  cume_dist() OVER (ORDER BY recency_days) AS cd FROM r),
+    qf AS (SELECT frequency AS v,
+                  cume_dist() OVER (ORDER BY frequency) AS cd FROM r),
+    qm AS (SELECT monetary0 AS v,
+                  cume_dist() OVER (ORDER BY monetary0) AS cd FROM r),
+    q AS (SELECT
+      (SELECT min(v) FROM qr WHERE cd >= 0.25) AS rq1,
+      (SELECT min(v) FROM qr WHERE cd >= 0.50) AS rq2,
+      (SELECT min(v) FROM qr WHERE cd >= 0.75) AS rq3,
+      (SELECT min(v) FROM qf WHERE cd >= 0.25) AS fq1,
+      (SELECT min(v) FROM qf WHERE cd >= 0.50) AS fq2,
+      (SELECT min(v) FROM qf WHERE cd >= 0.75) AS fq3,
+      (SELECT min(v) FROM qm WHERE cd >= 0.25) AS mq1,
+      (SELECT min(v) FROM qm WHERE cd >= 0.50) AS mq2,
+      (SELECT min(v) FROM qm WHERE cd >= 0.75) AS mq3)
+    SELECT custkey, recency_days, frequency,
+           CAST(monetary0 AS DOUBLE) AS monetary,
+           CASE WHEN recency_days <= rq1 THEN 4
+                WHEN recency_days <= rq2 THEN 3
+                WHEN recency_days <= rq3 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency <= fq1 THEN 1
+                WHEN frequency <= fq2 THEN 2
+                WHEN frequency <= fq3 THEN 3 ELSE 4 END AS f_score,
+           CASE WHEN monetary0 <= mq1 THEN 1
+                WHEN monetary0 <= mq2 THEN 2
+                WHEN monetary0 <= mq3 THEN 3 ELSE 4 END AS m_score,
+           concat(
+             CAST(CASE WHEN recency_days <= rq1 THEN 4
+                       WHEN recency_days <= rq2 THEN 3
+                       WHEN recency_days <= rq3 THEN 2 ELSE 1 END AS VARCHAR),
+             CAST(CASE WHEN frequency <= fq1 THEN 1
+                       WHEN frequency <= fq2 THEN 2
+                       WHEN frequency <= fq3 THEN 3 ELSE 4 END AS VARCHAR),
+             CAST(CASE WHEN monetary0 <= mq1 THEN 1
+                       WHEN monetary0 <= mq2 THEN 2
+                       WHEN monetary0 <= mq3 THEN 3 ELSE 4 END AS VARCHAR))
+             AS rfm
+    FROM r CROSS JOIN q ORDER BY custkey
+  """
+
+  // the oracle states the cumulative share as ONE plain window — the
+  // Spark side's bucketed two-phase prefix sum must equal it exactly
+  // (bucket = floor(rev/1024) is order-compatible with rev DESC)
+  val analyticParetoAbc: String = """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1.00 AS DECIMAL(3,2)) -
+                       CAST(l_discount AS DECIMAL(4,2))))
+                  AS DECIMAL(28,4)) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(sum(rev) AS DECIMAL(28,4)) AS totc FROM rev),
+    c AS (SELECT l_partkey, rev,
+            CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                 ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,4)) AS cum_rev
+          FROM rev)
+    SELECT l_partkey, CAST(rev AS DOUBLE) AS rev,
+           CAST(cum_rev AS DOUBLE) AS cum_rev,
+           round(CAST(cum_rev AS DOUBLE) / CAST(totc AS DOUBLE), 6)
+             AS share,
+           CASE WHEN cum_rev * 5 <= totc * 4 THEN 'A'
+                WHEN cum_rev * 20 <= totc * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN t
+    ORDER BY rev DESC, l_partkey
+  """
+
+  // exact-DECIMAL regression moments; slope formula evaluated once on
+  // doubles (identical IEEE sequence both engines)
+  val tsTrendSlope: String = """
+    WITH m AS (
+      SELECT l_suppkey,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS m,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    mo AS (SELECT l_suppkey, count(*) AS n_months,
+                  sum(m) AS sm, sum(rev) AS sr,
+                  sum(m * m) AS smm, sum(rev * m) AS smr
+           FROM m GROUP BY 1
+           HAVING count(*) >= 2
+              AND count(*) * sum(m * m) <> sum(m) * sum(m))
+    SELECT l_suppkey, CAST(n_months AS BIGINT) AS n_months,
+      round((CAST(n_months AS DOUBLE) * CAST(smr AS DOUBLE)
+          - CAST(sm AS DOUBLE) * CAST(sr AS DOUBLE))
+        / (CAST(n_months AS DOUBLE) * CAST(smm AS DOUBLE)
+          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6) AS slope
+    FROM mo ORDER BY l_suppkey
+  """
+
+  // isodow(): 1=Monday..7=Sunday — the Spark side maps dayofweek
+  // (1=Sunday) through ((dow+5) % 7) + 1 to the same numbering
+  val tsSeasonalIndex: String = """
+    WITH d AS (SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
+               FROM events GROUP BY 1),
+    o AS (SELECT CAST(sum(cnt) AS BIGINT) AS te,
+                 CAST(count(*) AS BIGINT) AS td FROM d)
+    SELECT isodow(d) AS isodow,
+           CAST(sum(cnt) AS BIGINT) AS dow_events,
+           CAST(count(*) AS BIGINT) AS dow_days,
+           round((CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / (CAST(te AS DOUBLE) / CAST(td AS DOUBLE)), 6)
+             AS seasonal_index
+    FROM d CROSS JOIN o
+    GROUP BY isodow(d), te, td
+    ORDER BY isodow
+  """
+
+  // md5-hex-prefix uniform (the reservoir-hash recipe): DuckDB parses
+  // the 6 hex chars via the 0x-prefixed string cast
+  val sampleWeighted: String = """
+    WITH mx AS (SELECT max(o_totalprice) AS mx FROM orders),
+    s AS (SELECT o_orderpriority, o_totalprice,
+                 CAST(CAST(concat('0x', substring(
+                        md5(CAST(o_orderkey AS VARCHAR)), 1, 6))
+                      AS BIGINT) AS DOUBLE) / 16777216.0 AS u,
+                 o_totalprice / mx AS w
+          FROM orders CROSS JOIN mx)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(CASE WHEN u < w THEN 1 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN u < w
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS sampled_value
+    FROM s GROUP BY 1 ORDER BY 1
+  """
+
+  // DuckDB's native QUALIFY — pins that the Spark side's ranked-
+  // subquery emulation is semantics-exact
+  val sqlQualify: String = """
+    SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+           row_number() OVER (
+             PARTITION BY year(o_orderdate) * 100 + month(o_orderdate)
+             ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+           o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    QUALIFY rk <= 2
+    ORDER BY ym, rk
+  """
 }
