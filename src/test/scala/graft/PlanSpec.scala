@@ -334,4 +334,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"the orders scan must plan once per section, saw nodes $scanIds:\n" +
         p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
   }
+
+  test("QUALIFY emulation gets the per-partition top-k pushdown (WindowGroupLimit)") {
+    // rank <= k over a partitioned row_number must NOT rank every row:
+    // Catalyst's InferWindowGroupLimit turns it into a running top-k
+    // per partition (partial before the shuffle, final after), so each
+    // month contributes k+ties rows to the window sort, not its whole
+    // order history — the property that keeps QUALIFY-style queries
+    // flat at 100 TB.
+    val p = plan(graft.ops.Round10Ops3.sqlQualify(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k filter must push into a WindowGroupLimit:\n${p.take(2500)}")
+  }
+
+  test("pareto prefix sum: window is bucket-partitioned and the plan has no nested loop on the big side") {
+    // the two-phase distributed prefix sum must keep the per-row
+    // window partitioned by bucket (the board sweep enforces the
+    // unpartitioned-Window ban; this pin additionally asserts the
+    // bucket-offset theta join stays on the TINY bucket-totals side —
+    // a BroadcastNestedLoopJoin over ~#buckets rows, never over parts)
+    val df = graft.ops.Round10Ops3.analyticParetoAbc(spark, sf)
+    val p = plan(df)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: LWindow => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "prefix-sum window must be partitioned by bucket")
+    // the only join allowed to nested-loop is bucket-totals × itself;
+    // its build side must be an aggregate (the tiny rollup), which the
+    // formatted plan shows as HashAggregate feeding the BNLJ broadcast
+    if (p.contains("BroadcastNestedLoopJoin")) {
+      assert(p.contains("HashAggregate"),
+        "BNLJ must sit on the aggregated bucket-totals, not raw rows")
+    }
+  }
 }
