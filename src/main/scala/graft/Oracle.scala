@@ -3294,6 +3294,98 @@ object Oracle {
     FROM s GROUP BY 1 ORDER BY 1
   """
 
+  // shared CTE prefix: the k-NN-thinned co-supply graph (identical to
+  // graphTriangleCount's construction)
+  private val thinnedGraphCte = """
+    ps AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+    w AS (SELECT a.s u, b.s v, count(*) w FROM ps a
+          JOIN ps b ON a.p = b.p AND a.s <> b.s GROUP BY 1, 2),
+    topk AS (SELECT u, v FROM (
+               SELECT u, v, row_number() OVER
+                 (PARTITION BY u ORDER BY w DESC, v) rk FROM w)
+             WHERE rk <= 3),
+    und AS (SELECT DISTINCT least(u, v) u, greatest(u, v) v FROM topk)"""
+
+  val graphDegreeDistribution: String = s"""
+    WITH $thinnedGraphCte,
+    deg AS (SELECT node, count(*) AS degree FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+  """
+
+  // path-enumerating recursive CTE, bounded at 4 hops — min over all
+  // ≤4-hop paths equals the Spark side's frontier BFS level
+  val graphShortestPath: String = s"""
+    WITH RECURSIVE $thinnedGraphCte,
+    adj AS (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und),
+    seed AS (SELECT min(node) s FROM (
+               SELECT u AS node FROM und UNION ALL SELECT v FROM und)),
+    bfs(node, d) AS (
+      SELECT s, 0 FROM seed
+      UNION ALL
+      SELECT adj.b, bfs.d + 1 FROM bfs JOIN adj ON adj.a = bfs.node
+      WHERE bfs.d < 4)
+    SELECT node, min(d) AS dist FROM bfs GROUP BY node ORDER BY node
+  """
+
+  val dedupBlockingEdit: String = """
+    WITH d AS (SELECT doc_id, lang,
+                      string_split(text, ' ')[1] AS tok0,
+                      len(text) - len(text) % 100 AS lb,
+                      substring(text, 1, 60) AS pre
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           levenshtein(a.pre, b.pre) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.lb = b.lb
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= 25
+    ORDER BY doc_a, doc_b
+  """
+
+  val simRangeSearch: String = s"""
+    SELECT vec_id, cosine FROM (
+      SELECT b.vec_id AS vec_id, ROUND($cosExpr, 6) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id = 0 AND b.vec_id <> 0)
+    WHERE cosine >= 0.15
+    ORDER BY cosine DESC, vec_id
+  """
+
+  val textHapaxRatio: String = """
+    WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+    tc AS (SELECT lang, term, count(*) AS f FROM tf GROUP BY 1, 2)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(count(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+           round(CAST(count(CASE WHEN f = 1 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+    FROM tc GROUP BY lang ORDER BY lang
+  """
+
+  // D_k = n·prefix_k − k·S stays exact DECIMAL; one division per group
+  val tsCusum: String = """
+    WITH ev AS (SELECT event_type, ts, event_id,
+                       CAST(value AS DECIMAL(12,2)) x FROM events),
+    tot AS (SELECT event_type, count(*) n,
+                   CAST(sum(x) AS DECIMAL(18,2)) s FROM ev GROUP BY 1),
+    cum AS (SELECT e.event_type,
+              CAST(sum(x) OVER (PARTITION BY e.event_type
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS DECIMAL(18,2)) AS prefix,
+              row_number() OVER (PARTITION BY e.event_type
+                                 ORDER BY ts, event_id) AS k,
+              t.n, t.s
+            FROM ev e JOIN tot t ON e.event_type = t.event_type),
+    d AS (SELECT event_type, n, prefix * n - s * k AS d FROM cum)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      round(CAST(max(d) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS max_up,
+      round(CAST(min(d) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS max_down
+    FROM d GROUP BY event_type ORDER BY event_type
+  """
+
   // DuckDB's native QUALIFY — pins that the Spark side's ranked-
   // subquery emulation is semantics-exact
   val sqlQualify: String = """
