@@ -3386,6 +3386,84 @@ object Oracle {
     FROM d GROUP BY event_type ORDER BY event_type
   """
 
+  // plain one-window prefix-min statement of the Spark side's
+  // two-phase bucketed sweep; comparisons only, no arithmetic
+  val analyticSkyline2d: String = """
+    WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size AS sz
+               FROM part),
+    g AS (SELECT price, min(sz) AS m2 FROM p GROUP BY price),
+    m AS (SELECT price, m2,
+            min(m2) OVER (ORDER BY price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+          FROM g)
+    SELECT p_partkey, price, sz AS size
+    FROM p JOIN m USING (price)
+    WHERE sz < coalesce(m1, 2147483647) AND NOT (m2 < sz)
+    ORDER BY price, size, p_partkey
+  """
+
+  // exact-DECIMAL CUSUM argmax; abs() on DECIMAL stays exact
+  val tsChangepoint: String = """
+    WITH ev AS (SELECT event_type, ts, event_id,
+                       CAST(value AS DECIMAL(12,2)) x FROM events),
+    tot AS (SELECT event_type, count(*) n,
+                   CAST(sum(x) AS DECIMAL(18,2)) s FROM ev GROUP BY 1),
+    cum AS (SELECT e.event_type,
+              CAST(sum(x) OVER (PARTITION BY e.event_type
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS DECIMAL(18,2)) AS prefix,
+              row_number() OVER (PARTITION BY e.event_type
+                                 ORDER BY ts, event_id) AS k,
+              t.n, t.s
+            FROM ev e JOIN tot t ON e.event_type = t.event_type),
+    d AS (SELECT event_type, n, k, prefix * n - s * k AS d FROM cum),
+    r AS (SELECT event_type, n, k, d,
+            row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(d) DESC, k) AS rk
+          FROM d)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k_star,
+           round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS excursion
+    FROM r WHERE rk = 1 ORDER BY event_type
+  """
+
+  // percentile_disc boundaries emulated with the cume_dist recipe
+  val pipelineSkewReport: String = """
+    WITH per_key AS (
+      SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+    mx AS (SELECT max(cnt) AS m FROM per_key),
+    q AS (SELECT cnt AS v, cume_dist() OVER (ORDER BY cnt) AS cd
+          FROM per_key)
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_keys,
+      CAST(sum(cnt) AS BIGINT) AS n_rows,
+      CAST(max(cnt) AS BIGINT) AS max_rows,
+      (SELECT min(l_suppkey) FROM per_key CROSS JOIN mx
+        WHERE cnt = m) AS heavy_key,
+      round(CAST(max(cnt) AS DOUBLE) /
+        (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+        AS skew_ratio,
+      CAST((SELECT min(v) FROM q WHERE cd >= 0.50) AS BIGINT) AS p50_rows,
+      CAST((SELECT min(v) FROM q WHERE cd >= 0.99) AS BIGINT) AS p99_rows
+    FROM per_key
+  """
+
+  val textNgramNovelty: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    bgs AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM toks),
+    df AS (SELECT bg, count(*) AS dfreq FROM bgs GROUP BY bg)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(CASE WHEN dfreq = 1 THEN 1 END) AS BIGINT) AS n_novel,
+           round(CAST(count(CASE WHEN dfreq = 1 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM bgs JOIN df USING (bg)
+    GROUP BY doc_id ORDER BY doc_id
+  """
+
   // DuckDB's native QUALIFY — pins that the Spark side's ranked-
   // subquery emulation is semantics-exact
   val sqlQualify: String = """
