@@ -18,20 +18,34 @@ object Round10Ops4 {
     * keeps its top-3 neighbours (total order: weight desc, id), edges
     * symmetrized. Degree is bounded by construction — the property
     * every downstream graph op here leans on at 100 TB.
+    *
+    * The edge list is a pure function of the dataset and ~2k rows for
+    * top-3 thinning, while its construction is the expensive co-supply
+    * self-join — so it is materialized ONCE per dataset fingerprint
+    * (the repo's shared-derived-layout pattern, same as the bucketed
+    * tables) and every graph op reads the tiny parquet. This is what a
+    * production pipeline does with a derived graph: build it in one
+    * job, let every analysis job scan the artifact.
     */
-  private def thinnedGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ops] def thinnedGraph(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ps = lineitem(spark, sfDir)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val w = ps.as("a").join(ps.as("b"),
-        $"a.p" === $"b.p" && $"a.s" =!= $"b.s")
-      .groupBy($"a.s".as("u"), $"b.s".as("v"))
-      .agg(count(lit(1)).as("w"))
-    w.withColumn("rk", row_number().over(
-        Window.partitionBy($"u").orderBy($"w".desc, $"v")))
-      .filter($"rk" <= 3)
-      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-      .distinct()
+    val path = ScaleTechniques.materializeOnce(
+      s"cosupply_knn3_v1_${ScaleTechniques.datasetKey(sfDir)}") { tmp =>
+      val ps = lineitem(spark, sfDir)
+        .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+      val w = ps.as("a").join(ps.as("b"),
+          $"a.p" === $"b.p" && $"a.s" =!= $"b.s")
+        .groupBy($"a.s".as("u"), $"b.s".as("v"))
+        .agg(count(lit(1)).as("w"))
+      w.withColumn("rk", row_number().over(
+          Window.partitionBy($"u").orderBy($"w".desc, $"v")))
+        .filter($"rk" <= 3)
+        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .distinct()
+        .coalesce(1)
+        .write.parquet(tmp)
+    }
+    spark.read.parquet(path)
   }
 
   /** Degree distribution of the thinned graph: per-node neighbour
