@@ -3464,6 +3464,100 @@ object Oracle {
     GROUP BY doc_id ORDER BY doc_id
   """
 
+  // integer `//` division mirrors Spark's `div` exactly (the
+  // double-division + cast path rounds on DuckDB, truncates on Spark)
+  val analyticCohortLtv: String = """
+    WITH o AS (SELECT o_custkey,
+                      year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                      CAST(o_totalprice AS DECIMAL(12,2)) AS rev
+               FROM orders),
+    c AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+    s AS (SELECT cm, count(*) AS n_cust FROM c GROUP BY 1),
+    cur AS (SELECT cm, m - cm AS month_offset, sum(rev) AS rev
+            FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+    cum AS (SELECT cm, month_offset,
+              sum(rev) OVER (PARTITION BY cm ORDER BY month_offset
+                ROWS UNBOUNDED PRECEDING) AS cum_rev
+            FROM cur)
+    SELECT (cm - 1) // 12 * 100 + ((cm - 1) % 12 + 1) AS cohort_ym,
+           month_offset, CAST(n_cust AS BIGINT) AS n_cust,
+           round(CAST(cum_rev AS DOUBLE) / CAST(n_cust AS DOUBLE), 6)
+             AS ltv_per_cust
+    FROM cum JOIN s USING (cm)
+    ORDER BY cohort_ym, month_offset
+  """
+
+  // duration via date_diff('second', …) = difference of truncated
+  // epoch seconds, matching Spark's CAST(ts AS BIGINT) subtraction
+  val analyticSessionizeSql: String = """
+    WITH f AS (SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (SELECT user_id, ts, event_id, event_type,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f),
+    r AS (SELECT user_id, session_id, count(*) AS n_events,
+            date_diff('second', min(ts), max(ts)) AS duration_s
+          FROM g GROUP BY 1, 2),
+    ft AS (SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rk
+           FROM g)
+    SELECT r.user_id, CAST(r.session_id AS BIGINT) AS session_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(duration_s AS BIGINT) AS duration_s,
+           ft.event_type AS first_type
+    FROM r JOIN ft ON r.user_id = ft.user_id
+       AND r.session_id = ft.session_id AND ft.rk = 1
+    ORDER BY r.user_id, r.session_id
+  """
+
+  // rare-term candidate generation + exact-DECIMAL tf-idf dot products
+  // (the repo's ln-9dp protocol); one double division per pair
+  val simSparseTfidfPairs: String = """
+    WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+                GROUP BY 1, 2),
+    nn AS (SELECT count(*) AS n FROM documents),
+    dfq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY 1),
+    w AS (SELECT doc_id, term, dfq,
+            CAST(tf * CAST(round(ln(CAST(n AS DOUBLE) /
+                                    CAST(dfq AS DOUBLE)), 9)
+                           AS DECIMAL(13,9)) AS DECIMAL(16,9)) AS w
+          FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+    toksb AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bgs AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM toksb),
+    rb AS (SELECT bg FROM bgs GROUP BY bg
+           HAVING count(*) BETWEEN 2 AND 5),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bgs a JOIN bgs b
+               ON a.bg = b.bg AND a.doc_id < b.doc_id
+             JOIN rb ON rb.bg = a.bg),
+    dots AS (SELECT doc_a, doc_b, sum(wa.w * wb.w) AS dot
+             FROM cand JOIN w wa ON wa.doc_id = doc_a
+                       JOIN w wb ON wb.doc_id = doc_b
+                                AND wb.term = wa.term
+             GROUP BY 1, 2)
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT doc_a, doc_b,
+        round(CAST(dot AS DOUBLE) /
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+          AS cosine
+      FROM dots JOIN norms na ON na.doc_id = doc_a
+                JOIN norms nb ON nb.doc_id = doc_b
+      ORDER BY cosine DESC, doc_a, doc_b LIMIT 20)
+    ORDER BY cosine DESC, doc_a, doc_b
+  """
+
   // DuckDB's native QUALIFY — pins that the Spark side's ranked-
   // subquery emulation is semantics-exact
   val sqlQualify: String = """
