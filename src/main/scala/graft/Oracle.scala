@@ -3558,6 +3558,81 @@ object Oracle {
     ORDER BY cosine DESC, doc_a, doc_b
   """
 
+  // result identity — the AQE coalescing the op demonstrates is a
+  // physical-plan property pinned in PlanSpec, never a semantics change
+  val scaleAqeCoalesce: String = """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM orders WHERE o_totalprice > 490000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """
+
+  // H = (n·ln n − Σ c·ln c)/n with the ln-9dp DECIMAL protocol
+  val textCharEntropy: String = """
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents),
+    cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(c) AS n,
+              sum(c * CAST(round(ln(CAST(c AS DOUBLE)), 9)
+                           AS DECIMAL(13,9))) AS s
+            FROM cc GROUP BY 1)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+      round((CAST(n AS DOUBLE) *
+          CAST(CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(13,9))
+               AS DOUBLE)
+        - CAST(s AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS char_entropy
+    FROM agg ORDER BY doc_id
+  """
+
+  val analyticBasketLift: String = """
+    WITH b AS (SELECT DISTINCT l_orderkey, p_brand
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders),
+    s AS (SELECT p_brand, count(*) AS c FROM b GROUP BY 1),
+    p AS (SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+                 count(*) AS c_ab
+          FROM b x JOIN b y
+            ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+          GROUP BY 1, 2 HAVING count(*) >= 10)
+    SELECT brand_a, brand_b, CAST(c_ab AS BIGINT) AS c_ab,
+      round(CAST(n AS DOUBLE) * CAST(c_ab AS DOUBLE) /
+        (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)), 6) AS lift
+    FROM p JOIN s sa ON sa.p_brand = brand_a
+           JOIN s sb ON sb.p_brand = brand_b
+           CROSS JOIN nb
+    ORDER BY lift DESC, brand_a, brand_b
+  """
+
+  val pipelineKanonymity: String = """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) >= 5 AS k5_anonymous,
+           round(1.0 / CAST(count(*) AS DOUBLE), 6) AS reid_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+  """
+
+  // mirrors the op's explicit sorted-frame interpolation (DuckDB's
+  // native windowed median types decimals differently)
+  val winRollingMedian: String = """
+    WITH q AS (SELECT event_type, ts, event_id,
+                      CAST(value AS DECIMAL(12,2)) AS x FROM events),
+    f AS (SELECT event_type, event_id,
+            list_sort(list(x) OVER (PARTITION BY event_type
+              ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+          FROM q)
+    SELECT event_type, event_id,
+      round(CASE WHEN len(fr) % 2 = 1
+        THEN CAST(fr[len(fr) // 2 + 1] AS DOUBLE)
+        ELSE (CAST(fr[len(fr) // 2] AS DOUBLE)
+            + CAST(fr[len(fr) // 2 + 1] AS DOUBLE)) / 2
+      END, 6) AS rolling_median
+    FROM f ORDER BY event_type, event_id
+  """
+
   // DuckDB's native QUALIFY — pins that the Spark side's ranked-
   // subquery emulation is semantics-exact
   val sqlQualify: String = """

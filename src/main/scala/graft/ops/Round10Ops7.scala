@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-10 widening, part 7: AQE partition coalescing as a pinned
+  * scale technique, character-entropy quality scoring, association
+  * lift, k-anonymity audit, exact rolling median, and isotonic
+  * regression.
+  */
+object Round10Ops7 {
+
+  /** Post-shuffle partition coalescing under AQE: the filter keeps
+    * ~1% of orders, so the aggregation's 32 shuffle partitions carry
+    * a few KB each and AQE folds them into a handful of post-shuffle
+    * reads (AQEShuffleRead "coalesced" — pinned in PlanSpec). This is
+    * the knob that stops a 100 TB pipeline from paying 32 000 tiny
+    * tasks after a selective filter; the oracle pins result identity,
+    * the plan pin guards the mechanism.
+    */
+  def scaleAqeCoalesce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .filter($"o_totalprice" > 490000.0)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(money($"o_totalprice")).as("_rev"))
+      .select($"o_orderpriority", $"n",
+        $"_rev".cast(DoubleType).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Character-level Shannon entropy per document — the compression-
+    * ratio-style quality signal (repetitive/spammy docs score low).
+    * Exactness: H = (n·ln n − Σ cᵢ·ln cᵢ)/n with every ln rounded at
+    * 9dp and multiplied by exact integer counts as DECIMAL, so the
+    * accumulation is order-independent on both engines; the one
+    * division per doc is rounded at 6dp. Shuffles are (doc, char)-
+    * bounded — alphabet-sized per doc, never corpus-sized.
+    */
+  def textCharEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chars = documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    chars.groupBy($"doc_id")
+      .agg(sum($"c").as("n"),
+        sum($"c" * round(log($"c".cast(DoubleType)), 9)
+          .cast(DecimalType(13, 9))).as("s"))
+      .selectExpr("doc_id", "CAST(n AS BIGINT) AS n_chars",
+        """round((CAST(n AS DOUBLE) *
+          |  CAST(CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(13,9)) AS DOUBLE)
+          |  - CAST(s AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+          |AS char_entropy""".stripMargin.replace("\n", " "))
+      .orderBy($"doc_id")
+  }
+
+  /** Association lift over order→brand baskets: lift(a,b) =
+    * n·c_ab / (c_a·c_b) for brand pairs with joint support ≥ 10 —
+    * the statistics layer over the FP-growth itemset census. All
+    * counts are exact integers from two basket-bounded shuffles (the
+    * in-basket pair explosion is capped by basket size², the standard
+    * co-occurrence guard); the single lift division runs on doubles
+    * rounded at 6dp. Output ordered by (lift desc, a, b).
+    */
+  def analyticBasketLift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = lineitem(spark, sfDir)
+      .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+    val nBaskets = orders(spark, sfDir).select($"o_orderkey").distinct()
+      .count()
+    val single = baskets.groupBy($"p_brand").agg(count(lit(1)).as("c"))
+    val pairs = baskets.as("x").join(baskets.as("y"),
+        $"x.l_orderkey" === $"y.l_orderkey" && $"x.p_brand" < $"y.p_brand")
+      .groupBy($"x.p_brand".as("brand_a"), $"y.p_brand".as("brand_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= 10)
+    pairs
+      .join(single.select($"p_brand".as("brand_a"), $"c".as("c_a")), "brand_a")
+      .join(single.select($"p_brand".as("brand_b"), $"c".as("c_b")), "brand_b")
+      .select($"brand_a", $"brand_b", $"c_ab",
+        round(lit(nBaskets.toDouble) * $"c_ab".cast(DoubleType) /
+          ($"c_a".cast(DoubleType) * $"c_b".cast(DoubleType)), 6).as("lift"))
+      .orderBy($"lift".desc, $"brand_a", $"brand_b")
+  }
+
+  /** k-anonymity audit over the (nation, market-segment) quasi-
+    * identifier: every equivalence class with its size and a k=5
+    * flag, plus the re-identification risk 1/size. One grouped
+    * aggregate — class count is bounded by the quasi-identifier
+    * domain, not the corpus.
+    */
+  def pipelineKanonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    customer(spark, sfDir)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size",
+        ($"class_size" >= 5).as("k5_anonymous"),
+        round(lit(1.0) / $"class_size".cast(DoubleType), 6).as("reid_risk"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  /** Exact rolling median (5-row frame) of event values per type:
+    * collect the frame into an array, sort, and take the middle —
+    * (a+b)/2 on doubles for even frames, the same interpolation on
+    * both engines stated explicitly (DuckDB's native windowed median
+    * has its own decimal typing, so the oracle mirrors this list
+    * logic rather than calling it). The window is partitioned by
+    * event_type; frames are constant-size, so per-row cost is O(5
+    * log 5) at any scale.
+    */
+  def winRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(-4, Window.currentRow)
+    events(spark, sfDir)
+      .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
+      .withColumn("fr", sort_array(collect_list($"x").over(w)))
+      .selectExpr("event_type", "event_id",
+        """round(CASE WHEN size(fr) % 2 = 1
+          |  THEN CAST(element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT)) AS DOUBLE)
+          |  ELSE (CAST(element_at(fr, CAST(size(fr) DIV 2 AS INT)) AS DOUBLE)
+          |      + CAST(element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT)) AS DOUBLE)) / 2
+          |END, 6) AS rolling_median""".stripMargin.replace("\n", " "))
+      .orderBy($"event_type", $"event_id")
+  }
+
+  /** Isotonic regression (pool-adjacent-violators) fitting a monotone
+    * map from embedding dim 1 to dim 2 — deterministic closed-form
+    * (no seed), but the PAV pooling is not SQL-expressible, so the op
+    * is scalatest-only: Round10Spec7 asserts re-run determinism and
+    * that predictions are non-decreasing in the feature (the defining
+    * isotonic property). Training is MLlib's distributed PAV
+    * (per-partition pools merged once).
+    */
+  def mlIsotonicRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.regression.IsotonicRegression
+    val base = ML.mlRfTrainPredictInput(spark, sfDir)
+      .withColumn("x", element_at($"embedding", 1).cast(DoubleType))
+      .withColumn("y", element_at($"embedding", 2).cast(DoubleType))
+    val model = new IsotonicRegression()
+      .setFeaturesCol("x").setLabelCol("y")
+      .fit(base.filter($"split" === "train"))
+    model.transform(base.filter($"split" === "test"))
+      .select($"vec_id", $"x", round($"prediction", 6).as("prediction"))
+      .orderBy($"vec_id")
+  }
+}

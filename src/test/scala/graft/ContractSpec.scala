@@ -28,13 +28,14 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "sim_ann_pq", // PQ codebook choice engine-specific (recall asserted)
     "ml_pca_project", // component sign/basis engine-specific (variance asserted)
     "ml_als_recommend", // factorization engine-specific (determinism asserted)
-    "ml_naive_bayes") // smoothed Gaussian likelihood engine-specific (determinism + accuracy asserted)
+    "ml_naive_bayes", // smoothed Gaussian likelihood engine-specific (determinism + accuracy asserted)
+    "ml_isotonic_regression") // PAV pooling not SQL-expressible (determinism + monotonicity asserted)
 
   test("registered query count matches the declared SURVEY §2 inventory") {
     // Bump DELIBERATELY with each widening, in the same commit that
     // updates SURVEY.md §2 and README — this pin is what makes
     // inventory drift (round 5/6 verdicts) impossible to ship silently.
-    assert(SparkEntry.queries.size === 269,
+    assert(SparkEntry.queries.size === 275,
       "SparkEntry.queries changed size: update SURVEY.md §2 + README " +
         "and bump this pin in the same commit")
   }

@@ -335,6 +335,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
   }
 
+  test("selective-filter aggregate coalesces post-shuffle partitions under AQE") {
+    // 32 shuffle partitions carrying a few KB each must fold into a
+    // handful of post-shuffle reads — the knob that stops a selective
+    // filter from paying tens of thousands of tiny tasks at 100 TB
+    val p = plan(graft.ops.Round10Ops7.scaleAqeCoalesce(spark, sf))
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"expected AQE-coalesced shuffle read in:\n${p.take(2500)}")
+  }
+
   test("QUALIFY emulation gets the per-partition top-k pushdown (WindowGroupLimit)") {
     // rank <= k over a partitioned row_number must NOT rank every row:
     // Catalyst's InferWindowGroupLimit turns it into a running top-k
