@@ -3633,6 +3633,62 @@ object Oracle {
     FROM f ORDER BY event_type, event_id
   """
 
+  // same grid equi-join as the op (the brute-force theta join would be
+  // O(n²) even for the oracle); r² = 0.0625 exact in double
+  val joinSpatialGrid: String = """
+    WITH pts AS (SELECT p_partkey AS id, p_retailprice / 100.0 AS x,
+                        CAST(p_size AS DOUBLE) AS y FROM part),
+    c AS (SELECT id, x, y,
+            CAST(floor(x / 0.25) AS BIGINT) AS cx,
+            CAST(floor(y / 0.25) AS BIGINT) AS cy FROM pts),
+    probes AS (SELECT id AS id_a, x AS xa, y AS ya,
+                 cx + dx AS cx, cy + dy AS cy
+               FROM c CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dxs
+                     CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dys)
+    SELECT id_a AS p_partkey, CAST(count(*) AS BIGINT) AS n_neighbors
+    FROM probes JOIN c b ON probes.cx = b.cx AND probes.cy = b.cy
+    WHERE id_a <> b.id
+      AND (xa - b.x) * (xa - b.x) + (ya - b.y) * (ya - b.y) <= 0.0625
+    GROUP BY id_a ORDER BY id_a
+  """
+
+  val fnFormatPatterns: String = """
+    SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m') AS ym_str,
+      strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+      lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+      concat(o_orderstatus, '/', o_orderpriority) AS status_tag
+    FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+  """
+
+  val fnTryCast: String = """
+    WITH s AS (SELECT event_type,
+        CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS VARCHAR)
+             WHEN event_id % 3 = 1 THEN concat('#', CAST(event_id AS VARCHAR))
+             ELSE concat('  ', CAST(event_id AS VARCHAR), '  ') END AS raw
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(TRY_CAST(raw AS BIGINT)) AS BIGINT) AS n_parsed,
+      CAST(count(CASE WHEN TRY_CAST(raw AS BIGINT) IS NULL THEN 1 END)
+           AS BIGINT) AS n_rejected,
+      CAST(sum(TRY_CAST(raw AS BIGINT)) AS BIGINT) AS sum_parsed
+    FROM s GROUP BY event_type ORDER BY event_type
+  """
+
+  val pipelineRowFingerprint: String = """
+    WITH f AS (SELECT md5(concat_ws('|',
+        CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+        strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)) AS fp
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+           min(fp) AS min_fp, max(fp) AS max_fp
+    FROM f
+  """
+
   // DuckDB's native QUALIFY — pins that the Spark side's ranked-
   // subquery emulation is semantics-exact
   val sqlQualify: String = """

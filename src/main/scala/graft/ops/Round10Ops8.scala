@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-10 widening, part 8: grid-bucketed spatial radius join,
+  * cross-engine-safe formatting, try_cast ingestion hygiene, and
+  * row-content fingerprinting.
+  */
+object Round10Ops8 {
+
+  /** Spatial radius join on the (price/100, size) plane via GRID
+    * BUCKETING — the classic spatial-join shape: each point lands in
+    * one r×r cell, candidate pairs come only from the 3×3 neighbor
+    * cells (an equi-join on cell ids, never a cross product), and the
+    * exact Euclidean test runs per candidate. r = 0.25 is a power of
+    * two, so x/r is an exact double multiply and both engines bucket
+    * identically. Output is each part's neighbor count — pair volume
+    * is density-bounded per cell at any corpus size.
+    */
+  def joinSpatialGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = 0.25
+    val pts = part(spark, sfDir).select(
+      $"p_partkey".as("id"),
+      ($"p_retailprice" / 100.0).as("x"),
+      $"p_size".cast(DoubleType).as("y"))
+      .withColumn("cx", floor($"x" / r).cast(LongType))
+      .withColumn("cy", floor($"y" / r).cast(LongType))
+    val probes = pts
+      .withColumn("dxy", explode(expr(
+        "transform(sequence(0, 8), i -> named_struct('dx', i div 3 - 1, 'dy', i % 3 - 1))")))
+      .select($"id".as("id_a"), $"x".as("xa"), $"y".as("ya"),
+        ($"cx" + $"dxy.dx").as("cx"), ($"cy" + $"dxy.dy").as("cy"))
+    probes.join(
+        pts.select($"id".as("id_b"), $"x".as("xb"), $"y".as("yb"),
+          $"cx", $"cy"),
+        Seq("cx", "cy"))
+      .filter($"id_a" =!= $"id_b")
+      .filter(($"xa" - $"xb") * ($"xa" - $"xb") +
+        ($"ya" - $"yb") * ($"ya" - $"yb") <= lit(r * r))
+      .groupBy($"id_a".as("p_partkey"))
+      .agg(count(lit(1)).as("n_neighbors"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Cross-engine-safe formatting: the subset of string rendering that
+    * is bit-identical on Spark and DuckDB — date patterns (yyyy-MM ↔
+    * strftime %Y-%m), DECIMAL-to-string (scale-preserving on both;
+    * never format a raw DOUBLE, its shortest-repr rules differ), and
+    * zero-padding. The op doubles as the protocol's documentation.
+    */
+  def fnFormatPatterns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .filter($"o_orderkey" % 100 === 0)
+      .select(
+        $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM").as("ym_str"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("date_str"),
+        money($"o_totalprice").cast(StringType).as("price_str"),
+        lpad($"o_orderkey".cast(StringType), 10, "0").as("key_padded"),
+        concat($"o_orderstatus", lit("/"), $"o_orderpriority")
+          .as("status_tag"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** try_cast ingestion hygiene: a dirty string column (well-formed
+    * ids, '#'-prefixed junk, padded literals) parsed with try_cast —
+    * NULL on failure instead of a job abort, the ANSI-safe ingest
+    * path. Census of parse outcomes per event type; strings are built
+    * from integers only (never render a DOUBLE to string — engine
+    * repr rules differ).
+    */
+  def fnTryCast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .select($"event_type", $"event_id",
+        when($"event_id" % 3 === 0, $"event_id".cast(StringType))
+          .when($"event_id" % 3 === 1,
+            concat(lit("#"), $"event_id".cast(StringType)))
+          .otherwise(concat(lit("  "), $"event_id".cast(StringType), lit("  ")))
+          .as("raw"))
+      .withColumn("parsed", expr("try_cast(raw AS BIGINT)"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"parsed").as("n_parsed"),
+        count(when($"parsed".isNull, 1)).as("n_rejected"),
+        sum($"parsed").as("sum_parsed"))
+      .orderBy($"event_type")
+  }
+
+  /** Row-content fingerprinting for change detection: md5 over a
+    * '|'-separated canonical rendering of each order row (key columns,
+    * scale-2 DECIMAL price string, formatted date — every piece is
+    * from the cross-engine-safe formatting subset). The summary proves
+    * fingerprints are collision-free over the table; at 100 TB the
+    * same expression keys an incremental anti-join (detect
+    * changed/new rows without comparing every column).
+    */
+  def pipelineRowFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .select(md5(concat_ws("|",
+        $"o_orderkey".cast(StringType),
+        $"o_custkey".cast(StringType),
+        $"o_orderstatus",
+        money($"o_totalprice").cast(StringType),
+        date_format($"o_orderdate", "yyyy-MM-dd"),
+        $"o_orderpriority")).as("fp"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"fp").as("n_distinct_fp"),
+        min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+  }
+}

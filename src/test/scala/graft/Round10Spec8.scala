@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Round10Ops8
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 part 8: spatial grid join, format patterns, try_cast,
+  * row fingerprints.
+  */
+class Round10Spec8 extends AnyFunSuite with SparkFixture {
+
+  test("spatial grid: neighbor counts match a brute-force radius scan") {
+    import spark.implicits._
+    val got = Round10Ops8.joinSpatialGrid(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val pts = Tables.part(spark, sf)
+      .select($"p_partkey", ($"p_retailprice" / 100.0).as("x"),
+        $"p_size".cast("double").as("y"))
+      .as[(Long, Double, Double)].collect()
+    val r2 = 0.25 * 0.25
+    val brute = pts.map { case (id, x, y) =>
+      id -> pts.count { case (id2, x2, y2) =>
+        id2 != id && (x - x2) * (x - x2) + (y - y2) * (y - y2) <= r2
+      }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got === brute, "grid join must equal the O(n²) scan")
+    assert(got.nonEmpty)
+  }
+
+  test("format patterns: renders reproduce from raw values") {
+    import spark.implicits._
+    val rows = Round10Ops8.fnFormatPatterns(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getAs[Long]("o_orderkey")
+      assert(r.getAs[String]("key_padded") === f"$key%010d")
+      assert(r.getAs[String]("date_str")
+        .startsWith(r.getAs[String]("ym_str")))
+      assert(r.getAs[String]("price_str").matches("""\d+\.\d{2}"""))
+      assert(r.getAs[String]("status_tag").contains("/"))
+    }
+  }
+
+  test("try_cast: thirds parse, #-prefixed third rejects, sums consistent") {
+    import spark.implicits._
+    val rows = Round10Ops8.fnTryCast(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum === Tables.events(spark, sf).count())
+    rows.foreach { case (_, n, ok, bad, _) =>
+      assert(ok + bad === n)
+      assert(bad > 0, "every type has some #-junk rows")
+    }
+    // global: exactly the event_id % 3 == 1 rows reject
+    val expectedBad = Tables.events(spark, sf)
+      .filter($"event_id" % 3 === 1).count()
+    assert(rows.map(_._4).sum === expectedBad)
+  }
+
+  test("row fingerprints are collision-free over orders") {
+    val r = Round10Ops8.pipelineRowFingerprint(spark, sf).collect().head
+    assert(r.getAs[Long]("n_rows") === r.getAs[Long]("n_distinct_fp"))
+    assert(r.getAs[String]("min_fp").length === 32)
+    assert(r.getAs[String]("max_fp").length === 32)
+  }
+}
