@@ -3365,10 +3365,11 @@ object Oracle {
     FROM tc GROUP BY lang ORDER BY lang
   """
 
-  // D_k = n·prefix_k − k·S stays exact DECIMAL; one division per group
-  val tsCusum: String = """
-    WITH ev AS (SELECT event_type, ts, event_id,
-                       CAST(value AS DECIMAL(12,2)) x FROM events),
+  // shared exact-CUSUM CTE prefix (ts_cusum + ts_changepoint):
+  // D_k = n·prefix_k − k·S stays exact DECIMAL
+  private val cusumCte = """
+    ev AS (SELECT event_type, ts, event_id,
+                  CAST(value AS DECIMAL(12,2)) x FROM events),
     tot AS (SELECT event_type, count(*) n,
                    CAST(sum(x) AS DECIMAL(18,2)) s FROM ev GROUP BY 1),
     cum AS (SELECT e.event_type,
@@ -3379,7 +3380,10 @@ object Oracle {
                                  ORDER BY ts, event_id) AS k,
               t.n, t.s
             FROM ev e JOIN tot t ON e.event_type = t.event_type),
-    d AS (SELECT event_type, n, prefix * n - s * k AS d FROM cum)
+    d AS (SELECT event_type, n, k, prefix * n - s * k AS d FROM cum)"""
+
+  val tsCusum: String = s"""
+    WITH $cusumCte
     SELECT event_type, CAST(max(n) AS BIGINT) AS n,
       round(CAST(max(d) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS max_up,
       round(CAST(min(d) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS max_down
@@ -3403,20 +3407,8 @@ object Oracle {
   """
 
   // exact-DECIMAL CUSUM argmax; abs() on DECIMAL stays exact
-  val tsChangepoint: String = """
-    WITH ev AS (SELECT event_type, ts, event_id,
-                       CAST(value AS DECIMAL(12,2)) x FROM events),
-    tot AS (SELECT event_type, count(*) n,
-                   CAST(sum(x) AS DECIMAL(18,2)) s FROM ev GROUP BY 1),
-    cum AS (SELECT e.event_type,
-              CAST(sum(x) OVER (PARTITION BY e.event_type
-                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-                   AS DECIMAL(18,2)) AS prefix,
-              row_number() OVER (PARTITION BY e.event_type
-                                 ORDER BY ts, event_id) AS k,
-              t.n, t.s
-            FROM ev e JOIN tot t ON e.event_type = t.event_type),
-    d AS (SELECT event_type, n, k, prefix * n - s * k AS d FROM cum),
+  val tsChangepoint: String = s"""
+    WITH $cusumCte,
     r AS (SELECT event_type, n, k, d,
             row_number() OVER (PARTITION BY event_type
                                ORDER BY abs(d) DESC, k) AS rk
@@ -3588,7 +3580,7 @@ object Oracle {
   val analyticBasketLift: String = """
     WITH b AS (SELECT DISTINCT l_orderkey, p_brand
                FROM lineitem JOIN part ON l_partkey = p_partkey),
-    nb AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders),
+    nb AS (SELECT count(*) AS n FROM orders),
     s AS (SELECT p_brand, count(*) AS c FROM b GROUP BY 1),
     p AS (SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
                  count(*) AS c_ab

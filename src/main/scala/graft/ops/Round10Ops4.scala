@@ -178,25 +178,34 @@ object Round10Ops4 {
     */
   def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = events(spark, sfDir)
-      .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
-    val tot = ev.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"x").as("s"))
-    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-    // DECIMAL(18,2) down-casts keep prefix·n − s·k inside 38 digits on
-    // both engines (exact for |Σx| < 10^16 — far above the fixture)
-    val cum = ev
-      .withColumn("prefix", sum($"x").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast(DecimalType(18, 2)))
-      .withColumn("k", row_number().over(w))
-      .join(tot.withColumn("s", $"s".cast(DecimalType(18, 2))), "event_type")
-      .withColumn("d", $"prefix" * $"n" - $"s" * $"k")
-    cum.groupBy($"event_type")
+    cusumFrame(spark, sfDir).groupBy($"event_type")
       .agg(max($"n").as("n"), max($"d").as("dmax"), min($"d").as("dmin"))
       .selectExpr("event_type", "CAST(n AS BIGINT) AS n",
         "round(CAST(dmax AS DOUBLE) / CAST(n AS DOUBLE), 6) AS max_up",
         "round(CAST(dmin AS DOUBLE) / CAST(n AS DOUBLE), 6) AS max_down")
       .orderBy($"event_type")
+  }
+
+  /** Shared exact-CUSUM frame (used by ts_cusum and ts_changepoint):
+    * per event and type, the rescaled cumulative deviation
+    * D_k = n·prefix_k − k·S with prefix and S exact DECIMAL(18,2)
+    * sums (inside 38 digits on both engines for |Σx| < 10^16), k a
+    * row number on the (ts, event_id) total order, per-type totals on
+    * a broadcast join — never a global window.
+    */
+  private[ops] def cusumFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, sfDir)
+      .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
+    val tot = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").cast(DecimalType(18, 2)).as("s"))
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    ev.withColumn("prefix", sum($"x").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(DecimalType(18, 2)))
+      .withColumn("k", row_number().over(w))
+      .join(tot, "event_type")
+      .withColumn("d", $"prefix" * $"n" - $"s" * $"k")
   }
 }

@@ -59,19 +59,7 @@ object Round10Ops5 {
     */
   def tsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = events(spark, sfDir)
-      .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
-    val tot = ev.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum($"x").cast(DecimalType(18, 2)).as("s"))
-    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-    val cum = ev
-      .withColumn("prefix", sum($"x").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast(DecimalType(18, 2)))
-      .withColumn("k", row_number().over(w))
-      .join(tot, "event_type")
-      .withColumn("d", $"prefix" * $"n" - $"s" * $"k")
+    val cum = Round10Ops4.cusumFrame(spark, sfDir)
       .withColumn("absd", abs($"d"))
     cum.withColumn("rk", row_number().over(
         Window.partitionBy($"event_type").orderBy($"absd".desc, $"k")))
@@ -125,9 +113,7 @@ object Round10Ops5 {
     val toks = documents(spark, sfDir)
       .select($"doc_id", split($"text", " ").as("t"))
     val bigrams = toks
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
-        .as("bg"))
+      .select($"doc_id", explode(expr(TextExprs.bigrams("t"))).as("bg"))
       .distinct()
     val df = bigrams.groupBy($"bg").agg(count(lit(1)).as("dfreq"))
     bigrams.join(df, "bg")

@@ -90,14 +90,19 @@ object Round10Ops6 {
     */
   def simSparseTfidfPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tf = documents(spark, sfDir)
-      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val toks = documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("t"))
+    val tf = toks
+      .select($"doc_id", explode($"t").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val n = documents(spark, sfDir).count()
+    // corpus size rides a 1-row broadcast (the oracle's nn CTE shape),
+    // not a blocking driver-side count
+    val nn = documents(spark, sfDir)
+      .agg(count(lit(1)).cast(DoubleType).as("nn"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfq"))
-    val w = tf.join(dfreq, "term")
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(nn))
       .withColumn("w",
-        ($"tf" * round(log(lit(n.toDouble) / $"dfq".cast(DoubleType)), 9)
+        ($"tf" * round(log($"nn" / $"dfq".cast(DoubleType)), 9)
           .cast(DecimalType(13, 9))).cast(DecimalType(16, 9)))
     val norms = w.groupBy($"doc_id")
       .agg(sum($"w" * $"w").as("n2"))
@@ -105,11 +110,8 @@ object Round10Ops6 {
     // has a small unigram vocabulary where every term is common, so
     // the discriminative shingle is the bigram — the same
     // shingle-indexed candidate idea the minhash pipeline uses
-    val bigrams = documents(spark, sfDir)
-      .select($"doc_id", split($"text", " ").as("t"))
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
-        .as("bg"))
+    val bigrams = toks
+      .select($"doc_id", explode(expr(TextExprs.bigrams("t"))).as("bg"))
       .distinct()
     val rareBg = bigrams.groupBy($"bg").agg(count(lit(1)).as("bdf"))
       .filter($"bdf" >= 2 && $"bdf" <= 5)

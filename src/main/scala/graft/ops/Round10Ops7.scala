@@ -71,8 +71,10 @@ object Round10Ops7 {
     val baskets = lineitem(spark, sfDir)
       .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey", $"p_brand").distinct()
-    val nBaskets = orders(spark, sfDir).select($"o_orderkey").distinct()
-      .count()
+    // o_orderkey is the orders primary key (pipeline_row_fingerprint
+    // pins per-row uniqueness), so a plain metadata count suffices —
+    // no distinct shuffle
+    val nBaskets = orders(spark, sfDir).count()
     val single = baskets.groupBy($"p_brand").agg(count(lit(1)).as("c"))
     val pairs = baskets.as("x").join(baskets.as("y"),
         $"x.l_orderkey" === $"y.l_orderkey" && $"x.p_brand" < $"y.p_brand")

@@ -64,9 +64,8 @@ class Round10Spec6 extends AnyFunSuite with SparkFixture {
     val (a, b, _) = rows.head
     val bigrams = Tables.documents(spark, sf)
       .select($"doc_id", split($"text", " ").as("t"))
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
-        .as("bg"))
+      .select($"doc_id",
+        explode(expr(graft.ops.TextExprs.bigrams("t"))).as("bg"))
       .distinct()
     val bdf = bigrams.groupBy($"bg").agg(count(lit(1)).as("bdf"))
     val shared = bigrams.filter($"doc_id".isin(a, b))
