@@ -3668,6 +3668,27 @@ object Oracle {
     FROM s GROUP BY event_type ORDER BY event_type
   """
 
+  // time_bucket's 2000-01-01 origin sits on the same 15-min epoch grid
+  // as Spark's window(), so the buckets coincide exactly
+  val streamChainedWindows: String = """
+    WITH m AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS w15,
+                      event_type, count(*) AS n15
+               FROM events GROUP BY 1, 2)
+    SELECT date_trunc('hour', w15) AS win_start, event_type,
+           CAST(max(n15) AS BIGINT) AS max_15m,
+           CAST(sum(n15) AS BIGINT) AS total_n
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
+  val aggHistogram2d: String = """
+    SELECT CAST(floor(p_retailprice / 200.0) AS BIGINT) AS price_bin,
+           CAST(floor(p_size / 10.0) AS BIGINT) AS size_bin,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS bin_value
+    FROM part GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
   val pipelineRowFingerprint: String = """
     WITH f AS (SELECT md5(concat_ws('|',
         CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),

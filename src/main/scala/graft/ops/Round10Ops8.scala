@@ -92,6 +92,25 @@ object Round10Ops8 {
       .orderBy($"event_type")
   }
 
+  /** 2-D histogram of the part catalog on (price, size) bins — the
+    * joint-distribution profile a pricing dashboard heatmaps. One
+    * grouped aggregate; bin ids are floor divisions (single exact
+    * double op each, identical on both engines); output is bounded by
+    * the bin grid, not the table.
+    */
+  def aggHistogram2d(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    part(spark, sfDir)
+      .groupBy(
+        floor($"p_retailprice" / 200.0).cast(LongType).as("price_bin"),
+        floor($"p_size" / 10.0).cast(LongType).as("size_bin"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(money($"p_retailprice")).as("_sv"))
+      .select($"price_bin", $"size_bin", $"n_parts",
+        $"_sv".cast(DoubleType).as("bin_value"))
+      .orderBy($"price_bin", $"size_bin")
+  }
+
   /** Row-content fingerprinting for change detection: md5 over a
     * '|'-separated canonical rendering of each order row (key columns,
     * scale-2 DECIMAL price string, formatted date — every piece is

@@ -93,6 +93,27 @@ object Streaming {
     *     (null-skipping, so the global first row stays non-late —
     *     bit-identical to the single-window form).
     */
+  /** CHAINED stateful window aggregation (batch equivalent): 15-min
+    * tumbling counts rolled up into hourly max/total of those counts —
+    * two stateful operators in one plan, the multi-stage streaming
+    * topology Spark 4 supports in append mode (the streaming twin is
+    * [[chainedWindowsStream]], which re-windows via window_time over
+    * the first aggregation's window column). Both window grids are
+    * epoch-aligned, so the hourly bucket of a 15-min window start is
+    * exact on both engines.
+    */
+  def streamChainedWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = events(spark, sfDir)
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n15"))
+    m.groupBy(window($"window.start", "1 hour"), $"event_type")
+      .agg(max($"n15").as("max_15m"), sum($"n15").as("total_n"))
+      .select($"window.start".as("win_start"), $"event_type",
+        $"max_15m", $"total_n")
+      .orderBy($"win_start", $"event_type")
+  }
+
   def streamWatermarkLateData(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nb = spark.sessionState.conf.numShufflePartitions
@@ -290,6 +311,21 @@ object Streaming {
     events.withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .count()
+
+  /** Two chained stateful aggregations in ONE streaming query (append
+    * mode, Spark 4): 15-min tumbling counts, re-windowed through
+    * window_time() into hourly maxima. The second operator's event
+    * time is the first operator's window — each stage keeps its own
+    * watermark-evicted state, the multi-stage topology that previously
+    * required two queries and an intermediate sink.
+    */
+  def chainedWindowsStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n15"))
+      .groupBy(window(window_time(col("window")), "1 hour"),
+        col("event_type"))
+      .agg(max(col("n15")).as("max_15m"))
 
   /** Custom stateful operator via flatMapGroupsWithState: per-user
     * running totals (event count + value sum) emitted on every update.

@@ -56,6 +56,17 @@ class Round10Spec8 extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._4).sum === expectedBad)
   }
 
+  test("2d histogram: bin counts partition the part table") {
+    import spark.implicits._
+    val rows = Round10Ops8.aggHistogram2d(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._3).sum === Tables.part(spark, sf).count())
+    rows.foreach { case (pb, sb, n, v) =>
+      assert(pb >= 0 && sb >= 0 && n > 0 && v > 0)
+    }
+    assert(rows.length > 1, "the grid must have multiple occupied bins")
+  }
+
   test("row fingerprints are collision-free over orders") {
     val r = Round10Ops8.pipelineRowFingerprint(spark, sf).collect().head
     assert(r.getAs[Long]("n_rows") === r.getAs[Long]("n_distinct_fp"))

@@ -54,6 +54,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("chained window aggs: hourly max of 15-min counts emits after both watermarks pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.chainedWindowsStream(ms.toDF())
+      .select($"window.start".as("ws"), $"event_type", $"max_15m")
+      .writeStream.format("memory").queryName("chained")
+      .outputMode("append").start()
+    try {
+      // hour 0: three 15-min buckets with counts 2, 1, 3
+      ms.addData(
+        ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:05:00"),
+        ev(3, "2024-01-01 00:20:00"),
+        ev(4, "2024-01-01 00:31:00"), ev(5, "2024-01-01 00:32:00"),
+        ev(6, "2024-01-01 00:40:00"))
+      q.processAllAvailable()
+      assert(spark.table("chained").count() === 0,
+        "hour-0 must stay open until the watermark passes its end")
+      // advance event time far enough that watermark (max - 10min)
+      // passes hour-0's end through BOTH stateful operators
+      ms.addData(ev(7, "2024-01-01 01:30:00"))
+      q.processAllAvailable()
+      ms.addData(ev(8, "2024-01-01 02:30:00"))
+      q.processAllAvailable()
+      ms.addData(ev(9, "2024-01-01 03:30:00"))
+      q.processAllAvailable()
+      val h0 = spark.table("chained")
+        .where($"ws" === ts("2024-01-01 00:00:00")).collect()
+      assert(h0.length === 1 && h0.head.getAs[Long]("max_15m") === 3L,
+        s"hour-0 max of 15-min counts must be 3, got ${h0.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
