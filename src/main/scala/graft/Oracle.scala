@@ -3689,6 +3689,35 @@ object Oracle {
     FROM part GROUP BY 1, 2 ORDER BY 1, 2
   """
 
+  // zero-variance exclusion on exact DECIMAL (sxx*20 - sx*sx), never
+  // on the double sqrt
+  val tsRollingZscore: String = """
+    WITH q AS (SELECT event_type, ts, event_id,
+                      CAST(value AS DECIMAL(12,2)) x FROM events),
+    f AS (SELECT event_type, event_id, x,
+            count(*) OVER w AS nf,
+            CAST(sum(x) OVER w AS DECIMAL(18,2)) AS sx,
+            CAST(sum(x * x) OVER w AS DECIMAL(28,4)) AS sxx
+          FROM q WINDOW w AS (PARTITION BY event_type
+            ORDER BY ts, event_id
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT event_type, event_id,
+      round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / 20)
+        / sqrt((20 * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (20 * 19)), 6)
+        AS zscore
+    FROM f WHERE nf = 20 AND sxx * 20 - sx * sx > 0
+    ORDER BY event_type, event_id
+  """
+
+  val textWordlenProfile: String = """
+    WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+    SELECT lang, length(tok) AS wlen,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
   val pipelineRowFingerprint: String = """
     WITH f AS (SELECT md5(concat_ws('|',
         CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),

@@ -111,6 +111,47 @@ object Round10Ops8 {
       .orderBy($"price_bin", $"size_bin")
   }
 
+  /** Rolling z-score over a 20-row frame per event type: the frame's
+    * mean/variance come from exact-DECIMAL rolling Σx and Σx² (window
+    * sums over a constant frame — per-row O(1) state at any scale),
+    * and the z formula runs once on doubles rounded at 6dp. Only full
+    * frames emit, and zero-variance frames are excluded by an exact
+    * DECIMAL comparison (a double sqrt(0) division would diverge as
+    * inf/NaN across engines).
+    */
+  def tsRollingZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(-19, org.apache.spark.sql.expressions.Window.currentRow)
+    events(spark, sfDir)
+      .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
+      .withColumn("nf", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w).cast(DecimalType(18, 2)))
+      .withColumn("sxx", sum($"x" * $"x").over(w).cast(DecimalType(28, 4)))
+      .filter($"nf" === 20 && $"sxx" * 20 - $"sx" * $"sx" > 0)
+      .selectExpr("event_type", "event_id",
+        """round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / 20)
+          | / sqrt((20 * CAST(sxx AS DOUBLE)
+          |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (20 * 19)), 6)
+          |AS zscore""".stripMargin.replace("\n", " "))
+      .orderBy($"event_type", $"event_id")
+  }
+
+  /** Word-length histogram per language — the morphology profile a
+    * corpus card plots (CJK vs alphabetic languages separate sharply).
+    * Explode → two bounded rollups; output is (lang × max word
+    * length)-bounded.
+    */
+  def textWordlenProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"lang", length($"tok").as("wlen"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .orderBy($"lang", $"wlen")
+  }
+
   /** Row-content fingerprinting for change detection: md5 over a
     * '|'-separated canonical rendering of each order row (key columns,
     * scale-2 DECIMAL price string, formatted date — every piece is

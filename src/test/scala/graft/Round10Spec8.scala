@@ -67,6 +67,36 @@ class Round10Spec8 extends AnyFunSuite with SparkFixture {
     assert(rows.length > 1, "the grid must have multiple occupied bins")
   }
 
+  test("rolling zscore: one row per full non-degenerate frame, finite values") {
+    import spark.implicits._
+    val rows = Round10Ops8.tsRollingZscore(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, z) =>
+      assert(!z.isNaN && !z.isInfinite)
+      assert(math.abs(z) < 20, s"20-row frame z-score $z out of range")
+    }
+    // per type: exactly n - 19 full frames (no zero-variance frames in
+    // this continuous-value fixture)
+    val counts = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(count(lit(1))).as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      assert(g.length === counts(t) - 19)
+    }
+  }
+
+  test("word length profile: token counts partition the corpus tokens") {
+    import spark.implicits._
+    val rows = Round10Ops8.textWordlenProfile(spark, sf)
+      .as[(String, Int, Long)].collect()
+    val total = Tables.documents(spark, sf)
+      .select(explode(split($"text", " "))).count()
+    assert(rows.map(_._3).sum === total)
+    rows.foreach { case (_, wlen, n) => assert(wlen >= 1 && n > 0) }
+    assert(rows.map(_._1).distinct.sorted ===
+      Array("de", "en", "es", "fr", "zh"))
+  }
+
   test("row fingerprints are collision-free over orders") {
     val r = Round10Ops8.pipelineRowFingerprint(spark, sf).collect().head
     assert(r.getAs[Long]("n_rows") === r.getAs[Long]("n_distinct_fp"))
