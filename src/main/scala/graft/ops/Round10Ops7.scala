@@ -72,9 +72,11 @@ object Round10Ops7 {
       .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey", $"p_brand").distinct()
     // o_orderkey is the orders primary key (pipeline_row_fingerprint
-    // pins per-row uniqueness), so a plain metadata count suffices —
-    // no distinct shuffle
-    val nBaskets = orders(spark, sfDir).count()
+    // pins per-row uniqueness), so a plain count equals the basket
+    // count; computed lazily as a 1-row aggregate broadcast into the
+    // final projection (same nb-CTE shape as the oracle) so plan
+    // construction never triggers a job
+    val nBaskets = orders(spark, sfDir).agg(count(lit(1)).as("nb"))
     val single = baskets.groupBy($"p_brand").agg(count(lit(1)).as("c"))
     val pairs = baskets.as("x").join(baskets.as("y"),
         $"x.l_orderkey" === $"y.l_orderkey" && $"x.p_brand" < $"y.p_brand")
@@ -84,8 +86,9 @@ object Round10Ops7 {
     pairs
       .join(single.select($"p_brand".as("brand_a"), $"c".as("c_a")), "brand_a")
       .join(single.select($"p_brand".as("brand_b"), $"c".as("c_b")), "brand_b")
+      .crossJoin(broadcast(nBaskets))
       .select($"brand_a", $"brand_b", $"c_ab",
-        round(lit(nBaskets.toDouble) * $"c_ab".cast(DoubleType) /
+        round($"nb".cast(DoubleType) * $"c_ab".cast(DoubleType) /
           ($"c_a".cast(DoubleType) * $"c_b".cast(DoubleType)), 6).as("lift"))
       .orderBy($"lift".desc, $"brand_a", $"brand_b")
   }
@@ -113,8 +116,10 @@ object Round10Ops7 {
     * both engines stated explicitly (DuckDB's native windowed median
     * has its own decimal typing, so the oracle mirrors this list
     * logic rather than calling it). The window is partitioned by
-    * event_type; frames are constant-size, so per-row cost is O(5
-    * log 5) at any scale.
+    * event_type; the first four rows of each partition emit partial
+    * frames of size 1–4 (rowsBetween(-4, current) clips at the
+    * partition head — the oracle mirrors this), every later row a
+    * full 5-row frame, so per-row cost is O(5 log 5) at any scale.
     */
   def winRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

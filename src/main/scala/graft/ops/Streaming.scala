@@ -74,25 +74,6 @@ object Streaming {
       .orderBy($"event_type")
   }
 
-  /** Batch-equivalent of watermark lateness: an event is late iff it
-    * arrives (event_id = arrival order) after the running max event
-    * time has passed it by > 10 min — exactly the events a 10-min
-    * watermark would drop from closed windows. The true streaming drop
-    * behavior is asserted in StreamingSpec (the engine tracks the
-    * watermark as one scalar per trigger — the actual 100 TB path).
-    *
-    * The running max over arrival order is the classic DISTRIBUTED
-    * prefix scan, two narrow passes — never a single-partition window:
-    *  1. deterministic range buckets over event_id (min/max broadcast,
-    *     P fixed-width buckets), running max WITHIN each bucket via a
-    *     partitioned window;
-    *  2. per-bucket max rolls up to a P-row summary whose exclusive
-    *     prefix-max is a triangular broadcast join (O(P²) comparisons
-    *     total, spread across executors; P = shuffle parallelism, not
-    *     data size), broadcast back and combined with `greatest`
-    *     (null-skipping, so the global first row stays non-late —
-    *     bit-identical to the single-window form).
-    */
   /** CHAINED stateful window aggregation (batch equivalent): 15-min
     * tumbling counts rolled up into hourly max/total of those counts —
     * two stateful operators in one plan, the multi-stage streaming
@@ -114,6 +95,25 @@ object Streaming {
       .orderBy($"win_start", $"event_type")
   }
 
+  /** Batch-equivalent of watermark lateness: an event is late iff it
+    * arrives (event_id = arrival order) after the running max event
+    * time has passed it by > 10 min — exactly the events a 10-min
+    * watermark would drop from closed windows. The true streaming drop
+    * behavior is asserted in StreamingSpec (the engine tracks the
+    * watermark as one scalar per trigger — the actual 100 TB path).
+    *
+    * The running max over arrival order is the classic DISTRIBUTED
+    * prefix scan, two narrow passes — never a single-partition window:
+    *  1. deterministic range buckets over event_id (min/max broadcast,
+    *     P fixed-width buckets), running max WITHIN each bucket via a
+    *     partitioned window;
+    *  2. per-bucket max rolls up to a P-row summary whose exclusive
+    *     prefix-max is a triangular broadcast join (O(P²) comparisons
+    *     total, spread across executors; P = shuffle parallelism, not
+    *     data size), broadcast back and combined with `greatest`
+    *     (null-skipping, so the global first row stays non-late —
+    *     bit-identical to the single-window form).
+    */
   def streamWatermarkLateData(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nb = spark.sessionState.conf.numShufflePartitions
