@@ -3295,16 +3295,20 @@ object Oracle {
   """
 
   // shared CTE prefix: the k-NN-thinned co-supply graph (identical to
-  // graphTriangleCount's construction)
+  // graphTriangleCount's construction). MATERIALIZED: consumers that
+  // reference their downstream CTEs more than once (the unrolled
+  // k-core peel doubles references each round) would otherwise inline
+  // and re-run the expensive co-supply self-join exponentially many
+  // times — round-11 hit a DuckDB temp-disk blowup exactly this way.
   private val thinnedGraphCte = """
-    ps AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
-    w AS (SELECT a.s u, b.s v, count(*) w FROM ps a
+    ps AS MATERIALIZED (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+    w AS MATERIALIZED (SELECT a.s u, b.s v, count(*) w FROM ps a
           JOIN ps b ON a.p = b.p AND a.s <> b.s GROUP BY 1, 2),
     topk AS (SELECT u, v FROM (
                SELECT u, v, row_number() OVER
                  (PARTITION BY u ORDER BY w DESC, v) rk FROM w)
              WHERE rk <= 3),
-    und AS (SELECT DISTINCT least(u, v) u, greatest(u, v) v FROM topk)"""
+    und AS MATERIALIZED (SELECT DISTINCT least(u, v) u, greatest(u, v) v FROM topk)"""
 
   val graphDegreeDistribution: String = s"""
     WITH $thinnedGraphCte,
@@ -3743,5 +3747,293 @@ object Oracle {
     FROM orders
     QUALIFY rk <= 2
     ORDER BY ym, rk
+  """
+
+  // ---- round 11, batch 1 ----
+
+  val graphAdamicAdar: String = s"""
+    WITH $thinnedGraphCte,
+    adj AS (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT a node, count(*) deg FROM adj GROUP BY 1),
+    cn AS (SELECT l.a x, r.a y, l.b z
+           FROM adj l JOIN adj r ON l.b = r.b AND l.a < r.a),
+    sc AS (SELECT x, y, count(*) AS n_common,
+             sum(CAST(floor(1.0e9 / ln(CAST(deg AS DOUBLE)))
+                 AS BIGINT)) AS s
+           FROM cn JOIN deg ON cn.z = deg.node GROUP BY x, y)
+    SELECT x AS node_a, y AS node_b,
+      CAST(n_common AS BIGINT) AS n_common,
+      CAST(s AS DOUBLE) / 1.0e9 AS aa_score,
+      EXISTS(SELECT 1 FROM und WHERE und.u = sc.x AND und.v = sc.y)
+        AS is_edge
+    FROM sc ORDER BY aa_score DESC, node_a, node_b
+  """
+
+  val graphBipartiteProject: String = """
+    WITH bp AS (SELECT DISTINCT l_suppkey s, p_brand b
+                FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT x.b AS brand_a, y.b AS brand_b,
+      CAST(count(*) AS BIGINT) AS n_shared
+    FROM bp x JOIN bp y ON x.s = y.s AND x.b < y.b
+    GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
+  val graphKcorePeel: String = s"""
+    WITH $thinnedGraphCte,
+    a0 AS MATERIALIZED (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und),
+    n1 AS MATERIALIZED (SELECT a FROM a0 GROUP BY a HAVING count(*) >= 2),
+    a1 AS MATERIALIZED (SELECT a0.a, a0.b FROM a0
+           JOIN n1 x ON a0.a = x.a JOIN n1 y ON a0.b = y.a),
+    n2 AS MATERIALIZED (SELECT a FROM a1 GROUP BY a HAVING count(*) >= 2),
+    a2 AS MATERIALIZED (SELECT a1.a, a1.b FROM a1
+           JOIN n2 x ON a1.a = x.a JOIN n2 y ON a1.b = y.a),
+    n3 AS MATERIALIZED (SELECT a FROM a2 GROUP BY a HAVING count(*) >= 2),
+    a3 AS MATERIALIZED (SELECT a2.a, a2.b FROM a2
+           JOIN n3 x ON a2.a = x.a JOIN n3 y ON a2.b = y.a),
+    n4 AS MATERIALIZED (SELECT a FROM a3 GROUP BY a HAVING count(*) >= 2),
+    a4 AS MATERIALIZED (SELECT a3.a, a3.b FROM a3
+           JOIN n4 x ON a3.a = x.a JOIN n4 y ON a3.b = y.a)
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM a4 GROUP BY a ORDER BY node
+  """
+
+  val mlAucRank: String = """
+    WITH s AS (SELECT round(CAST(embedding[2] AS DOUBLE), 2) AS score,
+                      CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+               FROM embeddings),
+    g AS (SELECT score, sum(pos) np, sum(1 - pos) nn
+          FROM s GROUP BY score),
+    c AS (SELECT score, np, nn,
+            coalesce(sum(nn) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cnn
+          FROM g)
+    SELECT
+      round((CAST(sum(np * cnn) AS DOUBLE) +
+             CAST(sum(np * nn) AS DOUBLE) / 2.0)
+            / CAST(sum(np) * sum(nn) AS DOUBLE), 6) AS auc,
+      CAST(sum(np) AS BIGINT) AS n_pos,
+      CAST(sum(nn) AS BIGINT) AS n_neg
+    FROM c
+  """
+
+  val mlConfusionMetrics: String = """
+    WITH s AS (SELECT embedding[2] > 0 AS pred, label >= 5 AS act
+               FROM embeddings),
+    c AS (SELECT
+            count(CASE WHEN pred AND act THEN 1 END) tp,
+            count(CASE WHEN pred AND NOT act THEN 1 END) fp,
+            count(CASE WHEN NOT pred AND act THEN 1 END) fn,
+            count(CASE WHEN NOT pred AND NOT act THEN 1 END) tn
+          FROM s)
+    SELECT CAST(tp AS BIGINT) tp, CAST(fp AS BIGINT) fp,
+           CAST(fn AS BIGINT) fn, CAST(tn AS BIGINT) tn,
+      round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+        AS accuracy,
+      round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision_pos,
+      round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_pos,
+      round(2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+        AS f1
+    FROM c
+  """
+
+  val mlChiSquare: String = """
+    WITH obs AS (SELECT o_orderpriority p, o_orderstatus st, count(*) o
+                 FROM orders GROUP BY 1, 2),
+    rt AS (SELECT p, sum(o) rtot FROM obs GROUP BY 1),
+    ct AS (SELECT st, sum(o) ctot FROM obs GROUP BY 1),
+    n AS (SELECT sum(o) n FROM obs),
+    cells AS (SELECT o,
+        CAST(rtot * ctot AS DOUBLE) / CAST(n AS DOUBLE) AS exp
+      FROM obs JOIN rt USING (p) JOIN ct USING (st) CROSS JOIN n)
+    SELECT
+      round(CAST(sum(CAST(round(
+          (CAST(o AS DOUBLE) - exp) * (CAST(o AS DOUBLE) - exp) / exp, 9)
+        AS DECIMAL(13,9))) AS DOUBLE), 6) AS chi2,
+      CAST((SELECT (count(DISTINCT p) - 1) FROM obs) *
+           (SELECT (count(DISTINCT st) - 1) FROM obs) AS BIGINT) AS dof,
+      CAST((SELECT n FROM n) AS BIGINT) AS n
+    FROM cells
+  """
+
+  val tsCrossCorrelation: String = """
+    WITH hb AS (SELECT epoch_us(ts) // 3600000000 AS hb, event_type,
+                       count(*) c
+                FROM events WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1, 2),
+    cl AS (SELECT hb h, c x FROM hb WHERE event_type = 'click'),
+    pu AS (SELECT hb h2, c y FROM hb WHERE event_type = 'purchase'),
+    lg AS (SELECT unnest(range(-3, 4)) AS lag),
+    j AS (SELECT lag, x, y FROM cl CROSS JOIN lg
+          JOIN pu ON h2 = h + lag),
+    a AS (SELECT lag, count(*) n, sum(x) sx, sum(y) sy, sum(x*y) sxy,
+                 sum(x*x) sxx, sum(y*y) syy
+          FROM j GROUP BY lag)
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_hours,
+      round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcorr
+    FROM a ORDER BY lag
+  """
+
+  val tsPeakDetect: String = """
+    WITH h AS (SELECT date_trunc('hour', ts) hr, event_type,
+                      sum(CAST(value AS DECIMAL(12,2))) sv
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, hr, sv,
+            lag(sv) OVER (PARTITION BY event_type ORDER BY hr) pv,
+            lead(sv) OVER (PARTITION BY event_type ORDER BY hr) nv
+          FROM h)
+    SELECT event_type, hr, CAST(sv AS DOUBLE) AS v
+    FROM w
+    WHERE pv IS NOT NULL AND nv IS NOT NULL AND sv > pv AND sv > nv
+    ORDER BY event_type, hr
+  """
+
+  val aggProductLogsum: String = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      round(CAST(sum(CAST(round(ln(1.0 + "value" / 1000.0), 9)
+        AS DECIMAL(13,9))) AS DOUBLE), 6) AS log_sum,
+      round(exp(CAST(sum(CAST(round(ln(1.0 + "value" / 1000.0), 9)
+        AS DECIMAL(13,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+        AS geomean
+    FROM events GROUP BY event_type ORDER BY event_type
+  """
+
+  val dedupPrefixCluster: String = """
+    SELECT substring(text, 1, 16) AS prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY prefix
+  """
+
+  // ---- round 11, batch 2 ----
+
+  val textStopwordCoverage: String = """
+    WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) t
+                 FROM documents),
+    stop AS (SELECT t sw FROM (SELECT t, count(*) n FROM tok GROUP BY t
+                               ORDER BY n DESC, t LIMIT 20))
+    SELECT source,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(count(sw) AS BIGINT) AS n_stop,
+      round(CAST(count(sw) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS stop_ratio
+    FROM tok LEFT JOIN stop ON t = sw
+    GROUP BY source ORDER BY source
+  """
+
+  val pipelineReferentialIntegrity: String = """
+    SELECT 'customer.c_nationkey->nation' rel,
+      CAST(count(*) AS BIGINT) n_child,
+      CAST(count(CASE WHEN n_nationkey IS NULL THEN 1 END) AS BIGINT) n_orphans
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', CAST(count(*) AS BIGINT),
+      CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT),
+      CAST(count(CASE WHEN p_partkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT),
+      CAST(count(CASE WHEN s_suppkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    UNION ALL
+    SELECT 'nation.n_regionkey->region', CAST(count(*) AS BIGINT),
+      CAST(count(CASE WHEN r_regionkey IS NULL THEN 1 END) AS BIGINT)
+    FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT),
+      CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', CAST(count(*) AS BIGINT),
+      CAST(count(CASE WHEN n_nationkey IS NULL THEN 1 END) AS BIGINT)
+    FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY rel
+  """
+
+  // per-column CTE mirrors the Spark side's ln n - (Σ c·ln c)/n with
+  // the Σ c·ln c terms floor-quantized to integer nanos
+  private def entCte(tbl: String, col: String): String = s"""
+    SELECT '$tbl' tbl, '$col' col_name,
+      CAST(count(*) AS BIGINT) AS n_distinct,
+      ln(CAST(sum(c) AS DOUBLE)) +
+        (CAST(sum(CAST(floor(CAST(c AS DOUBLE) * -1.0e9 *
+             ln(CAST(c AS DOUBLE))) AS BIGINT)) AS DOUBLE) / 1.0e9)
+          / CAST(sum(c) AS DOUBLE) AS entropy_nats
+    FROM (SELECT $col v, count(*) c FROM $tbl GROUP BY 1)"""
+
+  val pipelineColumnEntropy: String = s"""
+    ${entCte("customer", "c_mktsegment")}
+    UNION ALL ${entCte("documents", "lang")}
+    UNION ALL ${entCte("documents", "source")}
+    UNION ALL ${entCte("events", "event_type")}
+    UNION ALL ${entCte("lineitem", "l_returnflag")}
+    UNION ALL ${entCte("orders", "o_orderpriority")}
+    ORDER BY tbl, col_name
+  """
+
+  val streamStaticJoin: String = """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+  """
+
+  val streamUnionMerge: String = """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2 ORDER BY win_start, event_type
+  """
+
+  val scaleShuffleHashJoin: String = s"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum($netExpr) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """
+
+  val simMipsTopk: String = """
+    SELECT vec_id, round(ip, 6) AS inner_product FROM (
+      SELECT a.vec_id,
+        list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) ip
+      FROM embeddings a
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 1) b
+      WHERE a.vec_id != 1
+      ORDER BY ip DESC, a.vec_id LIMIT 10)
+    ORDER BY inner_product DESC, vec_id
+  """
+
+  val simHammingTopk: String = """
+    WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h
+          FROM toks),
+    bits AS (SELECT doc_id, h, unnest(range(0, 32)) AS bit FROM h),
+    s AS (SELECT doc_id, bit,
+            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sc
+          FROM bits GROUP BY doc_id, bit),
+    sig AS (SELECT doc_id,
+              CAST(sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << bit)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM s GROUP BY doc_id),
+    sc2 AS (SELECT p.doc_id probe_id, c.doc_id doc_id,
+              CAST(bit_count(xor(c.simhash, p.simhash)) AS INTEGER) hamming
+            FROM sig c CROSS JOIN (SELECT * FROM sig WHERE doc_id < 5) p
+            WHERE c.doc_id != p.doc_id),
+    rk AS (SELECT probe_id, doc_id, hamming,
+             CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY hamming, doc_id) AS INTEGER) rn
+           FROM sc2)
+    SELECT probe_id, doc_id, hamming, rn
+    FROM rk WHERE rn <= 3 ORDER BY probe_id, rn
   """
 }

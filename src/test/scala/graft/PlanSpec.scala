@@ -378,4 +378,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "BNLJ must sit on the aggregated bucket-totals, not raw rows")
     }
   }
+
+  test("shuffle-hash hint produces a ShuffledHashJoin, not sort-merge or broadcast") {
+    // the demo's point is the explicit strategy: hash-build the hinted
+    // side after a shuffle — no sort of either side, no broadcast of a
+    // table that only fits an executor
+    val p = plan(graft.ops.Round11Ops2.scaleShuffleHashJoin(spark, sf))
+    assert(p.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint must select ShuffledHashJoin:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"hinted join must not fall back to sort-merge:\n${p.take(2000)}")
+  }
 }
