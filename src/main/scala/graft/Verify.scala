@@ -17,6 +17,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump itself, on a caller-owned session — lets the opt-in
+    * Sf01CrossCheckSpec reuse the shared test session without main()
+    * stopping it from under the other suites.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String]): Unit = {
     new java.io.File(outDir).mkdirs()
     // Sorted for run-order determinism, mirroring Bench (round-6 verdict)
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -48,6 +58,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

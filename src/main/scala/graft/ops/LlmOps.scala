@@ -226,21 +226,43 @@ object LlmOps {
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
   }
 
+  /** All-pairs generator on a G×G grid: row x lands in grid row
+    * x mod G and replicates across all G columns; row y lands in grid
+    * column y mod G and replicates across all G rows, so every
+    * unordered pair (x < y) meets in EXACTLY ONE cell — an equi-join
+    * key on (gr, gc), hence a shuffle hash/merge join with the cheap
+    * id order as residual. NO broadcast: shuffle volume is G × corpus
+    * and the O(n²) compare work spreads evenly across G² cells; G
+    * scales as sqrt(cluster parallelism). Every non-id column of the
+    * input is emitted twice, suffixed `_a` / `_b`.
+    */
+  private[ops] def gridPairs(df: DataFrame, idCol: String, g: Int): DataFrame = {
+    val payload = df.columns.filter(_ != idCol)
+    val cells = array((0 until g).map(lit): _*)
+    val a = df.withColumn("gc", explode(cells))
+      .select(col(idCol).as("id_a") +: pmod(col(idCol), lit(g)).as("gr") +:
+        col("gc") +: payload.map(c => col(c).as(s"${c}_a")): _*)
+    val b = df.withColumn("gr_b", explode(cells))
+      .select(col(idCol).as("id_b") +: col("gr_b") +:
+        pmod(col(idCol), lit(g)).as("gc_b") +: payload.map(c => col(c).as(s"${c}_b")): _*)
+    a.join(b, col("gr") === col("gr_b") && col("gc") === col("gc_b") &&
+        col("id_a") < col("id_b"))
+      .drop("gr", "gc", "gr_b", "gc_b")
+  }
+
   /** Brute-force cosine top-20 pairs — the exactness baseline for ANN.
-    * Broadcast one side; 2k×2k pairs at bench scale. The declared
-    * semantics bound this to the embeddings table (SURVEY §6); the
-    * scale path for open-ended corpora is the LSH-bucketed variant.
+    * Pair generation is the G×G grid SHUFFLE join (gridPairs) — no
+    * corpus broadcast, so the plan shape survives an unbounded table
+    * swap — and the top-20 is TakeOrderedAndProject: each cell keeps
+    * its local top-20 map-side and only G² × 20 candidate rows reach
+    * the driver-side merge. The scale path for open-ended corpora is
+    * the LSH-bucketed variant (sim_ann_lsh).
     */
   def simCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = withNorm(spark, sfDir)
-    // single-file parquet reads as one partition — spread the probe
-    // side so the O(n^2/2) pair loop parallelizes
-    val a = t.repartition(col("vec_id"))
-      .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
-    val b = t.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
-    a.join(broadcast(b), $"id_a" < $"id_b")
-      .withColumn("cos", dot($"ea", $"eb") / ($"na" * $"nb"))
+    gridPairs(t, "vec_id", 8)
+      .withColumn("cos", dot($"embedding_a", $"embedding_b") / ($"nrm_a" * $"nrm_b"))
       .orderBy($"cos".desc, $"id_a", $"id_b")
       .limit(20)
       .select($"id_a", $"id_b", round($"cos", 6).as("cosine"))

@@ -176,34 +176,21 @@ object LlmOps2 {
     * max pairwise cosine is ~0.6). Same compiled kernels as sim_*.
     *
     * EXACT all-pairs via a G x G grid partitioning (1-Bucket-Theta,
-    * Okcan & Riedewald SIGMOD'11): row x lands in grid row x mod G and
-    * replicates across all G columns; row y lands in grid column
-    * y mod G and replicates across all G rows, so every unordered pair
-    * meets in EXACTLY ONE cell (x mod G, y mod G) — an equi-join key,
-    * hence a shuffle hash/merge join with the cheap id order as
-    * residual and the compiled cosine evaluated post-join. No
-    * broadcast of the embedding table (the round-4 variant was a
-    * corpus-broadcast BNLJ); shuffle volume is G x corpus and the
-    * O(n²) compare work — inherent to EXACT cosine at this loose a
-    * threshold (0.4 is below any usable SRP-LSH operating point; see
-    * dedup_near_embedding_ann for the sublinear approximate path) —
-    * spreads evenly across G² cells. G scales as sqrt(cluster
-    * parallelism); result identity with the brute-force plan is
-    * asserted in Round5Spec.
+    * Okcan & Riedewald SIGMOD'11) — the shared LlmOps.gridPairs
+    * generator, also behind sim_cosine_topk and
+    * sim_embedding_quantize. The O(n²) compare work — inherent to
+    * EXACT cosine at this loose a threshold (0.4 is below any usable
+    * SRP-LSH operating point; see dedup_near_embedding_ann for the
+    * sublinear approximate path) — spreads evenly across G² cells.
+    * Result identity with the brute-force plan is asserted in
+    * Round5Spec.
     */
   def dedupNearEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val g = 8
     val t = LlmOps.embeddingsWithNorm(spark, sfDir)
-    val cells = array((0 until g).map(lit): _*)
-    val a = t.withColumn("gc", explode(cells))
-      .select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"),
-        pmod($"vec_id", lit(g)).as("gr"), $"gc")
-    val b = t.withColumn("gr_b", explode(cells))
-      .select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb"),
-        $"gr_b", pmod($"vec_id", lit(g)).as("gc_b"))
-    a.join(b, $"gr" === $"gr_b" && $"gc" === $"gc_b" && $"id_a" < $"id_b")
-      .withColumn("cos", LlmOps.dot($"ea", $"eb") / ($"na" * $"nb"))
+    LlmOps.gridPairs(t, "vec_id", 8)
+      .withColumn("cos",
+        LlmOps.dot($"embedding_a", $"embedding_b") / ($"nrm_a" * $"nrm_b"))
       .filter($"cos" >= 0.4)
       .select($"id_a", $"id_b", round($"cos", 6).as("cosine"))
       .orderBy($"id_a", $"id_b")

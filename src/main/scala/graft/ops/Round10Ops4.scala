@@ -42,7 +42,10 @@ object Round10Ops4 {
         .filter($"rk" <= 3)
         .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
         .distinct()
-        .coalesce(1)
+        // write with the distinct's parallelism: the edge list is
+        // corpus-linear (k per node), so a coalesce(1) here would be a
+        // single-task straggler at 100×; the three graph consumers
+        // re-shuffle on their own keys anyway, so file count is free
         .write.parquet(tmp)
     }
     spark.read.parquet(path)

@@ -84,12 +84,10 @@ object Round8Ops {
       .withColumn("q", expr("transform(e, x -> CAST(round(x * scale) AS FLOAT))"))
       .withColumn("qn", call_function("graft_dot", $"q", $"q"))
       .select($"vec_id", $"q", $"qn")
-    // single-file parquet reads as one partition — spread the probe
-    // side so the O(n²/2) pair loop parallelizes (simCosineTopk lesson)
-    val a = q.repartition(col("vec_id"))
-      .select($"vec_id".as("id_a"), $"q".as("q_a"), $"qn".as("qn_a"))
-    val b = q.select($"vec_id".as("id_b"), $"q".as("q_b"), $"qn".as("qn_b"))
-    a.join(broadcast(b), $"id_a" < $"id_b")
+    // pair generation is the G×G grid SHUFFLE join (LlmOps.gridPairs)
+    // — no corpus broadcast, and the top-50 is TakeOrderedAndProject
+    // so each cell keeps a local top-50 before the driver-side merge
+    LlmOps.gridPairs(q, "vec_id", 8)
       .withColumn("q_dot", call_function("graft_dot", $"q_a", $"q_b"))
       .withColumn("q_cos", $"q_dot" / (sqrt($"qn_a") * sqrt($"qn_b")))
       .select($"id_a", $"id_b", $"q_dot".cast(LongType).as("q_dot"),

