@@ -4012,6 +4012,58 @@ object Oracle {
     ORDER BY inner_product DESC, vec_id
   """
 
+  // BM25 per-(doc, term) contribution — shared verbatim by the
+  // retrieval oracle and the RRF fusion oracle. The integer-cleared tf
+  // normalization and the round-9dp DECIMAL idf protocol mirror the
+  // Spark side (Round11Ops3.bm25Scores) term for term.
+  private val bm25Ctes = """
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+            FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('spark', 'query', 'merge', 'dup')
+           GROUP BY doc_id, term),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (SELECT tf.doc_id,
+        CAST(round(CAST(round(ln(2.0 * (n + 1) / (2 * df + 1)), 9)
+              AS DECIMAL(28,9)) *
+          ((22.0 * tf * t) / (10.0 * t * tf + 3.0 * t + 9.0 * dl.dl * n)), 9)
+          AS DECIMAL(28,9)) AS c
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN dft ON tf.term = dft.term CROSS JOIN tot),
+    bm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+           FROM contrib GROUP BY doc_id)"""
+
+  val textBm25Retrieval: String = s"""
+    WITH $bm25Ctes
+    SELECT doc_id, n_terms, bm25 FROM bm
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+  """
+
+  val simHybridRrf: String = s"""
+    WITH $bm25Ctes,
+    lex AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+                AS r_lex
+            FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+    dense0 AS (SELECT a.vec_id AS doc_id, $cosExpr AS cs
+      FROM embeddings a
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+      WHERE a.vec_id != 0 ORDER BY cs DESC, a.vec_id LIMIT 50),
+    dense AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS INTEGER)
+                  AS r_dense
+              FROM dense0)
+    SELECT doc_id, r_lex, r_dense,
+      round(coalesce(1.0 / (r_lex + 60), 0) +
+            coalesce(1.0 / (r_dense + 60), 0), 9) AS rrf
+    FROM lex FULL OUTER JOIN dense USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 20
+  """
+
   val simHammingTopk: String = """
     WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
                   FROM documents),

@@ -170,46 +170,45 @@ object LlmOps {
     // per band branch, and the concat_ws string signature, with k
     // running minima and a 64-bit chained sig). posexplode fans the
     // `bands` signatures out to (band, sig) rows — no bands-way union,
-    // so the corpus is scanned once, not `bands` times. sz and th ride
-    // along so BOTH the size-ratio prune and the exact jaccard
-    // verification run inside the single candidate join — no join
-    // back to a sketch table.
+    // so the corpus is scanned once, not `bands` times.
     graft.expressions.GraftFunctions.ensureRegistered(spark)
     val sk = tokenHashes(spark, sfDir)
+    // SLIM candidate join (round-11 A/B, kept winner): the bucket
+    // shuffle carries only (band, sig, doc_id, sz) — the fused round-9
+    // variant rode the full th token-hash array through the shuffle b×
+    // per side and re-evaluated the intersect kernel twice per
+    // surviving row, and its 3×-replicated arrays were the board's
+    // worst GC driver (6.9 s of the sweep's gc_ms). Candidates
+    // distinct FIRST (collapsing band multiplicity before any array
+    // work), then ONE exact verification per unique pair after a
+    // re-join to the sketch table. Both shapes shuffle O(corpus × b),
+    // never O(pairs); the re-join adds two id-keyed corpus joins but
+    // removes the array payload from the widest shuffle — measured
+    // 0.55 s / ~0 gc vs 0.68 s / 0.2-1.6 s gc fused at sf0.1.
+    // NO broadcast anywhere — every side is corpus-sized except the
+    // candidate list, which is data-dependent and may be too. Skew on
+    // identical-doc signatures is AQE skew-join territory.
     val buckets = sk
-      .select($"doc_id", $"sz", $"th",
+      .select($"doc_id", $"sz",
         posexplode(call_function("graft_bandsigs", $"th", lit(rows), lit(bands))))
-      .select($"doc_id", $"sz", $"th", $"pos".as("band"), $"col".as("sig"))
-    // Candidate generation is a plain (band, sig) equi-join: both sides
-    // shuffle-partition on the band signature, so each bucket's pairs
-    // are produced locally on whatever executor owns that signature.
-    // NO broadcast — buckets is corpus-sized (b rows per doc), so a
-    // broadcast would grow linearly with the corpus and break the
-    // 100TB/1000-executor contract. Shuffle volume is O(corpus × b),
-    // never O(pairs): the exact two-pointer verification runs in the
-    // projection right after the join, so only verified near-dup pairs
-    // (plus ≤ b-fold band multiplicity, removed by the distinct) ever
-    // hit a downstream shuffle. Identical-doc signature skew at scale
-    // is AQE skew-join territory (spark.sql.adaptive.skewJoin).
-    // jac >= 0.8 as integer math LAST in the condition (cheap prunes
-    // short-circuit first; see dedupNearJaccard), exact value computed
-    // only for survivors, band multiplicity removed by the distinct
-    val cand = buckets.as("x").join(buckets.as("y"),
+      .select($"doc_id", $"sz", $"pos".as("band"), $"col".as("sig"))
+    val candIds = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id") &&
         // size-ratio prune (j >= 0.8 forces 5*min >= 4*max)
         col("x.sz") * 5 >= col("y.sz") * 4 &&
-        col("y.sz") * 5 >= col("x.sz") * 4 &&
-        isect(col("x.th"), col("y.th")) * 9 >=
-          (col("x.sz") + col("y.sz")) * 4)
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"),
-        isect(col("x.th"), col("y.th")).as("inter"))
-    cand
+        col("y.sz") * 5 >= col("x.sz") * 4)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sa = sk.select($"doc_id".as("id_a"), $"th".as("th_a"), $"sz".as("sz_a"))
+    val sb = sk.select($"doc_id".as("id_b"), $"th".as("th_b"), $"sz".as("sz_b"))
+    candIds.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("inter", isect($"th_a", $"th_b"))
+      // jac >= 0.8 as integer math — exact two-pointer intersect, once
+      .filter($"inter" * 9 >= ($"sz_a" + $"sz_b") * 4)
       .select($"id_a", $"id_b",
         round($"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"), 6)
           .as("jaccard"))
-      .distinct()
       .orderBy($"id_a", $"id_b")
   }
 

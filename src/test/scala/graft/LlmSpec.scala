@@ -90,4 +90,44 @@ class LlmSpec extends AnyFunSuite with SparkFixture {
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
     assert(rows.forall { case (a, b, j) => a < b && j > 0 && j <= 1.0 })
   }
+
+  test("filtered ANN: every hit satisfies the predicate, recall@10 >= 0.8 vs exact filtered kNN") {
+    import spark.implicits._
+    val en = Tables.documents(spark, sf).filter($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    val got = graft.ops.Round11Ops3.simAnnFiltered(spark, sf)
+      .select($"vec_id").as[Long].collect()
+    assert(got.length === 10)
+    assert(got.forall(en), s"non-en vec leaked through the filtered probe: ${got.toSeq}")
+    val exact = graft.ops.Round11Ops3.exactFilteredKnn(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (exact intersect got.toSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"filtered-ANN recall@10 $recall below floor")
+  }
+
+  test("bm25: top-ranked docs contain query terms, rare term dominates the head") {
+    import spark.implicits._
+    val top = graft.ops.Round11Ops3.textBm25Retrieval(spark, sf)
+      .select($"doc_id", $"n_terms", $"bm25")
+      .as[(Long, Long, Double)].collect()
+    assert(top.length === 15)
+    assert(top.map(_._3).sliding(2).forall(p => p(0) >= p(1)), "scores must descend")
+    val text = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val q = graft.ops.Round11Ops3.queryTerms.toSet
+    top.foreach { case (id, nTerms, _) =>
+      val toks = text(id).split(" ").toSet
+      assert((toks intersect q).size.toLong === nTerms,
+        s"doc $id: n_terms $nTerms vs actual ${(toks intersect q).size}")
+      assert(nTerms >= 1, s"doc $id ranked without any query term")
+    }
+    // 'dup' has df ~5% of the common terms' — its idf dwarfs theirs, so
+    // every dup-containing doc must outrank every non-dup doc
+    val dupDocs = top.filter(r => text(r._1).split(" ").contains("dup"))
+    assert(dupDocs.nonEmpty, "rare-term docs missing from the head")
+    val worstDup = dupDocs.map(_._3).min
+    val bestNonDup = top.filter(r => !text(r._1).split(" ").contains("dup"))
+      .map(_._3).maxOption.getOrElse(0.0)
+    assert(worstDup > bestNonDup, "idf weighting: rare-term docs must lead")
+  }
 }

@@ -233,6 +233,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"unpartitioned Window in: ${offenders.mkString(", ")}")
   }
 
+  test("filtered ANN pushes the lang predicate into the documents scan") {
+    // sim_ann_filtered's contract: the predicate prunes the corpus
+    // BEFORE centroid assignment and distance work. The lang filter
+    // must reach the documents parquet scan as a pushed filter (scan
+    // reads only doc_id+lang), not run as a post-filter on scored
+    // candidates.
+    val p = plan(graft.ops.Round11Ops3.simAnnFiltered(spark, sf))
+    val scanBlock = p.split("\n\n").find(b =>
+      b.contains("documents.parquet") && b.contains("PushedFilters"))
+    assert(scanBlock.isDefined, s"no documents scan with PushedFilters:\n${p.take(2500)}")
+    assert(scanBlock.get.contains("EqualTo(lang,en)"),
+      s"lang predicate must be pushed to the scan:\n${scanBlock.get}")
+    val readSchema = scanBlock.get.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang") &&
+      !readSchema.contains("text"),
+      s"probe-side scan must read only doc_id+lang:\n$readSchema")
+  }
+
   test("star join broadcasts every dimension side (no BNLJ, ≥2 BHJ)") {
     // 6-table star: nation/region/customer-side dims are broadcast-
     // sized by contract; the fact side must stream through
