@@ -4064,6 +4064,121 @@ object Oracle {
     ORDER BY rrf DESC, doc_id LIMIT 20
   """
 
+  // md5-uniform protocol mirror (sampleWeighted's): 24-bit k from the
+  // first 6 md5 hex digits of the event id; p = (k+0.5)/2^24 is a
+  // dyadic rational — exact in a double on both engines
+  private val u24Cte = """
+    s AS (SELECT event_type,
+        CAST(concat('0x', substring(
+          md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) AS k,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END AS y
+      FROM events)"""
+
+  val mlLogLoss: String = s"""
+    WITH $u24Cte,
+    l AS (SELECT event_type, y,
+        CASE WHEN y = 1
+          THEN CAST(round(-ln((k + 0.5) / 16777216.0), 9) AS DECIMAL(28,9))
+          ELSE CAST(round(-ln(1.0 - (k + 0.5) / 16777216.0), 9)
+                 AS DECIMAL(28,9))
+        END AS loss
+      FROM s)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(y) AS BIGINT) AS n_pos,
+      round(CAST(sum(loss) AS DOUBLE) / count(*), 6) AS log_loss
+    FROM l GROUP BY event_type ORDER BY event_type
+  """
+
+  val mlCalibrationBins: String = s"""
+    WITH $u24Cte
+    SELECT CAST((10 * k + 5) // 16777216 AS INT) AS bin,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(y) AS BIGINT) AS n_pos,
+      round(CAST(2 * sum(k) + count(*) AS DOUBLE) /
+        (CAST(count(*) AS DOUBLE) * 33554432.0), 6) AS mean_p,
+      round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate
+    FROM s GROUP BY 1 ORDER BY 1
+  """
+
+  val mlNdcgBm25: String = s"""
+    WITH $bm25Ctes,
+    top AS (SELECT doc_id, n_terms, bm25 FROM bm
+            ORDER BY bm25 DESC, doc_id LIMIT 15),
+    ranked AS (SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS INTEGER) AS pos, doc_id, n_terms AS rel FROM top),
+    g AS (SELECT pos, doc_id, rel,
+            CAST(round(CAST(rel AS DOUBLE) / log2(pos + 1), 9)
+              AS DECIMAL(28,9)) AS gain
+          FROM ranked),
+    ideal AS (SELECT CAST(row_number() OVER (ORDER BY n_terms DESC, doc_id)
+                AS INTEGER) AS ipos, n_terms AS rel FROM top),
+    i AS (SELECT sum(CAST(round(CAST(rel AS DOUBLE) / log2(ipos + 1), 9)
+            AS DECIMAL(28,9))) AS idcg FROM ideal),
+    d AS (SELECT sum(gain) AS dcg FROM g)
+    SELECT pos, doc_id, rel, CAST(gain AS DOUBLE) AS gain,
+      round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+    FROM g CROSS JOIN d CROSS JOIN i ORDER BY pos
+  """
+
+  val graphClusteringCoeff: String = s"""
+    WITH $thinnedGraphCte,
+    adj AS (SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT a AS node, count(*) AS degree FROM adj GROUP BY 1),
+    wed AS (SELECT x.a AS node, x.b AS u, y.b AS v
+            FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b),
+    closed AS (SELECT node, count(*) AS tri FROM wed
+               WHERE EXISTS (SELECT 1 FROM und
+                             WHERE und.u = wed.u AND und.v = wed.v)
+               GROUP BY node)
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+      CAST(coalesce(c.tri, 0) AS BIGINT) AS triangles,
+      round(CAST(coalesce(c.tri, 0) AS DOUBLE) * 2 /
+        (d.degree * (d.degree - 1)), 6) AS coeff
+    FROM deg d LEFT JOIN closed c ON d.node = c.node
+    WHERE d.degree >= 2 ORDER BY d.node
+  """
+
+  val analyticLorenzGini: String = """
+    WITH rev AS (SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+                 FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS t FROM rev),
+    rk AS (SELECT o_custkey, x,
+             CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+           FROM rev),
+    gini AS (SELECT round(
+               CAST(2 * sum(i * x) - t * (n + 1) AS DOUBLE) /
+               CAST(t * n AS DOUBLE), 6) AS gini
+             FROM rk CROSS JOIN tot GROUP BY t, n),
+    dec AS (SELECT CAST((i - 1) * 10 // n AS INTEGER) + 1 AS decile,
+              count(*) AS n_cust, sum(x) AS rev_d
+            FROM rk CROSS JOIN tot GROUP BY 1),
+    cum AS (SELECT a.decile, sum(b.rev_d) AS cum_rev
+            FROM dec a JOIN dec b ON b.decile <= a.decile GROUP BY 1)
+    SELECT d.decile, CAST(d.n_cust AS BIGINT) AS n_cust,
+      CAST(d.rev_d AS DOUBLE) AS revenue,
+      round(CAST(c.cum_rev AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS cum_share,
+      g.gini
+    FROM dec d JOIN cum c ON d.decile = c.decile
+    CROSS JOIN tot t CROSS JOIN gini g
+    ORDER BY d.decile
+  """
+
+  val analyticMarkovTransitions: String = """
+    WITH p AS (SELECT event_type, lead(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+               FROM events),
+    t AS (SELECT event_type AS from_type, nt AS to_type, count(*) AS n
+          FROM p WHERE nt IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+      round(CAST(t.n AS DOUBLE) / tot.tot, 6) AS p
+    FROM t JOIN tot ON t.from_type = tot.from_type
+    ORDER BY t.from_type, t.to_type
+  """
+
+
   val simHammingTopk: String = """
     WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
                   FROM documents),

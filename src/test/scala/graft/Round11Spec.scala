@@ -281,4 +281,74 @@ class Round11Spec extends AnyFunSuite with SparkFixture {
       .as[(String, Long, Double)].collect().toSeq
     assert(viaHash === viaMerge)
   }
+
+  test("lorenz/gini: deciles partition customers, shares ascend to 1, gini in [0,1)") {
+    import spark.implicits._
+    val rows = graft.ops.Round11Ops4.analyticLorenzGini(spark, sf)
+      .select($"decile", $"n_cust", $"cum_share", $"gini")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    val nCust = Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_._2).sum === nCust)
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "Lorenz cumulative shares must be nondecreasing")
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9)
+    val g = rows.head._4
+    assert(g >= 0.0 && g < 1.0, s"gini $g outside [0,1)")
+  }
+
+  test("markov transitions: per-from probabilities sum to 1, counts conserve pairs") {
+    import spark.implicits._
+    val rows = graft.ops.Round11Ops4.analyticMarkovTransitions(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val sum = ts.map(_._4).sum
+      assert(math.abs(sum - 1.0) < 1e-4, s"$from: P row sums to $sum")
+    }
+    val nPairs = rows.map(_._3).sum
+    val expected = Tables.events(spark, sf).count() -
+      Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(nPairs === expected, "one transition per event except each user's last")
+  }
+
+  test("ndcg: ideal ranking bounds the real one (ndcg in (0,1]), gains discount") {
+    import spark.implicits._
+    val rows = graft.ops.Round11Ops4.mlNdcgBm25(spark, sf)
+      .select($"pos", $"rel", $"gain", $"ndcg")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length === 15)
+    val ndcg = rows.head._4
+    assert(ndcg > 0.0 && ndcg <= 1.0, s"ndcg $ndcg outside (0,1]")
+    rows.foreach { case (pos, rel, gain, _) =>
+      assert(math.abs(gain - rel / (math.log(pos + 1.0) / math.log(2.0))) < 1e-6)
+    }
+  }
+
+  test("calibration bins cover all events; log loss beats neither oracle nor chance wildly") {
+    import spark.implicits._
+    val bins = graft.ops.Round11Ops4.mlCalibrationBins(spark, sf)
+      .select($"n", $"mean_p").as[(Long, Double)].collect()
+    assert(bins.map(_._1).sum === Tables.events(spark, sf).count())
+    assert(bins.forall(b => b._2 >= 0.0 && b._2 <= 1.0))
+    // the pseudo-scores are independent of the labels, so per-type log
+    // loss must sit near -[q ln q̄ + (1-q) ln(1-q̄)]-ish chance levels,
+    // far from 0 (a perfect model) — guards against the score/label
+    // wiring silently inverting or constant-folding
+    val ll = graft.ops.Round11Ops4.mlLogLoss(spark, sf)
+      .select($"log_loss").as[Double].collect()
+    assert(ll.forall(v => v > 0.2 && v < 5.0), s"implausible log loss: ${ll.toSeq}")
+  }
+
+  test("clustering coefficients in [0,1] and consistent with the degree census") {
+    import spark.implicits._
+    val rows = graft.ops.Round11Ops4.graphClusteringCoeff(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (node, deg, tri, c) =>
+      assert(deg >= 2)
+      assert(tri <= deg * (deg - 1) / 2, s"node $node: $tri triangles > C($deg,2)")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
 }
