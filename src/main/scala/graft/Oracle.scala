@@ -4203,4 +4203,125 @@ object Oracle {
     SELECT probe_id, doc_id, hamming, rn
     FROM rk WHERE rn <= 3 ORDER BY probe_id, rn
   """
+
+  // Spearman via midranks on the bounded distinct-value tables:
+  // 2·rank = 2·(#below) + cnt + 1 stays integer; every sum is HUGEINT
+  // (mirrors Spark's DECIMAL(38,0) lane); one double division at the end
+  val mlSpearmanRho: String = """
+    WITH rows_ AS (SELECT l_returnflag g,
+        CAST(l_quantity AS DECIMAL(12,2)) va,
+        CAST(l_discount AS DECIMAL(12,2)) vb FROM lineitem),
+    fa AS (SELECT g, va, CAST(count(*) AS HUGEINT) cnt FROM rows_ GROUP BY 1, 2),
+    fb AS (SELECT g, vb, CAST(count(*) AS HUGEINT) cnt FROM rows_ GROUP BY 1, 2),
+    ra AS (SELECT f.g, f.va, 2 * coalesce(sum(h.cnt), 0) + f.cnt + 1 AS r2
+           FROM fa f LEFT JOIN fa h ON h.g = f.g AND h.va < f.va
+           GROUP BY f.g, f.va, f.cnt),
+    rb AS (SELECT f.g, f.vb, 2 * coalesce(sum(h.cnt), 0) + f.cnt + 1 AS r2
+           FROM fb f LEFT JOIN fb h ON h.g = f.g AND h.vb < f.vb
+           GROUP BY f.g, f.vb, f.cnt),
+    j AS (SELECT r.g, CAST(ra.r2 AS HUGEINT) x, CAST(rb.r2 AS HUGEINT) y
+          FROM rows_ r JOIN ra ON ra.g = r.g AND ra.va = r.va
+                       JOIN rb ON rb.g = r.g AND rb.vb = r.vb),
+    s AS (SELECT g, CAST(count(*) AS HUGEINT) n, sum(x) sx, sum(y) sy,
+            sum(x * x) sxx, sum(y * y) syy, sum(x * y) sxy
+          FROM j GROUP BY g)
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+      round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+    FROM s ORDER BY 1
+  """
+
+  // ECDF difference in exact integer math: D·n1·n2 = |cum1·n2 − cum2·n1|;
+  // argmax tie-break = smallest value
+  val mlKsTest: String = """
+    WITH vals AS (SELECT CAST(value AS DECIMAL(12,2)) v,
+        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END a,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END b
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    perv AS (SELECT v, CAST(sum(a) AS BIGINT) ca, CAST(sum(b) AS BIGINT) cb
+             FROM vals GROUP BY v),
+    cum AS (SELECT v,
+              sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) c1,
+              sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) c2
+            FROM perv),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) na, CAST(sum(b) AS BIGINT) nb
+            FROM vals),
+    e AS (SELECT v, na, nb, abs(c1 * nb - c2 * na) ds FROM cum, tot)
+    SELECT na, nb, CAST(min(v) AS DOUBLE) AS ks_at,
+      round(CAST(ds AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        AS d
+    FROM e WHERE ds = (SELECT max(ds) FROM e)
+    GROUP BY na, nb, ds
+  """
+
+  // first digit from the DECIMAL's canonical string (no float log10
+  // near power-of-ten boundaries); shares rounded BEFORE the deviation
+  val analyticBenfordDigits: String = """
+    WITH d AS (SELECT CAST(substring(
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+        AS INTEGER) AS digit
+      FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 1),
+    tot AS (SELECT count(*) n FROM d),
+    sh AS (SELECT digit, CAST(count(*) AS BIGINT) n_d,
+             round(CAST(count(*) AS DOUBLE) / CAST(max(tot.n) AS DOUBLE), 6)
+               AS share,
+             round(log10(1.0 + 1.0 / digit), 6) AS benford_share
+           FROM d, tot GROUP BY digit)
+    SELECT digit, n_d, share, benford_share,
+      round(abs(share - benford_share), 6) AS abs_dev
+    FROM sh ORDER BY digit
+  """
+
+  // signed net series (purchase credit, error debit); running sum +
+  // running max per user in exact DECIMAL; drawdown = peak − cum
+  val tsMaxDrawdown: String = """
+    WITH p AS (SELECT user_id, ts, event_id,
+        CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+             ELSE -CAST(value AS DECIMAL(12,2)) END v
+      FROM events WHERE event_type IN ('purchase', 'error')),
+    r AS (SELECT user_id, ts, event_id,
+            CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) cum
+          FROM p),
+    r2 AS (SELECT user_id, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) pk
+           FROM r)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      CAST(max(pk) AS DOUBLE) AS final_peak,
+      CAST(max(pk - cum) AS DOUBLE) AS max_drawdown
+    FROM r2 GROUP BY user_id ORDER BY user_id
+  """
+
+  // HHI share-free: Σrev² / (Σrev)² with both sums exact DECIMAL
+  // ((18,2) squares keep precision ≤ 38 on both engines)
+  val analyticHerfindahl: String = """
+    WITH srev AS (SELECT l_suppkey, CAST(sum(CAST(l_extendedprice
+          AS DECIMAL(12,2))) * 100 AS HUGEINT) rc
+      FROM lineitem GROUP BY 1),
+    bys AS (SELECT n.n_name, s.rc
+            FROM srev s JOIN supplier su ON s.l_suppkey = su.s_suppkey
+                        JOIN nation n ON su.s_nationkey = n.n_nationkey)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      CAST(sum(rc) AS DOUBLE) / 100.0 AS total_revenue,
+      round(CAST(sum(rc * rc) AS DOUBLE) /
+        (CAST(sum(rc) AS DOUBLE) * CAST(sum(rc) AS DOUBLE)), 6) AS hhi,
+      round(CAST(max(rc) AS DOUBLE) / CAST(sum(rc) AS DOUBLE), 6) AS cr1
+    FROM bys GROUP BY n_name ORDER BY n_name
+  """
+
+  // K = 10⁴·(Σf² − N)/N² folded from the term-frequency table; integer
+  // until the one scaled division
+  val textYuleK: String = """
+    WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+    tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) f
+           FROM tf GROUP BY 1, 2)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+      CAST(sum(f) AS BIGINT) AS n_tokens,
+      round(10000.0 * CAST(sum(f * f) - sum(f) AS DOUBLE) /
+        (CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE)), 6) AS yule_k
+    FROM tc GROUP BY lang ORDER BY lang
+  """
 }
