@@ -4311,6 +4311,155 @@ object Oracle {
     FROM bys GROUP BY n_name ORDER BY n_name
   """
 
+  // confusion cells exact; kappa/MCC products on HUGEINT (Spark:
+  // DECIMAL(38,0)); MCC denominator as two pairwise sqrts, mirroring
+  // the Spark tree exactly
+  val mlKappaMcc: String = """
+    WITH s AS (SELECT event_type,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END y,
+        CASE WHEN CAST(concat('0x', substring(
+          md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) >= 8388608
+          THEN 1 ELSE 0 END yh
+      FROM events),
+    c AS (SELECT event_type,
+        CAST(count(CASE WHEN y = 1 AND yh = 1 THEN 1 END) AS HUGEINT) tp,
+        CAST(count(CASE WHEN y = 0 AND yh = 1 THEN 1 END) AS HUGEINT) fp,
+        CAST(count(CASE WHEN y = 1 AND yh = 0 THEN 1 END) AS HUGEINT) fn,
+        CAST(count(CASE WHEN y = 0 AND yh = 0 THEN 1 END) AS HUGEINT) tn
+      FROM s GROUP BY 1)
+    SELECT event_type, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      round(CAST(tp * tn - fp * fn AS DOUBLE) * 2 /
+        CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) AS DOUBLE), 6)
+        AS kappa,
+      round(CAST(tp * tn - fp * fn AS DOUBLE) /
+        (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)) *
+         sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE))), 6) AS mcc
+    FROM c ORDER BY event_type
+  """
+
+  // decile 1 = top-scored 10%; cumulative sums on the 10-row decile
+  // table via the triangular join
+  val mlGainLift: String = """
+    WITH s AS (SELECT
+        CAST(concat('0x', substring(
+          md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) k,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END y
+      FROM events),
+    dec AS (SELECT 10 - CAST((10 * k + 5) // 16777216 AS INT) AS decile,
+              CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) pos
+            FROM s GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) nt, CAST(sum(pos) AS BIGINT) pt
+            FROM dec),
+    cum AS (SELECT a.decile, a.n, a.pos,
+              CAST(sum(b.n) AS BIGINT) cn, CAST(sum(b.pos) AS BIGINT) cpos
+            FROM dec a JOIN dec b ON b.decile <= a.decile
+            GROUP BY a.decile, a.n, a.pos)
+    SELECT decile, n, pos,
+      round(CAST(cpos AS DOUBLE) / pt, 6) AS gain,
+      round(CAST(cpos AS DOUBLE) * nt / (CAST(pt AS DOUBLE) * cn), 6) AS lift
+    FROM cum, tot ORDER BY decile
+  """
+
+  // md5-parity cohorts; pooled-variance z with the identical operation
+  // tree as the Spark side
+  val analyticAbtestZtest: String = """
+    WITH u AS (SELECT user_id,
+        max(CASE WHEN event_type = 'purchase'
+            AND CAST(value AS DECIMAL(12,2)) >= 200 THEN 1 ELSE 0 END) conv
+      FROM events GROUP BY 1),
+    g AS (SELECT conv, CAST(concat('0x', substring(
+        md5(CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 2 grp
+      FROM u),
+    c AS (SELECT
+        CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) n_a,
+        CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) n_b,
+        CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) conv_a,
+        CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) conv_b
+      FROM g)
+    SELECT n_a, n_b, conv_a, conv_b,
+      round(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+      round(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+      round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+        sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+          (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+          (1.0 / n_a + 1.0 / n_b)), 6) AS z
+    FROM c
+  """
+
+  // symmetrized endpoint-degree Pearson: r = (M·Σxy − S1²)/(M·Σx² − S1²)
+  // over the directed edge list, all sums exact HUGEINT
+  val graphAssortativity: String = s"""
+    WITH $thinnedGraphCte,
+    adj AS (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT a node, CAST(count(*) AS HUGEINT) degree
+            FROM adj GROUP BY 1),
+    e AS (SELECT dx.degree jx, dy.degree jy
+          FROM adj JOIN deg dx ON adj.a = dx.node
+                   JOIN deg dy ON adj.b = dy.node),
+    st AS (SELECT CAST(count(*) AS HUGEINT) m, sum(jx) s1,
+             sum(jx * jx) s2, sum(jx * jy) se FROM e)
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+      round(CAST(m * se - s1 * s1 AS DOUBLE) /
+        CAST(m * s2 - s1 * s1 AS DOUBLE), 6) AS assortativity
+    FROM st
+  """
+
+  // per-term JS contribution in doubles from exact counts, rounded
+  // into the 9-dp lane before the order-free sum
+  val textJsDivergence: String = """
+    WITH ca AS (SELECT term, CAST(count(*) AS BIGINT) ca FROM (
+          SELECT unnest(string_split(text, ' ')) term
+          FROM documents WHERE lang = 'en') GROUP BY 1),
+    cb AS (SELECT term, CAST(count(*) AS BIGINT) cb FROM (
+          SELECT unnest(string_split(text, ' ')) term
+          FROM documents WHERE lang = 'de') GROUP BY 1),
+    j AS (SELECT coalesce(ca.term, cb.term) term,
+            coalesce(ca.ca, 0) ca, coalesce(cb.cb, 0) cb
+          FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) na, CAST(sum(cb) AS BIGINT) nb
+            FROM j),
+    k AS (SELECT ca, cb,
+            CAST(ca AS DOUBLE) / na p, CAST(cb AS DOUBLE) / nb q
+          FROM j, tot),
+    c AS (SELECT ca, cb, CAST(round(
+            (CASE WHEN ca > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0.0 END +
+             CASE WHEN cb > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0.0 END)
+            / 2, 9) AS DECIMAL(28,9)) con
+          FROM k)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      CAST(count(CASE WHEN ca > 0 AND cb > 0 THEN 1 END) AS BIGINT)
+        AS n_shared,
+      round(CAST(sum(con) AS DOUBLE), 6) AS jsd_bits
+    FROM c
+  """
+
+  // median of pairwise slopes: explicit middle order statistics over
+  // the bounded daily series (no interpolation-formula drift)
+  val tsTheilSen: String = """
+    WITH daily AS (SELECT event_type,
+        CAST(date_trunc('day', ts) AS DATE) d,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) v
+      FROM events GROUP BY 1, 2),
+    dn AS (SELECT event_type, v,
+             date_diff('day', DATE '2024-01-01', d) dnum FROM daily),
+    pairs AS (SELECT x.event_type,
+        CAST(round(CAST(y.v - x.v AS DOUBLE) / (y.dnum - x.dnum), 9)
+          AS DECIMAL(28,9)) slope,
+        x.dnum i, y.dnum j
+      FROM dn x JOIN dn y ON x.event_type = y.event_type
+        AND x.dnum < y.dnum),
+    rk AS (SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY slope, i, j) rn,
+             count(*) OVER (PARTITION BY event_type) np
+           FROM pairs)
+    SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+      round(CAST(sum(slope) AS DOUBLE) / count(*), 6) AS theil_sen_slope
+    FROM rk WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+    GROUP BY event_type ORDER BY event_type
+  """
+
   // K = 10⁴·(Σf² − N)/N² folded from the term-frequency table; integer
   // until the one scaled division
   val textYuleK: String = """
