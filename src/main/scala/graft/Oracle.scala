@@ -4460,6 +4460,140 @@ object Oracle {
     GROUP BY event_type ORDER BY event_type
   """
 
+  // last preceding non-purchase touch via IGNORE NULLS window;
+  // no-touch purchases credit 'direct'
+  val analyticAttribution: String = """
+    WITH t AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) v,
+        last_value(CASE WHEN event_type <> 'purchase'
+            THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) chan
+      FROM events)
+    SELECT coalesce(chan, 'direct') AS channel,
+      CAST(count(*) AS BIGINT) AS n_purchases,
+      CAST(sum(v) AS DOUBLE) AS revenue
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+  """
+
+  // one hash aggregate to 10 bins; threshold sweep on the bounded bin
+  // table; F1 fraction-free as 2tp/(2tp+fp+fn)
+  val mlThresholdSweep: String = """
+    WITH s AS (SELECT
+        CAST(concat('0x', substring(
+          md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) k,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END y
+      FROM events),
+    bins AS (SELECT CAST((10 * k + 5) // 16777216 AS INT) bin,
+               CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) pos
+             FROM s GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) nt, CAST(sum(pos) AS BIGINT) pt
+            FROM bins),
+    cum AS (SELECT a.bin, CAST(sum(b.n) AS BIGINT) cn,
+              CAST(sum(b.pos) AS BIGINT) tp
+            FROM bins a JOIN bins b ON b.bin >= a.bin GROUP BY a.bin)
+    SELECT 10 - bin AS decile, tp, cn - tp AS fp, pt - tp AS fn,
+      round(CAST(tp AS DOUBLE) / cn, 6) AS precision,
+      round(CAST(tp AS DOUBLE) / pt, 6) AS recall,
+      round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + (cn - tp) + (pt - tp)), 6)
+        AS f1
+    FROM cum, tot ORDER BY decile
+  """
+
+  // Heaps' law: nano-integer ln lane (ln×10⁹ rounded) makes the OLS
+  // sums exact HUGEINT; scale cancels in beta, one /1e9 for ln_k
+  val textHeapsFit: String = """
+    WITH tf AS (SELECT source, unnest(string_split(text, ' ')) term
+                FROM documents),
+    tc AS (SELECT source, term, count(*) f FROM tf GROUP BY 1, 2),
+    ps AS (SELECT source, CAST(sum(f) AS BIGINT) n_tokens,
+             CAST(count(*) AS BIGINT) n_types FROM tc GROUP BY 1),
+    nano AS (SELECT
+        CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9, 0) AS HUGEINT) x,
+        CAST(round(ln(CAST(n_types AS DOUBLE)) * 1e9, 0) AS HUGEINT) y
+      FROM ps),
+    s AS (SELECT CAST(count(*) AS HUGEINT) n, sum(x) sx, sum(y) sy,
+            sum(x * x) sxx, sum(x * y) sxy FROM nano)
+    SELECT CAST(n AS BIGINT) AS n_sources,
+      round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+      round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        CAST(n * sxx - sx * sx AS DOUBLE) / 1e9, 6) AS ln_k
+    FROM s
+  """
+
+  // ANSI percentile_disc = first value with cume_dist >= p (mirrors
+  // aggPercentileDisc's construction); fences exact DECIMAL at scale 3
+  val pipelineAnomalyIqr: String = """
+    WITH v AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) v
+               FROM events),
+    cd AS (SELECT event_type, v,
+             cume_dist() OVER (PARTITION BY event_type ORDER BY v) c
+           FROM v),
+    q AS (SELECT event_type,
+            min(CASE WHEN c >= 0.25 THEN v END) q1,
+            min(CASE WHEN c >= 0.75 THEN v END) q3
+          FROM cd GROUP BY 1)
+    SELECT v.event_type,
+      CAST(q.q1 AS DOUBLE) AS q1, CAST(q.q3 AS DOUBLE) AS q3,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(count(CASE WHEN v.v < q.q1 - 1.5 * (q.q3 - q.q1)
+        THEN 1 END) AS BIGINT) AS n_low,
+      CAST(count(CASE WHEN v.v > q.q3 + 1.5 * (q.q3 - q.q1)
+        THEN 1 END) AS BIGINT) AS n_high
+    FROM v JOIN q ON v.event_type = q.event_type
+    GROUP BY v.event_type, q.q1, q.q3
+    ORDER BY v.event_type
+  """
+
+  // per-dimension centroids rounded into DECIMAL(12,6) right after the
+  // avg (simCentroidDistance protocol); dot/norm folds exact decimal
+  val simLangCentroidMatrix: String = """
+    WITH ex AS (SELECT d.lang,
+        unnest(range(len(e.embedding))) AS pos,
+        unnest(e.embedding::DOUBLE[]) AS v
+      FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id),
+    cent AS (SELECT lang, pos,
+               CAST(round(avg(v), 6) AS DECIMAL(12,6)) c
+             FROM ex GROUP BY 1, 2),
+    pr AS (SELECT a.lang la, b.lang lb,
+             sum(a.c * b.c) dot, sum(a.c * a.c) na2, sum(b.c * b.c) nb2
+           FROM cent a JOIN cent b ON a.pos = b.pos AND a.lang <= b.lang
+           GROUP BY 1, 2)
+    SELECT la AS lang_a, lb AS lang_b,
+      round(CAST(dot AS DOUBLE) /
+        (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)
+        AS cosine
+    FROM pr ORDER BY lang_a, lang_b
+  """
+
+  // F = SS_between/SS_total of daily counts by ISO weekday; S_w²/n_w
+  // terms rounded into the 9-dp lane before the bounded 7-row sum
+  val tsSeasonalStrength: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS HUGEINT) cnt
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(count(*) AS HUGEINT) n,
+              sum(cnt) s, sum(cnt * cnt) ss
+            FROM daily GROUP BY 1),
+    bd AS (SELECT event_type, isodow(d) dow,
+             CAST(count(*) AS HUGEINT) nw, sum(cnt) sw
+           FROM daily GROUP BY 1, 2),
+    bw AS (SELECT event_type,
+             sum(CAST(round(CAST(sw * sw AS DOUBLE) /
+               CAST(nw AS DOUBLE), 9) AS DECIMAL(28,9))) bw
+           FROM bd GROUP BY 1)
+    SELECT t.event_type, CAST(t.n AS BIGINT) AS n_days,
+      round((CAST(bw.bw AS DOUBLE) -
+          CAST(t.s * t.s AS DOUBLE) / CAST(t.n AS DOUBLE)) /
+        (CAST(t.ss AS DOUBLE) -
+          CAST(t.s * t.s AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+        AS seasonal_strength
+    FROM tot t JOIN bw ON t.event_type = bw.event_type
+    ORDER BY t.event_type
+  """
+
   // K = 10⁴·(Σf² − N)/N² folded from the term-frequency table; integer
   // until the one scaled division
   val textYuleK: String = """
