@@ -4594,6 +4594,105 @@ object Oracle {
     ORDER BY t.event_type
   """
 
+  // 15-min epoch grid mirrors Spark's window(ts,'15 minutes')
+  val streamAlertWindows: String = """
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(floor(epoch(ts)/900)*900 AS BIGINT)) AS win_start,
+      event_type, CAST(count(*) AS BIGINT) AS n_alerts,
+      CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+    FROM events WHERE CAST(value AS DECIMAL(12,2)) >= 400
+    GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
+  // caching is plan-level only — the result is the plain two-band
+  // rollup (ties broken by name)
+  val scaleCacheReuse: String = """
+    WITH r AS (SELECT n.n_name,
+        sum(CAST(l_extendedprice AS DECIMAL(12,2))) rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1),
+    t AS (SELECT 'top' band, n_name, rev FROM r
+          ORDER BY rev DESC, n_name LIMIT 3),
+    b AS (SELECT 'bottom' band, n_name, rev FROM r
+          ORDER BY rev ASC, n_name LIMIT 3)
+    SELECT band, n_name, CAST(rev AS DOUBLE) AS revenue
+    FROM (SELECT * FROM t UNION ALL SELECT * FROM b)
+    ORDER BY band, n_name
+  """
+
+  // per-edge neighborhood Jaccard: wedge join for common neighbors,
+  // |N(u)\{v} ∪ N(v)\{u}| = deg(u)+deg(v)−2−cn all-integer
+  val graphJaccardNeighbors: String = s"""
+    WITH $thinnedGraphCte,
+    adj AS (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT a node, CAST(count(*) AS BIGINT) degree
+            FROM adj GROUP BY 1),
+    cn AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) common
+           FROM und e JOIN adj x ON x.a = e.u
+                      JOIN adj y ON y.a = e.v AND y.b = x.b
+           WHERE x.b <> e.u AND x.b <> e.v
+           GROUP BY e.u, e.v)
+    SELECT e.u, e.v, coalesce(cn.common, 0) AS common,
+      du.degree + dv.degree - 2 - coalesce(cn.common, 0) AS union_size,
+      CASE WHEN du.degree + dv.degree - 2 - coalesce(cn.common, 0) > 0
+        THEN round(CAST(coalesce(cn.common, 0) AS DOUBLE) /
+          (du.degree + dv.degree - 2 - coalesce(cn.common, 0)), 6)
+        ELSE 0.0 END AS jaccard
+    FROM und e LEFT JOIN cn ON e.u = cn.u AND e.v = cn.v
+               JOIN deg du ON e.u = du.node
+               JOIN deg dv ON e.v = dv.node
+    ORDER BY e.u, e.v
+  """
+
+  // conditional-aggregate one-hot pivot; spend exact DECIMAL
+  val mlOneHotFeatures: String = """
+    SELECT user_id,
+      CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        AS n_click,
+      CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        AS n_view,
+      CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+        AS n_signup,
+      CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+        AS n_error,
+      CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        AS n_purchase,
+      CAST(sum(CASE WHEN event_type = 'purchase'
+        THEN CAST(value AS DECIMAL(12,2))
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS spend
+    FROM events GROUP BY user_id ORDER BY user_id
+  """
+
+  // m-estimate fraction-free: (n_g·pos_c + m·pos_g)/(n_g·(n_c+m)),
+  // both sides exact HUGEINT
+  val mlTargetEncode: String = """
+    WITH cat AS (SELECT event_type, CAST(count(*) AS HUGEINT) n,
+        CAST(sum(CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50
+          THEN 1 ELSE 0 END) AS HUGEINT) pos
+      FROM events GROUP BY 1),
+    g AS (SELECT sum(n) ng, sum(pos) posg FROM cat)
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+      round(CAST(ng * pos + posg * 20 AS DOUBLE) /
+        CAST(ng * (n + 20) AS DOUBLE), 6) AS target_enc
+    FROM cat, g ORDER BY event_type
+  """
+
+  // outer-unnest via sentinel [NULL] for empty lists (the LEFT JOIN
+  // LATERAL shape); count(term) skips nulls, preserving the contract
+  val fnExplodeOuter: String = """
+    WITH t AS (SELECT doc_id, lang,
+        unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) term
+      FROM (SELECT doc_id, lang,
+              list_filter(string_split(text, ' '), x -> x LIKE 'q%') l
+            FROM documents))
+    SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(count(term) AS BIGINT) AS n_rare,
+      CAST(count(CASE WHEN term IS NULL THEN 1 END) AS BIGINT)
+        AS n_docs_without
+    FROM t GROUP BY lang ORDER BY lang
+  """
+
   // K = 10⁴·(Σf² − N)/N² folded from the term-frequency table; integer
   // until the one scaled division
   val textYuleK: String = """

@@ -409,4 +409,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"),
       s"hinted join must not fall back to sort-merge:\n${p.take(2000)}")
   }
+
+  test("cache-reuse: both band branches read the InMemory rollup, not lineitem") {
+    // the op's point: the corpus-sized aggregate materializes ONCE;
+    // each consumer scans the |nations|-sized cached relation
+    val df = graft.ops.Round11Ops8.scaleCacheReuse(spark, sf)
+    try {
+      val p = plan(df)
+      val scans = p.linesIterator.count(_.contains("TableCacheQueryStage"))
+      assert(p.contains("InMemoryTableScan") || scans >= 2,
+        s"cached rollup must serve the branches:\n${p.take(3000)}")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
 }
