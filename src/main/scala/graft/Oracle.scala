@@ -4693,6 +4693,127 @@ object Oracle {
     FROM t GROUP BY lang ORDER BY lang
   """
 
+  // division-free crossover: sma5 > sma20 ⇔ 4·sum5 > sum20 in exact
+  // integer cents; full 20-day frames only
+  val tsSmaCrossover: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS HUGEINT) c
+      FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, d,
+        sum(c) OVER (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) s5,
+        sum(c) OVER (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) s20,
+        count(*) OVER (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) nf
+      FROM daily),
+    f AS (SELECT event_type, d,
+            CASE WHEN s5 * 4 > s20 THEN 1 ELSE 0 END above
+          FROM w WHERE nf = 20),
+    g AS (SELECT event_type, d, above,
+            lag(above) OVER (PARTITION BY event_type ORDER BY d) prev
+          FROM f)
+    SELECT event_type, d AS cross_date,
+      CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS direction
+    FROM g WHERE prev IS NOT NULL AND above <> prev
+    ORDER BY event_type, cross_date
+  """
+
+  // first-ever activity day per user classifies each active (user,day)
+  val analyticNewReturning: String = """
+    WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d
+                    FROM events),
+    fd AS (SELECT user_id, min(d) first_d FROM active GROUP BY 1)
+    SELECT a.d,
+      CAST(count(CASE WHEN a.d = fd.first_d THEN 1 END) AS BIGINT) AS n_new,
+      CAST(count(CASE WHEN a.d <> fd.first_d THEN 1 END) AS BIGINT)
+        AS n_returning
+    FROM active a JOIN fd ON a.user_id = fd.user_id
+    GROUP BY a.d ORDER BY a.d
+  """
+
+  // 7-row centered frames in integer cents; median/MAD are explicit
+  // lower-middle order statistics (DuckDB lists are 1-based)
+  val tsHampelFilter: String = """
+    WITH s AS (SELECT event_type, ts, event_id,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) c
+      FROM events),
+    fr AS (SELECT event_type, c,
+        list(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) f
+      FROM s),
+    m AS (SELECT event_type, c, f,
+            list_sort(f)[(len(f) + 1) // 2] med
+          FROM fr),
+    d AS (SELECT event_type, c, med,
+            list_sort(list_transform(f, x -> abs(x - med)))
+              [(len(f) + 1) // 2] mad
+          FROM m)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN abs(c - med) > mad * 3 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_flagged
+    FROM d GROUP BY event_type ORDER BY event_type
+  """
+
+  // AP by the rank definition; oracle may use a plain window (no
+  // scale constraint on the oracle side); precision@rank rides the
+  // 9-dp lane so the mean is order-free
+  val mlAveragePrecision: String = """
+    WITH s AS (SELECT event_type, event_id,
+        CAST(concat('0x', substring(
+          md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) k,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END y
+      FROM events),
+    r AS (SELECT event_type, y,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY k DESC, event_id) rnk,
+        sum(y) OVER (PARTITION BY event_type ORDER BY k DESC, event_id
+          ROWS UNBOUNDED PRECEDING) cp
+      FROM s),
+    p AS (SELECT event_type,
+            CAST(round(CAST(cp AS DOUBLE) / rnk, 9) AS DECIMAL(28,9)) prec
+          FROM r WHERE y = 1)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos,
+      round(CAST(sum(prec) AS DOUBLE) / count(*), 6) AS avg_precision
+    FROM p GROUP BY event_type ORDER BY event_type
+  """
+
+  // bounded size domain; cumulative share via the triangular join
+  val analyticBasketSizeDist: String = """
+    WITH sz AS (SELECT l_orderkey, count(*) s FROM lineitem GROUP BY 1),
+    h AS (SELECT s, CAST(count(*) AS BIGINT) n_orders FROM sz GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_orders) AS BIGINT) nt FROM h),
+    cum AS (SELECT a.s, a.n_orders, CAST(sum(b.n_orders) AS BIGINT) cn
+            FROM h a JOIN h b ON b.s <= a.s GROUP BY a.s, a.n_orders)
+    SELECT s AS basket_size, n_orders,
+      round(CAST(n_orders AS DOUBLE) / nt, 6) AS share,
+      round(CAST(cn AS DOUBLE) / nt, 6) AS cum_share
+    FROM cum, tot ORDER BY basket_size
+  """
+
+  // B=32 deterministic half-subsamples; replica means exact cents →
+  // 9-dp lane; band = explicit 2nd/31st order statistics
+  val mlSubsampleCi: String = """
+    WITH reps AS (SELECT event_type, b,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) c
+      FROM events, (SELECT unnest(range(32)) b)
+      WHERE CAST(concat('0x', substring(md5(
+          concat(CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))),
+          1, 6)) AS BIGINT) < 8388608),
+    means AS (SELECT event_type, b,
+        CAST(round(CAST(sum(c) AS DOUBLE) /
+          (CAST(count(*) AS DOUBLE) * 100.0), 9) AS DECIMAL(28,9)) m
+      FROM reps GROUP BY 1, 2),
+    rk AS (SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m, b) rn
+           FROM means)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_replicas,
+      round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS mean_of_means,
+      round(CAST(max(CASE WHEN rn = 2 THEN m END) AS DOUBLE), 6) AS lo_band,
+      round(CAST(max(CASE WHEN rn = 31 THEN m END) AS DOUBLE), 6) AS hi_band
+    FROM rk GROUP BY event_type ORDER BY event_type
+  """
+
   // K = 10⁴·(Σf² − N)/N² folded from the term-frequency table; integer
   // until the one scaled division
   val textYuleK: String = """

@@ -1,0 +1,190 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-11 widening, part 9: SMA crossover signals, new-vs-returning
+  * user split, Hampel outlier filter, exact average precision
+  * (PR-AUC), basket-size distribution, and md5-seeded subsample
+  * confidence bands.
+  */
+object Round11Ops9 {
+
+  /** Golden/death-cross detection: trailing SMA(5) vs SMA(20) of
+    * daily revenue per event type, evaluated only on days with full
+    * frames. The comparison NEVER divides — sma5 > sma20 ⇔
+    * 4·sum5 > sum20 in exact integer cents — so crossings are
+    * bit-identical on any engine. Daily rollup bounds the series;
+    * the two running sums are partitioned windows over it.
+    */
+  def tsSmaCrossover(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg((sum(money($"value")) * 100).cast(DecimalType(38, 0)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val sig = daily
+      .withColumn("s5", sum($"c").over(w.rowsBetween(-4, 0)))
+      .withColumn("s20", sum($"c").over(w.rowsBetween(-19, 0)))
+      .withColumn("nf", count(lit(1)).over(w.rowsBetween(-19, 0)))
+      .filter($"nf" === 20)
+      .withColumn("above", ($"s5" * 4 > $"s20").cast(IntegerType))
+      .withColumn("prev", lag($"above", 1).over(w))
+      .filter($"prev".isNotNull && $"above" =!= $"prev")
+    sig.select($"event_type", $"d".as("cross_date"),
+        when($"above" === 1, lit("golden")).otherwise(lit("death"))
+          .as("direction"))
+      .orderBy($"event_type", $"cross_date")
+  }
+
+  /** New-vs-returning daily active users — the canonical product
+    * growth split. A user's first-ever activity day comes from one
+    * user-keyed aggregate (natural shard key); each active (user,day)
+    * then classifies by comparing against it. Two hash aggregates +
+    * one user-keyed join; counts exact.
+    */
+  def analyticNewReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val active = events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val firstDay = active.groupBy($"user_id").agg(min($"d").as("first_d"))
+    active.join(firstDay, "user_id")
+      .groupBy($"d")
+      .agg(count(when($"d" === $"first_d", 1)).as("n_new"),
+        count(when($"d" =!= $"first_d", 1)).as("n_returning"))
+      .orderBy($"d")
+  }
+
+  /** Hampel outlier filter per event type: a 7-row centered rolling
+    * window flags x when |x − median| > 3·MAD, ENTIRELY in integer
+    * cents — frame medians and MADs are explicit order statistics of
+    * the sorted frame array (lower middle for even sizes), so there
+    * is no float anywhere in the decision. Partition-edge frames
+    * (size < 7) use the same lower-middle rule, documented and
+    * mirrored by the oracle. The robust streaming-ish sibling of the
+    * global MAD screen (pipeline_anomaly_mad).
+    */
+  def tsHampelFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(-3, 3)
+    val framed = events(spark, sfDir)
+      .select($"event_type", $"ts", $"event_id",
+        (money($"value") * 100).cast(LongType).as("c"))
+      .withColumn("fr", collect_list($"c").over(w))
+      .withColumn("med", expr("array_sort(fr)[(size(fr) + 1) DIV 2 - 1]"))
+      .withColumn("devs", expr("transform(fr, x -> abs(x - med))"))
+      .withColumn("mad", expr("array_sort(devs)[(size(devs) + 1) DIV 2 - 1]"))
+      .withColumn("flag", (abs($"c" - $"med") > $"mad" * 3).cast(LongType))
+    framed.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"flag").as("n_flagged"))
+      .orderBy($"event_type")
+  }
+
+  /** EXACT average precision (area under the PR curve by the rank
+    * definition): AP = mean over positives of precision@rank, ranked
+    * by md5-uniform score descending. The global rank per event type
+    * uses the two-phase bucket pattern on the BOUNDED 24-bit score
+    * domain (bucket = k div 2¹⁸ → 64 buckets; in-bucket rank under a
+    * PARTITIONED window + offsets from the tiny triangular bucket
+    * join) — no unpartitioned window at any corpus size. Each
+    * positive's precision lands in the 9-dp DECIMAL lane so the AP
+    * sum is order-free. Completes the ranking scoreboard next to
+    * ml_auc_rank (ROC) and ml_ndcg_bm25.
+    */
+  def mlAveragePrecision(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = events(spark, sfDir)
+      .withColumn("k",
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"))
+      .withColumn("y", (money($"value") >= lit(50)).cast(LongType))
+      .withColumn("bk", expr("k DIV 262144"))
+      .select($"event_type", $"event_id", $"k", $"y", $"bk")
+    val wIn = Window.partitionBy($"event_type", $"bk")
+      .orderBy($"k".desc, $"event_id")
+    val inb = scored
+      .withColumn("rn_in", row_number().over(wIn))
+      .withColumn("cp_in", sum($"y").over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bTot = scored.groupBy($"event_type", $"bk")
+      .agg(count(lit(1)).as("bn"), sum($"y").as("bp"))
+    val offs = bTot.as("a").join(bTot.as("b"),
+        $"a.event_type" === $"b.event_type" && $"b.bk" > $"a.bk", "left")
+      .groupBy($"a.event_type".as("event_type"), $"a.bk".as("bk"))
+      .agg(coalesce(sum($"b.bn"), lit(0L)).as("off_n"),
+        coalesce(sum($"b.bp"), lit(0L)).as("off_p"))
+    val ranked = inb.join(offs, Seq("event_type", "bk"))
+      .select($"event_type", $"y",
+        ($"rn_in" + $"off_n").as("rank"),
+        ($"cp_in" + $"off_p").as("cum_pos"))
+    ranked.filter($"y" === 1)
+      .select($"event_type",
+        round($"cum_pos".cast(DoubleType) / $"rank", 9)
+          .cast(DecimalType(28, 9)).as("prec"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pos"),
+        round(sum($"prec").cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_precision"))
+      .orderBy($"event_type")
+  }
+
+  /** Order-size (basket) distribution with cumulative share: how many
+    * line items a typical order carries. Sizes are a BOUNDED domain,
+    * so the cumulative share runs on the tiny size table via the
+    * triangular join after one corpus hash aggregate. The order-shape
+    * profile behind pipeline planning (join fan-outs, basket mining
+    * support thresholds).
+    */
+  def analyticBasketSizeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = lineitem(spark, sfDir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_orders"))
+    val tot = sizes.agg(sum($"n_orders").as("nt"))
+    val cum = sizes.as("a").join(sizes.as("b"), $"b.sz" <= $"a.sz")
+      .groupBy($"a.sz".as("sz"), $"a.n_orders".as("n_orders"))
+      .agg(sum($"b.n_orders").as("cn"))
+    cum.crossJoin(broadcast(tot))
+      .select($"sz".as("basket_size"), $"n_orders",
+        round($"n_orders".cast(DoubleType) / $"nt", 6).as("share"),
+        round($"cn".cast(DoubleType) / $"nt", 6).as("cum_share"))
+      .orderBy($"basket_size")
+  }
+
+  /** Subsample stability band for the mean event value (m-out-of-n
+    * bootstrap, B = 32): replica b keeps rows whose md5(event_id:b)
+    * 24-bit draw falls below 2²³ (~half), each replica mean is exact
+    * integer cents over a count, and the band is explicit order
+    * statistics (2nd / 31st of 32) — fully deterministic error bars,
+    * no RNG state. Corpus cost: ONE pass over a 32× row explosion
+    * with map-side partial aggregation; shuffle is 32·|types| rows.
+    * The honest answer to "how stable is this metric" at scales where
+    * true resampling is unaffordable.
+    */
+  def mlSubsampleCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val reps = events(spark, sfDir)
+      .select($"event_type", $"event_id", (money($"value") * 100)
+        .cast(DecimalType(38, 0)).as("c"))
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .withColumn("draw", expr(
+        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', " +
+          "CAST(b AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .filter($"draw" < 8388608L)
+    val means = reps.groupBy($"event_type", $"b")
+      .agg(round(sum($"c").cast(DoubleType) /
+          (count(lit(1)).cast(DoubleType) * 100.0), 9)
+        .cast(DecimalType(28, 9)).as("m"))
+    val wb = Window.partitionBy($"event_type").orderBy($"m", $"b")
+    means.withColumn("rn", row_number().over(wb))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_replicas"),
+        round(sum($"m").cast(DoubleType) / count(lit(1)), 6).as("mean_of_means"),
+        round(max(when($"rn" === 2, $"m")).cast(DoubleType), 6).as("lo_band"),
+        round(max(when($"rn" === 31, $"m")).cast(DoubleType), 6).as("hi_band"))
+      .orderBy($"event_type")
+  }
+}
