@@ -4827,4 +4827,110 @@ object Oracle {
         (CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE)), 6) AS yule_k
     FROM tc GROUP BY lang ORDER BY lang
   """
+
+  // sqrt/division-free band test: |c-mean| > 2sigma over a 20-row
+  // frame <=> (20c - s)^2 > 4*(20*ss - s^2) in exact integer cents
+  val tsBollingerBands: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS HUGEINT) c
+      FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, c,
+        sum(c) OVER fr s, sum(c * c) OVER fr ss, count(*) OVER fr nf
+      FROM daily
+      WINDOW fr AS (PARTITION BY event_type ORDER BY d
+        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    f AS (SELECT event_type, c * 20 - s dev,
+            (c * 20 - s) * (c * 20 - s) > 4 * (ss * 20 - s * s) brk
+          FROM w WHERE nf = 20)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      CAST(sum(CASE WHEN brk AND dev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_break_up,
+      CAST(sum(CASE WHEN brk AND dev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_break_down
+    FROM f GROUP BY event_type ORDER BY event_type
+  """
+
+  // Monday-aligned weeks both engines; one double division of exact
+  // counts
+  val analyticStickiness: String = """
+    WITH active AS (SELECT DISTINCT event_type, CAST(ts AS DATE) d,
+        user_id FROM events),
+    wk AS (SELECT event_type, CAST(date_trunc('week', d) AS DATE) week_start,
+        CAST(count(*) AS BIGINT) dau_sum,
+        CAST(count(DISTINCT d) AS BIGINT) n_days,
+        CAST(count(DISTINCT user_id) AS BIGINT) wau
+      FROM active GROUP BY 1, 2)
+    SELECT event_type, week_start, dau_sum, n_days, wau,
+      round(CAST(dau_sum AS DOUBLE) / (CAST(n_days AS DOUBLE) * wau), 6)
+        AS stickiness
+    FROM wk ORDER BY event_type, week_start
+  """
+
+  // per-row logs in the 9-dp lane scaled to integer nano-units so all
+  // four moment sums are exact; one double division for the slope
+  val analyticPriceElasticity: String = """
+    WITH j AS (SELECT p.p_type,
+        CAST(CAST(round(ln(CAST(CAST(p.p_retailprice AS DECIMAL(12,2))
+          AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS HUGEINT) x,
+        CAST(CAST(round(ln(CAST(CAST(l.l_quantity AS DECIMAL(12,2))
+          AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS HUGEINT) y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    m AS (SELECT p_type, CAST(count(*) AS BIGINT) n,
+        sum(x) sx, sum(y) sy, sum(x * y) sxy, sum(x * x) sxx
+      FROM j GROUP BY 1)
+    SELECT p_type, n,
+      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS elasticity
+    FROM m ORDER BY p_type
+  """
+
+  // WOE = ln((pos*N)/(neg*P)); IV term multiplies the exact
+  // distribution gap by it — all per-row scalar math
+  val mlWoeIv: String = """
+    WITH seg AS (SELECT c.c_mktsegment,
+        CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+          AS BIGINT) pos,
+        CAST(sum(CASE WHEN o.o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+          AS BIGINT) neg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    tot AS (SELECT sum(pos) tp, sum(neg) tn FROM seg)
+    SELECT s.c_mktsegment, s.pos, s.neg,
+      round(ln((CAST(s.pos AS DOUBLE) * CAST(t.tn AS DOUBLE)) /
+        (CAST(s.neg AS DOUBLE) * CAST(t.tp AS DOUBLE))), 6) AS woe,
+      round((CAST(s.pos AS DOUBLE) / CAST(t.tp AS DOUBLE) -
+          CAST(s.neg AS DOUBLE) / CAST(t.tn AS DOUBLE)) *
+        round(ln((CAST(s.pos AS DOUBLE) * CAST(t.tn AS DOUBLE)) /
+          (CAST(s.neg AS DOUBLE) * CAST(t.tp AS DOUBLE))), 6), 6)
+        AS iv_term
+    FROM seg s CROSS JOIN tot t ORDER BY s.c_mktsegment
+  """
+
+  // the oracle checks what it can without the cipher: recovered
+  // plaintext and the PKCS-padded length (next 16-byte block)
+  val fnAesRoundtrip: String = """
+    SELECT doc_id, text AS text_rt,
+      CAST(16 * (length(text) // 16 + 1) AS BIGINT) AS cipher_bytes
+    FROM documents ORDER BY doc_id
+  """
+
+  // exact epoch-microsecond gaps; discrete percentiles pick observed
+  // values, so no rounding protocol is needed for them
+  val tsInterarrival: String = """
+    WITH g AS (SELECT event_type,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER
+          (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) gap
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      min(gap) AS min_us, max(gap) AS max_us,
+      CAST(sum(gap) // count(*) AS BIGINT) AS mean_floor_us,
+      CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+        AS p50_us,
+      CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+        AS p90_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+  """
 }
