@@ -4933,4 +4933,133 @@ object Oracle {
     FROM g WHERE gap IS NOT NULL
     GROUP BY event_type ORDER BY event_type
   """
+
+  // exact discrete P5/P95 caps; winsorized sum in exact integer cents
+  val tsWinsorize: String = """
+    WITH z AS (SELECT event_type,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) c FROM events),
+    p AS (SELECT event_type,
+        CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY c) AS BIGINT) lo,
+        CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c) AS BIGINT) hi
+      FROM z GROUP BY event_type)
+    SELECT z.event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN z.c < p.lo THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clip_lo,
+      CAST(sum(CASE WHEN z.c > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clip_hi,
+      CAST(sum(CASE WHEN z.c < p.lo THEN p.lo
+                    WHEN z.c > p.hi THEN p.hi ELSE z.c END) AS BIGINT)
+        AS winsorized_cents
+    FROM z JOIN p ON z.event_type = p.event_type
+    GROUP BY z.event_type ORDER BY z.event_type
+  """
+
+  // exact integer moments; d/g are per-row scalar doubles (sqrt is
+  // IEEE exact-rounded)
+  val mlEffectSize: String = """
+    WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT)) s,
+        sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) *
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT)) ss
+      FROM events GROUP BY 1),
+    pr AS (SELECT a.event_type type_a, b.event_type type_b,
+        a.n n1, b.n n2,
+        CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) m1,
+        CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) m2,
+        (CAST(a.n AS DOUBLE) * CAST(a.ss AS DOUBLE) -
+          CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)) /
+          (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)) v1,
+        (CAST(b.n AS DOUBLE) * CAST(b.ss AS DOUBLE) -
+          CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)) /
+          (CAST(b.n AS DOUBLE) * CAST(b.n - 1 AS DOUBLE)) v2
+      FROM m a JOIN m b ON a.event_type < b.event_type),
+    dd AS (SELECT type_a, type_b, n1, n2,
+        (m1 - m2) / sqrt((CAST(n1 - 1 AS DOUBLE) * v1 +
+          CAST(n2 - 1 AS DOUBLE) * v2) / CAST(n1 + n2 - 2 AS DOUBLE)) d
+      FROM pr)
+    SELECT type_a, type_b, n1, n2, round(d, 6) AS cohens_d,
+      round(d * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9)), 6)
+        AS hedges_g
+    FROM dd ORDER BY type_a, type_b
+  """
+
+  // Luhn re-derived from first principles: reverse, double every
+  // second digit, subtract 9 above 9, sum mod 10
+  val fnLuhnCheck: String = """
+    WITH s AS (SELECT o_orderpriority,
+        reverse(CAST(o_orderkey AS VARCHAR)) r FROM orders),
+    t AS (SELECT o_orderpriority,
+        list_sum(list_transform(range(1, length(r) + 1), i ->
+          CASE WHEN i % 2 = 1 THEN CAST(substr(r, i, 1) AS INTEGER)
+               WHEN CAST(substr(r, i, 1) AS INTEGER) * 2 > 9
+                 THEN CAST(substr(r, i, 1) AS INTEGER) * 2 - 9
+               ELSE CAST(substr(r, i, 1) AS INTEGER) * 2 END)) ls
+      FROM s)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN ls % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_luhn_valid
+    FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """
+
+  // distinct directed type-transition edges; reciprocity via semi join
+  val graphReciprocity: String = """
+    WITH tr AS (SELECT event_type dst,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) src
+      FROM events),
+    e AS (SELECT DISTINCT src, dst FROM tr
+          WHERE src IS NOT NULL AND src <> dst),
+    r AS (SELECT count(*) nr FROM e
+          WHERE EXISTS (SELECT 1 FROM e e2
+                        WHERE e2.src = e.dst AND e2.dst = e.src))
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+      CAST(r.nr AS BIGINT) AS n_reciprocal,
+      round(CAST(r.nr AS DOUBLE) /
+        CAST((SELECT count(*) FROM e) AS DOUBLE), 6) AS reciprocity
+    FROM r
+  """
+
+  // calendar-month rollup in exact cents; one scalar double division
+  val analyticMomGrowth: String = """
+    WITH monthly AS (SELECT n.n_name,
+        CAST(date_trunc('month', o.o_orderdate) AS DATE) mstart,
+        CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2)))
+          AS DECIMAL(18,2)) rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    g AS (SELECT n_name, mstart, rev,
+        lag(rev) OVER (PARTITION BY n_name ORDER BY mstart) prev
+      FROM monthly)
+    SELECT n_name, mstart, CAST(rev * 100 AS BIGINT) AS rev_cents,
+      round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+        AS mom_growth
+    FROM g ORDER BY n_name, mstart
+  """
+
+  // calendar-band frames (10 present days within 9 calendar days);
+  // moments exact, correlation a per-row scalar double
+  val tsRollingCorr: String = """
+    WITH dp AS (SELECT CAST(ts AS DATE) d,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS HUGEINT) c1
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    dv AS (SELECT CAST(ts AS DATE) d,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS HUGEINT) c2
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    j AS (SELECT dp.d, dp.c1, dv.c2 FROM dp JOIN dv ON dp.d = dv.d),
+    band AS (SELECT a.d ad, b.c1, b.c2
+      FROM j a JOIN j b ON b.d BETWEEN a.d - 9 AND a.d),
+    m AS (SELECT ad, count(*) nf, sum(c1) s1, sum(c2) s2,
+        sum(c1 * c1) s11, sum(c2 * c2) s22, sum(c1 * c2) s12
+      FROM band GROUP BY ad)
+    SELECT ad AS d,
+      round((10.0 * CAST(s12 AS DOUBLE) -
+          CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)) /
+        sqrt((10.0 * CAST(s11 AS DOUBLE) -
+            CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) *
+          (10.0 * CAST(s22 AS DOUBLE) -
+            CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))), 6)
+        AS rolling_corr
+    FROM m WHERE nf = 10 ORDER BY d
+  """
 }
