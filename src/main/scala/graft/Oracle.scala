@@ -5062,4 +5062,127 @@ object Oracle {
         AS rolling_corr
     FROM m WHERE nf = 10 ORDER BY d
   """
+
+  // (p-y)^2 with dyadic p has an exact integer numerator; one double
+  // division per group
+  val mlBrierScore: String = """
+    WITH z AS (SELECT event_type,
+        CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 6))
+          AS BIGINT) k,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END y
+      FROM events),
+    u AS (SELECT event_type, y,
+            (k * 2 + 1 - y * 33554432) * (k * 2 + 1 - y * 33554432) uu
+          FROM z)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(y) AS BIGINT) AS n_pos,
+      round(CAST(sum(uu) AS DOUBLE) /
+        (CAST(count(*) AS DOUBLE) * 1.125899906842624e15), 6) AS brier
+    FROM u GROUP BY event_type ORDER BY event_type
+  """
+
+  // 24-row hour contingency, then the 23 candidate splits evaluate on
+  // the bounded table; impurity is per-row scalar double math
+  val mlGiniSplit: String = """
+    WITH bh AS (SELECT CAST(hour(ts) AS INTEGER) h,
+        CAST(count(*) AS BIGINT) nh,
+        CAST(sum(CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50
+          THEN 1 ELSE 0 END) AS BIGINT) ph
+      FROM events GROUP BY 1),
+    th AS (SELECT h t FROM bh WHERE h >= 1),
+    sp AS (SELECT t,
+        CAST(sum(CASE WHEN h < t THEN nh ELSE 0 END) AS BIGINT) nl,
+        CAST(sum(CASE WHEN h < t THEN ph ELSE 0 END) AS BIGINT) pl,
+        CAST(sum(CASE WHEN h >= t THEN nh ELSE 0 END) AS BIGINT) nr,
+        CAST(sum(CASE WHEN h >= t THEN ph ELSE 0 END) AS BIGINT) pr
+      FROM th CROSS JOIN bh GROUP BY t)
+    SELECT t, nl, pl, nr, pr,
+      round((CAST(nl AS DOUBLE) * (1.0 -
+          (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)) *
+            (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)) -
+          ((CAST(nl AS DOUBLE) - CAST(pl AS DOUBLE)) / CAST(nl AS DOUBLE)) *
+            ((CAST(nl AS DOUBLE) - CAST(pl AS DOUBLE)) / CAST(nl AS DOUBLE)))
+        + CAST(nr AS DOUBLE) * (1.0 -
+          (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE)) *
+            (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE)) -
+          ((CAST(nr AS DOUBLE) - CAST(pr AS DOUBLE)) / CAST(nr AS DOUBLE)) *
+            ((CAST(nr AS DOUBLE) - CAST(pr AS DOUBLE)) / CAST(nr AS DOUBLE))))
+        / CAST(nl + nr AS DOUBLE), 6) AS weighted_gini
+    FROM sp ORDER BY t
+  """
+
+  // 30-minute-gap sessions (the sessionize shape); one double division
+  // of exact session counts per first-event type
+  val analyticBounceRate: String = """
+    WITH f AS (SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (SELECT user_id, ts, event_id, event_type,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f),
+    r AS (SELECT user_id, session_id, count(*) AS n_events
+          FROM g GROUP BY 1, 2),
+    ft AS (SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rk
+           FROM g),
+    s AS (SELECT ft.event_type first_type, r.n_events
+          FROM r JOIN ft ON r.user_id = ft.user_id
+             AND r.session_id = ft.session_id AND ft.rk = 1)
+    SELECT first_type, CAST(count(*) AS BIGINT) AS n_sessions,
+      CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bounce,
+      round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+    FROM s GROUP BY first_type ORDER BY first_type
+  """
+
+  // VMR from three exact integers; rounded-value + term total order
+  val textBurstiness: String = """
+    WITH tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+            FROM documents)
+      GROUP BY term, doc_id),
+    st AS (SELECT term, CAST(count(*) AS BIGINT) df,
+        CAST(sum(tf) AS BIGINT) stf, sum(tf * tf) stf2
+      FROM tf GROUP BY term HAVING sum(tf) >= 50),
+    nn AS (SELECT CAST(count(*) AS BIGINT) nd FROM documents)
+    SELECT term, df, stf AS total_tf,
+      round((CAST(nd AS DOUBLE) * CAST(stf2 AS DOUBLE) -
+          CAST(stf AS DOUBLE) * CAST(stf AS DOUBLE)) /
+        (CAST(nd AS DOUBLE) * CAST(stf AS DOUBLE)), 6) AS vmr
+    FROM st CROSS JOIN nn
+    ORDER BY vmr DESC, term LIMIT 20
+  """
+
+  // md5-based hashing trick (engine-neutral, never a JVM hashCode)
+  val mlFeatureHash: String = """
+    WITH t AS (SELECT lang, unnest(string_split(text, ' ')) term
+               FROM documents),
+    b AS (SELECT lang, term,
+        CAST(CAST(concat('0x', substring(md5(term), 1, 6)) AS BIGINT) % 64
+          AS INTEGER) bucket
+      FROM t)
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+    FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+  """
+
+  // 64-byte tile manifest: offsets and fingerprints are pure functions
+  // of the payload
+  val multimodalTileGrid: String = """
+    WITH d AS (SELECT doc_id, text,
+        CAST(length(text) // 64 AS BIGINT) n_tiles
+      FROM documents WHERE length(text) // 64 >= 1),
+    e AS (SELECT doc_id, text, n_tiles,
+            unnest(range(0, n_tiles)) t FROM d)
+    SELECT doc_id, n_tiles, CAST(t AS BIGINT) AS tile_id,
+      CAST(t * 64 AS BIGINT) AS tile_offset,
+      md5(substring(text, CAST(t * 64 + 1 AS INTEGER), 64)) AS tile_md5
+    FROM e ORDER BY doc_id, tile_id
+  """
 }
