@@ -5185,4 +5185,103 @@ object Oracle {
       md5(substring(text, CAST(t * 64 + 1 AS INTEGER), 64)) AS tile_md5
     FROM e ORDER BY doc_id, tile_id
   """
+
+  // recency survivorship: top-1 per key under a total order
+  val dedupLatestByKey: String = """
+    WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      FROM orders)
+    SELECT o_custkey, o_orderkey,
+      CAST(o_orderdate AS DATE) AS last_order_date,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        AS last_cents
+    FROM r WHERE rn = 1 ORDER BY o_custkey
+  """
+
+  // (A\B) ∪ (B\A) with side tags
+  val setSymmetricDiff: String = """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1995),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE year(o_orderdate) = 1996)
+    SELECT o_custkey, '1995_only' AS side
+    FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT o_custkey, '1996_only' AS side
+    FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+    ORDER BY o_custkey, side
+  """
+
+  // exact decimal moment sums; the VWAP division is the one double op
+  val tsVwap: String = """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mstart,
+      l_returnflag,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+        AS DECIMAL(38,2)) * 100 AS BIGINT) AS qty_cents,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+          AS DECIMAL(38,2)) AS DOUBLE), 6) AS vwap
+    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
+  // 1-based positions via unnest(range); window <= 2, i < j
+  val textSkipgramPairs: String = """
+    WITH p AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+    t AS (SELECT doc_id, unnest(range(1, len(l) + 1)) pos, l FROM p),
+    tt AS (SELECT doc_id, pos, l[pos] term FROM t),
+    pr AS (SELECT a.term center, b.term context FROM tt a JOIN tt b
+      ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2)
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n
+    FROM pr GROUP BY 1, 2 ORDER BY n DESC, center, context LIMIT 30
+  """
+
+  // 24 conditional-entropy terms land in the 9-dp lane before the
+  // bounded sum; ln2 is a shared literal
+  val mlInfoGain: String = """
+    WITH base AS (SELECT CAST(hour(ts) AS INTEGER) h,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END y
+      FROM events),
+    g AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) pos
+          FROM base),
+    bh AS (SELECT h, CAST(count(*) AS BIGINT) nh,
+             CAST(sum(y) AS BIGINT) ph FROM base GROUP BY h),
+    cond AS (SELECT sum(CAST(round(
+        (CAST(nh AS DOUBLE) / CAST(n AS DOUBLE)) *
+        ((CASE WHEN ph = 0 OR ph = nh THEN 0.0
+          ELSE -((CAST(ph AS DOUBLE) / CAST(nh AS DOUBLE)) *
+              ln(CAST(ph AS DOUBLE) / CAST(nh AS DOUBLE)) +
+            (CAST(nh - ph AS DOUBLE) / CAST(nh AS DOUBLE)) *
+              ln(CAST(nh - ph AS DOUBLE) / CAST(nh AS DOUBLE)))
+          END) / 0.6931471805599453), 9) AS DECIMAL(28,9))) cond9
+      FROM bh CROSS JOIN g)
+    SELECT n, pos,
+      round((CASE WHEN pos = 0 OR pos = n THEN 0.0
+        ELSE -((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+            ln(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) +
+          (CAST(n - pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+            ln(CAST(n - pos AS DOUBLE) / CAST(n AS DOUBLE)))
+        END) / 0.6931471805599453, 6) AS entropy_bits,
+      round(CAST(cond9 AS DOUBLE), 6) AS cond_entropy_bits,
+      round(round((CASE WHEN pos = 0 OR pos = n THEN 0.0
+        ELSE -((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+            ln(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) +
+          (CAST(n - pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+            ln(CAST(n - pos AS DOUBLE) / CAST(n AS DOUBLE)))
+        END) / 0.6931471805599453, 9) - CAST(cond9 AS DOUBLE), 6)
+        AS info_gain_bits
+    FROM g CROSS JOIN cond
+  """
+
+  // ISO weekday on both engines (DuckDB's native isodow; Spark derives
+  // it from Sunday-based dayofweek)
+  val analyticDowHourProfile: String = """
+    SELECT CAST(isodow(ts) AS INTEGER) AS isodow,
+      CAST(hour(ts) AS INTEGER) AS h,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+        AS rev_cents
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+  """
 }
