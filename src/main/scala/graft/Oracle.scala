@@ -5284,4 +5284,141 @@ object Oracle {
         AS rev_cents
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
   """
+
+  // exact cosine, 9-dp-rounded rank key + neighbor-id tie-break,
+  // majority vote ties broken by (count desc, lang)
+  val mlKnnClassify: String = s"""
+    WITH lab AS (SELECT e.vec_id, d.lang, e.embedding
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    p AS (SELECT a.vec_id qid, b.vec_id nid, b.lang nlang,
+        round($cosExpr, 9) c9
+      FROM lab a JOIN lab b ON a.vec_id <> b.vec_id),
+    r AS (SELECT qid, nlang, row_number() OVER
+        (PARTITION BY qid ORDER BY c9 DESC, nid) rn FROM p),
+    v AS (SELECT qid, nlang, count(*) cnt FROM r WHERE rn <= 5
+          GROUP BY 1, 2),
+    w AS (SELECT qid, nlang pred, row_number() OVER
+        (PARTITION BY qid ORDER BY cnt DESC, nlang) vr FROM v),
+    j AS (SELECT l.lang, w.pred FROM w JOIN lab l ON w.qid = l.vec_id
+          WHERE w.vr = 1)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
+      round(CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM j GROUP BY lang ORDER BY lang
+  """
+
+  // one direct pass; a hash match proves the two-half moment merge is
+  // exact
+  val aggVarianceMerge: String = """
+    WITH z AS (SELECT event_type,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) c
+      FROM events),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        sum(c) s, sum(c * c) ss FROM z GROUP BY 1)
+    SELECT event_type, n,
+      round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean,
+      round((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) -
+          CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0, 6) AS var_pop
+    FROM m ORDER BY event_type
+  """
+
+  // eight exact moments; Cramer's rule as scalar double math on the
+  // single global row
+  val mlPolyFit: String = """
+    WITH daily AS (SELECT CAST(ts AS DATE) d,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS HUGEINT) y
+      FROM events GROUP BY 1),
+    d0 AS (SELECT min(d) d0 FROM daily),
+    xy AS (SELECT CAST(date_diff('day', d0.d0, daily.d) AS BIGINT) x, y
+           FROM daily CROSS JOIN d0),
+    x2t AS (SELECT x, y, x * x x2 FROM xy),
+    m AS (SELECT CAST(count(*) AS BIGINT) n,
+        CAST(sum(x) AS BIGINT) sx, CAST(sum(x2) AS BIGINT) sx2,
+        sum(CAST(x AS HUGEINT) * x2) sx3, sum(CAST(x2 AS HUGEINT) * x2) sx4,
+        sum(y) sy, sum(CAST(x AS HUGEINT) * y) sxy, sum(CAST(x2 AS HUGEINT) * y) sx2y
+      FROM x2t)
+    SELECT n AS n_days,
+      round((CAST(sy AS DOUBLE) * (CAST(sx2 AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx3 AS DOUBLE)) -
+          CAST(sx AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx2y AS DOUBLE)) +
+          CAST(sx2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(sx3 AS DOUBLE) -
+            CAST(sx2 AS DOUBLE) * CAST(sx2y AS DOUBLE))) /
+        (CAST(n AS DOUBLE) * (CAST(sx2 AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx3 AS DOUBLE)) -
+          CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx2 AS DOUBLE)) +
+          CAST(sx2 AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx3 AS DOUBLE) -
+            CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))) / 100.0, 6) AS a0,
+      round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx2y AS DOUBLE)) -
+          CAST(sy AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx2 AS DOUBLE)) +
+          CAST(sx2 AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx2y AS DOUBLE) -
+            CAST(sxy AS DOUBLE) * CAST(sx2 AS DOUBLE))) /
+        (CAST(n AS DOUBLE) * (CAST(sx2 AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx3 AS DOUBLE)) -
+          CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx2 AS DOUBLE)) +
+          CAST(sx2 AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx3 AS DOUBLE) -
+            CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))) / 100.0, 6) AS a1,
+      round((CAST(n AS DOUBLE) * (CAST(sx2 AS DOUBLE) * CAST(sx2y AS DOUBLE) -
+            CAST(sxy AS DOUBLE) * CAST(sx3 AS DOUBLE)) -
+          CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx2y AS DOUBLE) -
+            CAST(sxy AS DOUBLE) * CAST(sx2 AS DOUBLE)) +
+          CAST(sy AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx3 AS DOUBLE) -
+            CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))) /
+        (CAST(n AS DOUBLE) * (CAST(sx2 AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx3 AS DOUBLE)) -
+          CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx4 AS DOUBLE) -
+            CAST(sx3 AS DOUBLE) * CAST(sx2 AS DOUBLE)) +
+          CAST(sx2 AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(sx3 AS DOUBLE) -
+            CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))) / 100.0, 6) AS a2
+    FROM m
+  """
+
+  // multi-agg pivot expands to conditional aggregation; sum(CASE)
+  // keeps Spark's null-on-empty pivot-cell semantics
+  val sqlPivotMulti: String = """
+    WITH z AS (SELECT l_returnflag, l_linestatus,
+        CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) c
+      FROM lineitem)
+    SELECT l_returnflag,
+      CAST(sum(CASE WHEN l_linestatus = 'O' THEN c END) AS BIGINT) AS o_sq,
+      CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS o_nq,
+      CAST(sum(CASE WHEN l_linestatus = 'F' THEN c END) AS BIGINT) AS f_sq,
+      CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS f_nq
+    FROM z GROUP BY l_returnflag ORDER BY l_returnflag
+  """
+
+  // first-fit packing in pure integer math over the bounded day list
+  val pipelineCompactionPlan: String = """
+    WITH parts AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(sum(length(props) + 64) AS BIGINT) est_bytes
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT event_type, d, est_bytes,
+        sum(est_bytes) OVER (PARTITION BY event_type ORDER BY d
+          ROWS UNBOUNDED PRECEDING) cum
+      FROM parts),
+    g AS (SELECT event_type,
+        CAST((cum - est_bytes) // 262144 AS BIGINT) grp, d, est_bytes
+      FROM c)
+    SELECT event_type, grp, CAST(count(*) AS BIGINT) AS n_partitions,
+      CAST(sum(est_bytes) AS BIGINT) AS group_bytes,
+      min(d) AS first_day, max(d) AS last_day
+    FROM g GROUP BY 1, 2 ORDER BY event_type, grp
+  """
+
+  // the roundtrip target is the original table: lossless partition
+  // encode/decode means the re-aggregation matches this direct pass
+  val sourcePartitionedRoundtrip: String = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) AS sum_cents,
+      min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events GROUP BY event_type ORDER BY event_type
+  """
 }
