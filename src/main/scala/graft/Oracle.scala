@@ -5421,4 +5421,95 @@ object Oracle {
       min(event_id) AS min_id, max(event_id) AS max_id
     FROM events GROUP BY event_type ORDER BY event_type
   """
+
+  // unnormalized HITS: every update is an integer sum, so three
+  // unrolled rounds are exact on both engines
+  val graphHitsScores: String = """
+    WITH e AS (SELECT DISTINCT o.o_custkey c, l.l_partkey p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST(1 AS HUGEINT) h FROM e),
+    a1 AS (SELECT p, sum(h) a FROM e JOIN h0 USING (c) GROUP BY p),
+    h1 AS (SELECT c, sum(a) h FROM e JOIN a1 USING (p) GROUP BY c),
+    a2 AS (SELECT p, sum(h) a FROM e JOIN h1 USING (c) GROUP BY p),
+    h2 AS (SELECT c, sum(a) h FROM e JOIN a2 USING (p) GROUP BY c),
+    a3 AS (SELECT p, sum(h) a FROM e JOIN h2 USING (c) GROUP BY p),
+    h3 AS (SELECT c, sum(a) h FROM e JOIN a3 USING (p) GROUP BY c),
+    hub AS (SELECT c node, 'hub' AS hits_role, CAST(h AS VARCHAR) score
+            FROM h3 ORDER BY h DESC, c LIMIT 20),
+    aut AS (SELECT p node, 'authority' AS hits_role, CAST(a AS VARCHAR) score
+            FROM a3 ORDER BY a DESC, p LIMIT 20)
+    SELECT * FROM (SELECT * FROM hub UNION ALL SELECT * FROM aut)
+    ORDER BY hits_role, node
+  """
+
+  // nonempty buckets vs the key span they cover (clamped to global
+  // min/max); pure integer math
+  val pipelineKeyGapAudit: String = """
+    WITH b AS (SELECT o_orderkey // 4096 bucket,
+        CAST(count(*) AS BIGINT) n
+      FROM orders GROUP BY 1),
+    g AS (SELECT min(o_orderkey) gmin, max(o_orderkey) gmax FROM orders),
+    x AS (SELECT bucket, n,
+        least(bucket * 4096 + 4095, gmax) -
+          greatest(bucket * 4096, gmin) + 1 expected
+      FROM b CROSS JOIN g)
+    SELECT bucket, n, CAST(expected AS BIGINT) AS expected,
+      CAST(expected - n AS BIGINT) AS missing
+    FROM x ORDER BY bucket
+  """
+
+  // the XPath roundtrip must land back on the source columns
+  val fnXpath: String = """
+    SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+  """
+
+  // same-weekday equi-join on the bounded daily rollup; one scalar
+  // double division per row
+  val tsWowAligned: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) cents
+      FROM events GROUP BY 1, 2)
+    SELECT c.event_type, c.d, c.cents, p.cents AS prev_week_cents,
+      round(CAST(c.cents - p.cents AS DOUBLE) /
+        CAST(p.cents AS DOUBLE), 6) AS wow_pct
+    FROM daily c JOIN daily p
+      ON c.event_type = p.event_type AND p.d = c.d - 7
+    ORDER BY c.event_type, c.d
+  """
+
+  // 128-byte windows reduced to exact byte sums (ASCII payloads:
+  // ord(char) == byte value)
+  val multimodalWindowEnergy: String = """
+    WITH d AS (SELECT doc_id, text,
+        CAST(length(text) // 128 AS BIGINT) n_win
+      FROM documents WHERE length(text) // 128 >= 1),
+    e AS (SELECT doc_id, text, n_win, unnest(range(0, n_win)) w FROM d),
+    s AS (SELECT doc_id, n_win, CAST(w AS BIGINT) win_id,
+            substring(text, CAST(w * 128 + 1 AS INTEGER), 128) sub
+          FROM e)
+    SELECT doc_id, n_win, win_id,
+      CAST(list_sum(list_transform(range(1, length(sub) + 1),
+        i -> ord(substr(sub, i, 1)))) AS BIGINT) AS energy
+    FROM s ORDER BY doc_id, win_id
+  """
+
+  // floor mean-gap per returning buyer; exact discrete quartiles
+  val analyticRepeatPurchase: String = """
+    WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) k,
+        date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) span
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    g AS (SELECT CAST(span // (k - 1) AS BIGINT) gap FROM u WHERE k >= 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_repeat_users,
+      CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+        AS p25_days,
+      CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+        AS p50_days,
+      CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+        AS p75_days,
+      CAST(max(gap) AS BIGINT) AS max_days
+    FROM g
+  """
 }

@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-11 widening, part 15: integer-exact HITS, key-gap audit,
+  * XPath extraction, calendar-aligned WoW growth, multimodal window
+  * energy, repeat-purchase intervals.
+  */
+object Round11Ops15 {
+
+  /** HITS hub/authority scores on the directed customer→part purchase
+    * graph, three Pregel-as-joins rounds — kept EXACT by skipping the
+    * usual normalization: with h₀=1, every update is an integer sum
+    * (a = Σ h over in-edges, h = Σ a over out-edges), so scores are
+    * order-free DECIMAL(38,0) values at any cluster size (three
+    * rounds bound them under 10³⁳ even at 1e9 customers). Top-20 per
+    * role by (score desc, node); scores surface as digit strings —
+    * exact, and hash-stable where DECIMAL columns are not.
+    */
+  def graphHitsScores(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val edges = orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+      .join(lineitem(spark, sfDir).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p"))
+      .distinct()
+    // h0 = 1 for every customer; alternate a/h updates, all integer
+    var h = edges.select($"c").distinct()
+      .withColumn("h", lit(1L).cast(dec))
+    var a: DataFrame = null
+    for (_ <- 1 to 3) {
+      a = edges.join(h, Seq("c"))
+        .groupBy($"p").agg(sum($"h").cast(dec).as("a"))
+      h = edges.join(a, Seq("p"))
+        .groupBy($"c").agg(sum($"a").cast(dec).as("h"))
+    }
+    val hubs = h.orderBy($"h".desc, $"c").limit(20)
+      .select($"c".as("node"), lit("hub").as("hits_role"),
+        $"h".cast(StringType).as("score"))
+    val auths = a.orderBy($"a".desc, $"p").limit(20)
+      .select($"p".as("node"), lit("authority").as("hits_role"),
+        $"a".cast(StringType).as("score"))
+    hubs.unionAll(auths).orderBy($"hits_role", $"node")
+  }
+
+  /** Key-space gap audit: order keys bucketed 4096-wide; each
+    * NONEMPTY bucket compares its observed count against the key
+    * span it covers (clamped to the global min/max, which ride a
+    * 1-row broadcast). Every bucket reports its exact missing count
+    * (zero when healthy) — the referential-integrity sweep that
+    * catches dropped ingest batches. Keys are unique by schema, so
+    * count(*) is the distinct count with no Expand.
+    */
+  def pipelineKeyGapAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = orders(spark, sfDir)
+      .select($"o_orderkey", expr("o_orderkey DIV 4096").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"o_orderkey").as("bmin"),
+        max($"o_orderkey").as("bmax"))
+    val g = orders(spark, sfDir)
+      .agg(min($"o_orderkey").as("gmin"), max($"o_orderkey").as("gmax"))
+    b.join(broadcast(g))
+      .withColumn("lo", greatest($"bucket" * 4096, $"gmin"))
+      .withColumn("hi", least($"bucket" * 4096 + 4095, $"gmax"))
+      .withColumn("expected", $"hi" - $"lo" + 1)
+      .withColumn("missing", $"expected" - $"n")
+      .select($"bucket", $"n", $"expected", $"missing")
+      .orderBy($"bucket")
+  }
+
+  /** XPath extraction surface: a per-row XML document assembled from
+    * typed columns, fields pulled back out with xpath_string /
+    * xpath_long and re-aggregated — the oracle checks the roundtrip
+    * against the source columns, so the XPath semantics themselves
+    * are what's under test. Scalar per-row work, one hash aggregate.
+    */
+  def fnXpath(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sfDir)
+      .withColumn("cents", (money($"o_totalprice") * 100).cast(LongType))
+      .withColumn("xml", concat(lit("<o><p>"), $"o_orderpriority",
+        lit("</p><t>"), $"cents".cast(StringType), lit("</t></o>")))
+      .select(
+        expr("xpath_string(xml, 'o/p/text()')").as("prio"),
+        expr("xpath_long(xml, 'o/t/text()')").as("t"))
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n"), sum($"t").as("sum_cents"))
+      .orderBy($"prio")
+  }
+
+  /** Calendar-aligned week-over-week revenue growth: today's daily
+    * cents joined to the SAME WEEKDAY seven days earlier (a date
+    * equi-join on the bounded daily rollup — robust to missing days,
+    * unlike lag(7) frames). Growth is the single scalar double
+    * division per row, 6 dp.
+    */
+  def tsWowAligned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg((sum(money($"value")) * 100).cast(LongType).as("cents"))
+    daily.as("cur").join(daily.as("prev"),
+        $"cur.event_type" === $"prev.event_type" &&
+        $"prev.d" === date_sub($"cur.d", 7))
+      .select($"cur.event_type".as("event_type"), $"cur.d".as("d"),
+        $"cur.cents".as("cents"), $"prev.cents".as("prev_week_cents"),
+        round(($"cur.cents" - $"prev.cents").cast(DoubleType) /
+          $"prev.cents".cast(DoubleType), 6).as("wow_pct"))
+      .orderBy($"event_type", $"d")
+  }
+
+  /** Multimodal window-energy profile: 128-byte payload windows, each
+    * reduced to the sum of its byte values — the deterministic stand-
+    * in for per-window audio energy / pixel-block intensity. The
+    * whole pass is codegen-able expressions (sequence→explode +
+    * substring + transform/aggregate) with fan-out bounded by
+    * payload_len/128 — no UDF, no collect, no shuffle before the
+    * final sort.
+    */
+  def multimodalWindowEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        expr("CAST(length(text) DIV 128 AS BIGINT)").as("n_win"))
+      .filter($"n_win" >= 1)
+      .select($"doc_id", $"text", $"n_win",
+        explode(sequence(lit(0L), $"n_win" - 1)).as("win_id"))
+      .withColumn("sub",
+        expr("substring(text, CAST(win_id*128+1 AS INT), 128)"))
+      .select($"doc_id", $"n_win", $"win_id",
+        expr("aggregate(transform(split(sub, ''), c -> CAST(ascii(c) AS BIGINT)), 0L, (acc, x) -> acc + x)")
+          .as("energy"))
+      .orderBy($"doc_id", $"win_id")
+  }
+
+  /** Repeat-purchase cadence: per returning buyer, the floor of the
+    * mean day-gap between first and last purchase (pure integer
+    * math), summarized as exact discrete quartiles — one corpus
+    * pass, one bounded aggregate, zero float protocol.
+    */
+  def analyticRepeatPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("k"),
+        datediff(max(to_date($"ts")), min(to_date($"ts"))).as("span"))
+      .filter($"k" >= 2)
+      .select(expr("CAST(span DIV (k - 1) AS BIGINT)").as("gap"))
+      .createOrReplaceTempView("g11_rp")
+    spark.sql("""
+      SELECT CAST(count(*) AS BIGINT) AS n_repeat_users,
+        CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+          AS p25_days,
+        CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+          AS p50_days,
+        CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+          AS p75_days,
+        max(gap) AS max_days
+      FROM g11_rp
+    """)
+  }
+}
