@@ -5512,4 +5512,137 @@ object Oracle {
       CAST(max(gap) AS BIGINT) AS max_days
     FROM g
   """
+
+  // Laplace-smoothed log-probs in the 9-dp lane; per-doc score is an
+  // exact decimal sum; argmax ties break (score desc, lang asc)
+  val mlNbSqlExact: String = """
+    WITH docs AS (SELECT doc_id, lang, text,
+        CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+          AS BIGINT) % 5 < 4 is_train
+      FROM documents),
+    ttok AS (SELECT lang, unnest(string_split(text, ' ')) term
+             FROM docs WHERE is_train),
+    lt AS (SELECT lang, CAST(count(*) AS BIGINT) nl FROM ttok GROUP BY 1),
+    vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) v FROM ttok),
+    cc AS (SELECT lang, CAST(count(*) AS BIGINT) ndocs
+           FROM docs WHERE is_train GROUP BY 1),
+    ntr AS (SELECT CAST(count(*) AS BIGINT) nt FROM docs WHERE is_train),
+    tlc AS (SELECT term, lang, CAST(count(*) AS BIGINT) c
+            FROM ttok GROUP BY 1, 2),
+    tl AS (SELECT term, tlc.lang,
+        CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(nl + v AS DOUBLE)), 9)
+          AS DECIMAL(28,9)) lp
+      FROM tlc JOIN lt ON tlc.lang = lt.lang CROSS JOIN vv),
+    fl AS (SELECT lang, CAST(round(ln(1.0 / CAST(nl + v AS DOUBLE)), 9)
+          AS DECIMAL(28,9)) lp0
+      FROM lt CROSS JOIN vv),
+    pr AS (SELECT lang, CAST(round(ln(CAST(ndocs AS DOUBLE) /
+          CAST(nt AS DOUBLE)), 9) AS DECIMAL(28,9)) lprior
+      FROM cc CROSS JOIN ntr),
+    tst AS (SELECT doc_id, lang truth, unnest(string_split(text, ' ')) term
+            FROM docs WHERE NOT is_train),
+    sc AS (SELECT t.doc_id, t.truth, l.lang cand,
+        sum(coalesce(tl.lp, fl.lp0)) toksum
+      FROM tst t CROSS JOIN (SELECT lang FROM lt) l
+      LEFT JOIN tl ON tl.term = t.term AND tl.lang = l.lang
+      JOIN fl ON fl.lang = l.lang
+      GROUP BY 1, 2, 3),
+    fin AS (SELECT doc_id, truth, cand,
+        CAST(sc.toksum + pr.lprior AS DECIMAL(28,9)) score
+      FROM sc JOIN pr ON pr.lang = sc.cand),
+    pd AS (SELECT doc_id, truth, cand, row_number() OVER
+        (PARTITION BY doc_id ORDER BY score DESC, cand) rn FROM fin)
+    SELECT truth, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN cand = truth THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
+      round(CAST(sum(CASE WHEN cand = truth THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pd WHERE rn = 1 GROUP BY truth ORDER BY truth
+  """
+
+  // nested md5 fractions vs a fixed 20% holdout; all counts exact
+  val mlLearningCurve: String = """
+    WITH base AS (SELECT
+        CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 6))
+          AS BIGINT) % 100 slot,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END y
+      FROM events),
+    fr AS (SELECT unnest([10, 20, 40, 80]) frac),
+    tr AS (SELECT frac, CAST(count(*) AS BIGINT) n_train,
+        CAST(sum(y) AS BIGINT) pos_train
+      FROM base CROSS JOIN fr WHERE slot < 80 AND slot < frac
+      GROUP BY 1),
+    ho AS (SELECT CAST(count(*) AS BIGINT) n_test,
+        CAST(sum(y) AS BIGINT) pos_test FROM base WHERE slot >= 80)
+    SELECT frac, n_train,
+      CAST(CASE WHEN pos_train * 2 > n_train THEN 1 ELSE 0 END
+        AS INTEGER) AS majority_label,
+      n_test,
+      round(CASE WHEN pos_train * 2 > n_train THEN CAST(pos_test AS DOUBLE)
+        ELSE CAST(n_test - pos_test AS DOUBLE) END /
+        CAST(n_test AS DOUBLE), 6) AS holdout_accuracy
+    FROM tr CROSS JOIN ho ORDER BY frac
+  """
+
+  // YTD restart is the (nation, year) partition boundary
+  val tsYtdCumulative: String = """
+    WITH monthly AS (SELECT n.n_name,
+        CAST(year(o.o_orderdate) AS INTEGER) yr,
+        CAST(month(o.o_orderdate) AS INTEGER) mon,
+        CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+          cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3)
+    SELECT n_name, yr, mon, cents,
+      CAST(sum(cents) OVER (PARTITION BY n_name, yr ORDER BY mon
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ytd_cents
+    FROM monthly ORDER BY n_name, yr, mon
+  """
+
+  // pure integer envelope over the bounded daily rollup
+  val winRollingMinmax: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) cents
+      FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, d, cents,
+        min(cents) OVER fr roll_min, max(cents) OVER fr roll_max,
+        count(*) OVER fr nf
+      FROM daily
+      WINDOW fr AS (PARTITION BY event_type ORDER BY d
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, d, cents, roll_min, roll_max
+    FROM w WHERE nf = 7 ORDER BY event_type, d
+  """
+
+  // postings carry sorted 1-based positions; df ranking ties on term
+  val textPositionalIndex: String = """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+    t AS (SELECT doc_id, unnest(range(1, len(l) + 1)) pos, l FROM tk),
+    tt AS (SELECT doc_id, CAST(pos AS BIGINT) pos, l[pos] term FROM t),
+    top AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df
+            FROM tt GROUP BY 1 ORDER BY df DESC, term LIMIT 10)
+    SELECT tt.term, top.df, tt.doc_id, CAST(count(*) AS BIGINT) AS tf,
+      array_to_string(list_transform(list_sort(list(tt.pos)),
+        x -> CAST(x AS VARCHAR)), ',') AS positions
+    FROM tt JOIN top ON tt.term = top.term
+    GROUP BY 1, 2, 3 ORDER BY tt.term, tt.doc_id
+  """
+
+  // top-4 share of exact regional cents; one division per region
+  val analyticCr4: String = """
+    WITH sr AS (SELECT r.r_name, l.l_suppkey,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100
+          AS HUGEINT) cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    rk AS (SELECT r_name, cents, row_number() OVER
+        (PARTITION BY r_name ORDER BY cents DESC, l_suppkey) rk FROM sr)
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      round(CAST(sum(CASE WHEN rk <= 4 THEN cents ELSE 0 END) AS DOUBLE) /
+        CAST(sum(cents) AS DOUBLE), 6) AS cr4
+    FROM rk GROUP BY 1 ORDER BY 1
+  """
 }
