@@ -5645,4 +5645,87 @@ object Oracle {
         CAST(sum(cents) AS DOUBLE), 6) AS cr4
     FROM rk GROUP BY 1 ORDER BY 1
   """
+
+  // by-name union with the missing column null-filled
+  val setUnionByName: String = """
+    WITH a AS (SELECT o_orderpriority prio,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders WHERE o_orderkey % 2 = 0),
+    b AS (SELECT CAST(NULL AS VARCHAR) prio,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders WHERE o_orderkey % 2 <> 0)
+    SELECT prio, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY prio ORDER BY prio NULLS FIRST
+  """
+
+  // anti join against a real deletion table; totals reconcile
+  val pipelineGdprErasure: String = """
+    WITH del AS (SELECT DISTINCT user_id FROM events
+      WHERE CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+        1, 6)) AS BIGINT) % 20 = 0),
+    r AS (SELECT event_type, CAST(count(*) AS BIGINT) n_retained
+      FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = e.user_id)
+      GROUP BY 1),
+    t AS (SELECT event_type, CAST(count(*) AS BIGINT) n_total
+          FROM events GROUP BY 1)
+    SELECT t.event_type, n_total, n_retained,
+      CAST(n_total - n_retained AS BIGINT) AS n_erased
+    FROM t JOIN r ON t.event_type = r.event_type ORDER BY 1
+  """
+
+  // codec changes bytes, never content: both rows land on the
+  // direct-scan numbers
+  val sourceCompressedRoundtrip: String = """
+    WITH m AS (SELECT CAST(count(*) AS BIGINT) n,
+        CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS BIGINT) sum_cents
+      FROM events)
+    SELECT 'csv_gzip' AS fmt, n, sum_cents FROM m
+    UNION ALL
+    SELECT 'parquet_zstd' AS fmt, n, sum_cents FROM m
+    ORDER BY fmt
+  """
+
+  // byte-cursor shard assignment in pure integer math
+  val multimodalShardManifest: String = """
+    WITH d AS (SELECT lang, doc_id, CAST(length(text) AS BIGINT) len
+               FROM documents),
+    c AS (SELECT lang, doc_id, len,
+        sum(len) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) cum
+      FROM d),
+    s AS (SELECT lang, CAST((cum - len) // 4096 AS BIGINT) shard,
+            doc_id, len FROM c)
+    SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(len) AS BIGINT) AS bytes,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM s GROUP BY 1, 2 ORDER BY lang, shard
+  """
+
+  // division-free burst predicate over the exclusive trailing frame
+  val tsBurstDetect: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, d, c,
+        sum(c) OVER fr s7, count(*) OVER fr nf
+      FROM daily
+      WINDOW fr AS (PARTITION BY event_type ORDER BY d
+        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, d, c, CAST(s7 AS BIGINT) AS s7,
+      c * 7 > s7 * 2 AS is_burst
+    FROM w WHERE nf = 7 ORDER BY event_type, d
+  """
+
+  // lowercase-plus-space corpus: '+' substitutions equal the space
+  // count and the length is preserved
+  val fnUrlCodec: String = """
+    SELECT doc_id, text AS text_rt,
+      CAST(length(text) AS BIGINT) AS enc_len,
+      CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+        AS n_plus
+    FROM documents ORDER BY doc_id
+  """
 }
