@@ -5728,4 +5728,126 @@ object Oracle {
         AS n_plus
     FROM documents ORDER BY doc_id
   """
+
+  // integer day lags; two single divisions of exact counts
+  val analyticShipLag: String = """
+    WITH j AS (
+      SELECT strftime(o_orderdate, '%Y-%m') om,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE),
+          CAST(l_shipdate AS DATE)) AS BIGINT) lag
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT om, CAST(count(*) AS BIGINT) AS n_items,
+      min(lag) AS min_lag, max(lag) AS max_lag,
+      ROUND(CAST(sum(lag) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS avg_lag,
+      ROUND(CAST(count(*) FILTER (lag <= 30) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS fast_share
+    FROM j GROUP BY om ORDER BY om
+  """
+
+  // exact decimal revenue; the share is one double division
+  val analyticMarketShare: String = s"""
+    WITH nat AS (
+      SELECT r_name, CAST(year(o_orderdate) AS INTEGER) yr, n_name,
+        sum($netExpr) nat_rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2, 3),
+    tot AS (SELECT r_name, yr, sum(nat_rev) reg_rev
+            FROM nat GROUP BY 1, 2)
+    SELECT r_name, yr, n_name, CAST(nat_rev AS DOUBLE) AS revenue,
+      ROUND(CAST(nat_rev AS DOUBLE) / CAST(reg_rev AS DOUBLE), 6)
+        AS share
+    FROM nat JOIN tot USING (r_name, yr)
+    ORDER BY r_name, yr, n_name
+  """
+
+  // collocation-PMI protocol on the priority x status cell table
+  val mlMutualInfo: String = """
+    WITH cells AS (SELECT o_orderpriority x, o_orderstatus y,
+        CAST(count(*) AS BIGINT) n_xy FROM orders GROUP BY 1, 2),
+    mx AS (SELECT x x1, CAST(sum(n_xy) AS BIGINT) n_x
+           FROM cells GROUP BY 1),
+    my AS (SELECT y y1, CAST(sum(n_xy) AS BIGINT) n_y
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) n FROM cells)
+    SELECT x, y, n_xy, n_x, n_y,
+      ROUND(LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+        / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS pmi,
+      ROUND(LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+        / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+        * CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mi_term
+    FROM cells JOIN mx ON x = x1 JOIN my ON y = y1 CROSS JOIN tot
+    ORDER BY x, y
+  """
+
+  // trig factor rounded and frozen as DECIMAL before the weighted sum
+  val tsDftPower: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type et, min(d) d0,
+        CAST(count(*) AS BIGINT) n_days FROM daily GROUP BY 1),
+    idx AS (SELECT event_type, c, n_days,
+        CAST(date_diff('day', d0, d) AS BIGINT) i
+      FROM daily JOIN span ON event_type = et),
+    terms AS (SELECT event_type, k, n_days, c,
+        2.0 * pi() * k * i / CAST(n_days AS DOUBLE) ang
+      FROM idx CROSS JOIN (SELECT unnest([1, 2, 3]) k)),
+    q AS (SELECT event_type, k, n_days, c,
+        CAST(ROUND(cos(ang), 6) AS DECIMAL(12,6)) cosq,
+        CAST(ROUND(sin(ang), 6) AS DECIMAL(12,6)) sinq FROM terms)
+    SELECT event_type, CAST(k AS INTEGER) AS k,
+      max(n_days) AS n_days,
+      CAST(sum(cosq * c) AS DOUBLE) AS re,
+      CAST(sum(sinq * c) AS DOUBLE) AS im,
+      ROUND(CAST(sum(cosq * c) AS DOUBLE) * CAST(sum(cosq * c) AS DOUBLE)
+        + CAST(sum(sinq * c) AS DOUBLE) * CAST(sum(sinq * c) AS DOUBLE), 4)
+        AS power
+    FROM q GROUP BY 1, 2 ORDER BY event_type, k
+  """
+
+  // five integer-math threshold predicates over one exact pair pass
+  val dedupThresholdSweep: String = """
+    WITH t AS (SELECT doc_id, lang,
+        list_distinct(string_split(text, ' ')) toks FROM documents),
+    p AS (SELECT
+        len(list_distinct(list_intersect(a.toks, b.toks))) i,
+        len(a.toks) + len(b.toks) s
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_distinct(list_intersect(a.toks, b.toks))) * 3
+        >= len(a.toks) + len(b.toks))
+    SELECT threshold_pct, n_pairs FROM (
+      SELECT 50 AS threshold_pct,
+        CAST(count(*) FILTER (i * 3 >= s * 1) AS BIGINT) n_pairs FROM p
+      UNION ALL SELECT 60,
+        CAST(count(*) FILTER (i * 8 >= s * 3) AS BIGINT) FROM p
+      UNION ALL SELECT 70,
+        CAST(count(*) FILTER (i * 17 >= s * 7) AS BIGINT) FROM p
+      UNION ALL SELECT 80,
+        CAST(count(*) FILTER (i * 9 >= s * 4) AS BIGINT) FROM p
+      UNION ALL SELECT 90,
+        CAST(count(*) FILTER (i * 19 >= s * 9) AS BIGINT) FROM p)
+    ORDER BY threshold_pct
+  """
+
+  // per-probe exact kNN; rank on the raw double, round only at output
+  val simKnnBatch: String = """
+    WITH pr AS (SELECT vec_id probe_id, embedding pe
+                FROM embeddings WHERE vec_id < 8),
+    sc AS (SELECT probe_id, a.vec_id,
+        list_dot_product(pe::DOUBLE[], a.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(pe::DOUBLE[], pe::DOUBLE[])) *
+           sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])))
+          cos
+      FROM embeddings a JOIN pr ON a.vec_id != probe_id),
+    rk AS (SELECT probe_id, vec_id, cos,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY cos DESC, vec_id) rnk
+      FROM sc)
+    SELECT probe_id, CAST(rnk AS INTEGER) AS rank, vec_id,
+      ROUND(cos, 6) AS cosine
+    FROM rk WHERE rnk <= 10 ORDER BY probe_id, rank
+  """
 }
