@@ -5850,4 +5850,103 @@ object Oracle {
       ROUND(cos, 6) AS cosine
     FROM rk WHERE rnk <= 10 ORDER BY probe_id, rank
   """
+
+  // lifetime survival fractions over a fixed horizon grid
+  val analyticSurvivalRetention: String = """
+    WITH life AS (SELECT user_id,
+        date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+          lifetime
+      FROM events GROUP BY 1),
+    a AS (SELECT CAST(count(*) AS BIGINT) n_users FROM life),
+    h AS (SELECT t, CAST(count(*) FILTER (lifetime >= t) AS BIGINT)
+        n_surv
+      FROM life CROSS JOIN (SELECT unnest([0, 7, 14, 30, 60, 90]) t)
+      GROUP BY 1)
+    SELECT CAST(t AS INTEGER) AS horizon_days, n_surv, n_users,
+      ROUND(CAST(n_surv AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+        AS surv_frac
+    FROM h CROSS JOIN a ORDER BY horizon_days
+  """
+
+  // top-20 vocab (count desc, token asc) OOV coverage per source
+  val textOovRate: String = """
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) tok
+                  FROM documents),
+    vocab AS (SELECT tok FROM (
+      SELECT tok, count(*) cnt FROM toks GROUP BY 1
+      ORDER BY cnt DESC, tok LIMIT 20)),
+    j AS (SELECT source, v.tok vtok
+          FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(count(*) FILTER (vtok IS NULL) AS BIGINT) AS n_oov,
+      ROUND(CAST(count(*) FILTER (vtok IS NULL) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+    FROM j GROUP BY 1 ORDER BY source
+  """
+
+  // expected end state: purchase partition rewritten with doubled cents
+  val sourceDynamicPartitionOverwrite: String = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        * CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END)
+        AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1 ORDER BY event_type
+  """
+
+  // sweep-line interval depth via +1/-1 deltas and a prefix sum
+  val analyticConcurrentOrders: String = """
+    WITH spans AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) s,
+        CAST(max(l_shipdate) AS DATE) + 1 e
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    del AS (SELECT s d, CAST(1 AS BIGINT) delta FROM spans
+            UNION ALL SELECT e, CAST(-1 AS BIGINT) FROM spans),
+    dd AS (SELECT d, CAST(sum(delta) AS BIGINT) nd FROM del GROUP BY 1)
+    SELECT d, CAST(sum(nd) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS depth
+    FROM dd ORDER BY d
+  """
+
+  // division-free weighted-median crossing; tie membership is stable
+  val aggWeightedMedian: String = """
+    WITH li AS (SELECT l_returnflag, l_extendedprice,
+        CAST(l_quantity AS BIGINT) w FROM lineitem),
+    cum AS (SELECT l_returnflag, l_extendedprice,
+        sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+          ROWS UNBOUNDED PRECEDING) cw
+      FROM li),
+    tot AS (SELECT l_returnflag rf, CAST(sum(w) AS BIGINT) totw
+            FROM li GROUP BY 1)
+    SELECT l_returnflag, min(l_extendedprice) AS w_median,
+      max(totw) AS tot_qty
+    FROM cum JOIN tot ON l_returnflag = rf
+    WHERE cw * 2 >= totw
+    GROUP BY 1 ORDER BY l_returnflag
+  """
+
+  // three-level CASE fallback over exact decimal averages
+  val joinHierarchicalLookup: String = """
+    WITH bt AS (SELECT p_brand bb, p_type btp,
+        CAST(count(*) AS BIGINT) n_bt,
+        sum(CAST(p_retailprice AS DECIMAL(12,2))) s_bt
+      FROM part GROUP BY 1, 2),
+    b AS (SELECT p_brand bb2, CAST(count(*) AS BIGINT) n_b,
+        sum(CAST(p_retailprice AS DECIMAL(12,2))) s_b
+      FROM part GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) n_g,
+        sum(CAST(p_retailprice AS DECIMAL(12,2))) s_g FROM part)
+    SELECT p_partkey, p_brand, p_type, p_retailprice AS retail,
+      CASE WHEN n_bt >= 20
+             THEN ROUND(CAST(s_bt AS DOUBLE) / CAST(n_bt AS DOUBLE), 6)
+           WHEN n_b >= 20
+             THEN ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+           ELSE ROUND(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6)
+      END AS benchmark,
+      CASE WHEN n_bt >= 20 THEN 'brand_type'
+           WHEN n_b >= 20 THEN 'brand'
+           ELSE 'global' END AS level
+    FROM part LEFT JOIN bt ON p_brand = bb AND p_type = btp
+      LEFT JOIN b ON p_brand = bb2 CROSS JOIN g
+    ORDER BY p_partkey
+  """
 }
