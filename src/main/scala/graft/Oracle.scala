@@ -5949,4 +5949,113 @@ object Oracle {
       LEFT JOIN b ON p_brand = bb2 CROSS JOIN g
     ORDER BY p_partkey
   """
+
+  // Holt recursion mirrored step-for-step; 0.5 factors are exact
+  val tsHoltLinear: String = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) d, CAST(count(*) AS DOUBLE) c
+      FROM events GROUP BY 1, 2),
+    seq AS (SELECT event_type, c,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+          AS BIGINT) i
+      FROM daily),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days
+          FROM seq GROUP BY 1),
+    r AS (
+      SELECT event_type, i, c l, CAST(0.0 AS DOUBLE) b
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i,
+        0.5 * s.c + 0.5 * (r.l + r.b),
+        0.5 * ((0.5 * s.c + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM r JOIN seq s
+        ON s.event_type = r.event_type AND s.i = r.i + 1),
+    fin AS (SELECT event_type, l, b,
+        row_number() OVER (PARTITION BY event_type ORDER BY i DESC) rn
+      FROM r)
+    SELECT f.event_type, n_days, ROUND(l, 6) AS level,
+      ROUND(b, 6) AS trend, ROUND(l + 7.0 * b, 6) AS forecast_7d
+    FROM fin f JOIN n ON f.event_type = n.event_type
+    WHERE rn = 1 ORDER BY f.event_type
+  """
+
+  // hash-keyed self-join census of cross-source duplicate hashes
+  val pipelineCrossSourceOverlap: String = """
+    WITH hs AS (SELECT DISTINCT md5(text) h, source FROM documents),
+    ps AS (SELECT source, CAST(count(*) AS BIGINT) n_hashes
+           FROM hs GROUP BY 1),
+    sh AS (SELECT a.source sa, b.source sb,
+        CAST(count(*) AS BIGINT) n_sh
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT pa.source src_a, pb.source src_b,
+      COALESCE(n_sh, 0) AS n_shared,
+      pa.n_hashes n_a, pb.n_hashes n_b,
+      ROUND(CAST(COALESCE(n_sh, 0) AS DOUBLE)
+        / CAST(pa.n_hashes + pb.n_hashes - COALESCE(n_sh, 0) AS DOUBLE),
+        6) AS jaccard
+    FROM ps pa JOIN ps pb ON pa.source < pb.source
+      LEFT JOIN sh ON pa.source = sa AND pb.source = sb
+    ORDER BY src_a, src_b
+  """
+
+  // norms frozen at 6 dp as DECIMAL before the mean
+  val simEmbeddingStats: String = """
+    WITH e AS (SELECT label,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          nrm
+      FROM embeddings)
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+      CAST(count(*) FILTER (nrm = 0.0) AS BIGINT) AS n_zero,
+      ROUND(min(nrm), 6) AS min_norm, ROUND(max(nrm), 6) AS max_norm,
+      ROUND(CAST(sum(CAST(ROUND(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS avg_norm
+    FROM e GROUP BY 1 ORDER BY label
+  """
+
+  // left join coverage audit over the deliberately thinned vec table
+  val multimodalPairAlign: String = """
+    WITH vecs AS (SELECT vec_id,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          nrm
+      FROM embeddings WHERE vec_id % 7 != 0)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(vec_id) AS BIGINT) AS n_aligned,
+      ROUND(CAST(count(vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS coverage,
+      ROUND(CAST(sum(CASE WHEN vec_id IS NOT NULL
+          THEN CAST(ROUND(nrm, 6) AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(count(vec_id) AS DOUBLE), 6) AS avg_aligned_norm
+    FROM documents LEFT JOIN vecs ON doc_id = vec_id
+    GROUP BY 1 ORDER BY lang
+  """
+
+  // expected content of the event_type=purchase partition subtree
+  val sourcePathGlob: String = """
+    SELECT event_type, CAST(day(ts) AS INTEGER) AS dom,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) AS sum_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2 ORDER BY dom
+  """
+
+  // row-lag seasonal naive; APE terms frozen at 6 dp before the mean
+  val tsSeasonalNaiveError: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    lg AS (SELECT event_type, c,
+        lag(c, 7) OVER (PARTITION BY event_type ORDER BY d) prev7
+      FROM daily),
+    sc AS (SELECT event_type, abs(c - prev7) abs_err,
+        CAST(ROUND(CAST(abs(c - prev7) AS DOUBLE)
+          / CAST(prev7 AS DOUBLE), 6) AS DECIMAL(18,6)) apeq
+      FROM lg WHERE prev7 IS NOT NULL AND prev7 > 0)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+      ROUND(CAST(sum(abs_err) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS mae,
+      ROUND(CAST(sum(apeq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS mape
+    FROM sc GROUP BY 1 ORDER BY event_type
+  """
 }
