@@ -6058,4 +6058,92 @@ object Oracle {
         AS mape
     FROM sc GROUP BY 1 ORDER BY event_type
   """
+
+  // scaled-integer Katz (X_k = 4^k x_k), four unrolled iterations
+  val graphKatzCentrality: String = s"""
+    WITH $thinnedGraphCte,
+    adj AS (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und),
+    nodes AS (SELECT DISTINCT a node FROM adj),
+    x0 AS (SELECT node, CAST(1 AS BIGINT) x FROM nodes),
+    x1 AS (SELECT n.node, CAST(4 + COALESCE(s.sx, 0) AS BIGINT) x
+           FROM nodes n LEFT JOIN (SELECT a, CAST(sum(x) AS BIGINT) sx
+             FROM adj JOIN x0 ON b = node GROUP BY a) s ON s.a = n.node),
+    x2 AS (SELECT n.node, CAST(16 + COALESCE(s.sx, 0) AS BIGINT) x
+           FROM nodes n LEFT JOIN (SELECT a, CAST(sum(x) AS BIGINT) sx
+             FROM adj JOIN x1 ON b = node GROUP BY a) s ON s.a = n.node),
+    x3 AS (SELECT n.node, CAST(64 + COALESCE(s.sx, 0) AS BIGINT) x
+           FROM nodes n LEFT JOIN (SELECT a, CAST(sum(x) AS BIGINT) sx
+             FROM adj JOIN x2 ON b = node GROUP BY a) s ON s.a = n.node),
+    x4 AS (SELECT n.node, CAST(256 + COALESCE(s.sx, 0) AS BIGINT) x
+           FROM nodes n LEFT JOIN (SELECT a, CAST(sum(x) AS BIGINT) sx
+             FROM adj JOIN x3 ON b = node GROUP BY a) s ON s.a = n.node)
+    SELECT node, x AS katz_scaled,
+      ROUND(CAST(x AS DOUBLE) / 256.0, 6) AS katz
+    FROM x4 ORDER BY node
+  """
+
+  // centroids and scores frozen as DECIMAL; argmax compares exactly
+  val mlCentroidClassifier: String = """
+    WITH dims AS (SELECT vec_id, label, i dim,
+        CAST(embedding[i] AS DOUBLE) xv
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) i)),
+    cent AS (SELECT label clabel, dim,
+        CAST(sum(CAST(ROUND(xv, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) cv
+      FROM dims WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+    scores AS (SELECT vec_id, label, clabel,
+        sum(CAST(ROUND(xv * cv, 9) AS DECIMAL(28,9))) score
+      FROM dims JOIN cent USING (dim) WHERE vec_id % 2 != 0
+      GROUP BY 1, 2, 3),
+    pred AS (SELECT vec_id, label, clabel,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, clabel) rk
+      FROM scores)
+    SELECT label AS true_label, CAST(count(*) AS BIGINT) AS n_test,
+      CAST(count(*) FILTER (clabel = label) AS BIGINT) AS n_correct,
+      ROUND(CAST(count(*) FILTER (clabel = label) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred WHERE rk = 1 GROUP BY 1 ORDER BY true_label
+  """
+
+  // non-additive distinct counts at every rollup level
+  val aggDistinctRollup: String = """
+    WITH e AS (SELECT event_type, CAST(ts AS DATE) d, user_id
+               FROM events)
+    SELECT event_type, d,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM e GROUP BY ROLLUP(event_type, d)
+    ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST
+  """
+
+  // year-partitioned revenue quartiles joined across adjacent years
+  val analyticSegmentMigration: String = """
+    WITH yearly AS (SELECT o_custkey,
+        CAST(year(o_orderdate) AS INTEGER) yr,
+        sum(CAST(o_totalprice AS DECIMAL(12,2))) rev
+      FROM orders GROUP BY 1, 2),
+    seg AS (SELECT o_custkey, yr,
+        CAST(ntile(4) OVER (PARTITION BY yr
+          ORDER BY rev DESC, o_custkey) AS INTEGER) q
+      FROM yearly)
+    SELECT a.yr yr_from, a.q q_from, b.q q_to,
+      CAST(count(*) AS BIGINT) n_customers
+    FROM seg a JOIN seg b
+      ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+    GROUP BY 1, 2, 3 ORDER BY yr_from, q_from, q_to
+  """
+
+  // v3-layout UUID spliced from md5 hex; pure string construction
+  val fnUuid5Stable: String = """
+    WITH h AS (SELECT o_orderkey,
+        md5('order:' || CAST(o_orderkey AS VARCHAR)) h FROM orders)
+    SELECT o_orderkey,
+      substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-3' ||
+      substring(h, 14, 3) || '-' ||
+      list_extract(['8', '9', 'a', 'b'],
+        ((strpos('0123456789abcdef', substring(h, 17, 1)) - 1) % 4) + 1)
+      || substring(h, 18, 3) || '-' || substring(h, 21, 12) AS uuid
+    FROM h ORDER BY o_orderkey
+  """
 }
