@@ -6134,6 +6134,85 @@ object Oracle {
     GROUP BY 1, 2, 3 ORDER BY yr_from, q_from, q_to
   """
 
+  // correlated LATERAL with ORDER BY + LIMIT, the SQL top-k-per-key
+  val sqlLateralTopk: String = """
+    SELECT c_custkey, o_orderkey, cents
+    FROM customer, LATERAL (SELECT o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3)
+    ORDER BY c_custkey, cents DESC, o_orderkey
+  """
+
+  // rank targets ⌈q·n⌉ in integer math; values at fixed global ranks
+  val aggExactGlobalMedian: String = """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) n FROM lineitem),
+    t AS (SELECT q, n, (q * n + 99) // 100 r
+          FROM nn CROSS JOIN (SELECT unnest([25, 50, 75]) q)),
+    s AS (SELECT l_extendedprice val,
+        row_number() OVER (ORDER BY l_extendedprice) rn FROM lineitem)
+    SELECT CAST(q AS INTEGER) AS quantile_pct, n AS n_rows,
+      val AS value
+    FROM t JOIN s ON s.rn = t.r ORDER BY quantile_pct
+  """
+
+  // the lang-id CASE chain crossed with true labels
+  val textLangidConfusion: String = """
+    WITH t AS (SELECT doc_id, lang,
+        list_distinct(string_split(text, ' ')) AS toks FROM documents),
+    c AS (SELECT doc_id, lang,
+      len(list_intersect(toks, ['the','fast','data']))      AS c_en,
+      len(list_intersect(toks, ['table','scan','order']))   AS c_de,
+      len(list_intersect(toks, ['sort','merge','value']))   AS c_fr,
+      len(list_intersect(toks, ['batch','window','row']))   AS c_es,
+      len(list_intersect(toks, ['spark','column','hash']))  AS c_zh
+      FROM t),
+    pred AS (SELECT lang,
+      CASE
+        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+        WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+        WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+        WHEN c_es >= c_zh THEN 'es'
+        ELSE 'zh'
+      END AS predicted
+      FROM c),
+    cells AS (SELECT lang true_lang, predicted,
+        CAST(count(*) AS BIGINT) n FROM pred GROUP BY 1, 2),
+    tot AS (SELECT true_lang tl, CAST(sum(n) AS BIGINT) n_true
+            FROM cells GROUP BY 1)
+    SELECT true_lang, predicted, n,
+      ROUND(CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS share
+    FROM cells JOIN tot ON true_lang = tl
+    ORDER BY true_lang, predicted
+  """
+
+  // integer deltas; share divides the two exact integers once
+  val tsDeltaAttribution: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    wd AS (SELECT event_type, d, c,
+        c - lag(c) OVER (PARTITION BY event_type ORDER BY d) delta
+      FROM daily),
+    f AS (SELECT * FROM wd WHERE delta IS NOT NULL),
+    dt AS (SELECT d d2, CAST(sum(delta) AS BIGINT) total_delta
+           FROM f GROUP BY 1)
+    SELECT d, event_type, c, CAST(delta AS BIGINT) AS delta,
+      total_delta,
+      CASE WHEN total_delta != 0 THEN
+        ROUND(CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE), 6)
+          + 0.0
+      END AS share
+    FROM f JOIN dt ON d = d2 ORDER BY d, event_type
+  """
+
+  // regexp algebra only — identical semantics in both engines
+  val fnSlugify: String = """
+    SELECT p_partkey, p_name,
+      regexp_replace(regexp_replace(lower(trim(p_name)),
+        '[^a-z0-9]+', '-', 'g'), '^-|-$', '', 'g') AS slug
+    FROM part ORDER BY p_partkey
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
