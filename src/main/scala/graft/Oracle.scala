@@ -6213,6 +6213,103 @@ object Oracle {
     FROM part ORDER BY p_partkey
   """
 
+  // division-free value and variability classes from integer algebra
+  val analyticAbcXyzMatrix: String = s"""
+    WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) qty,
+        $netExpr net,
+        year(l_shipdate) * 100 + weekofyear(l_shipdate) wk
+      FROM lineitem),
+    weekly AS (SELECT l_partkey, wk, CAST(sum(qty) AS BIGINT) wq
+               FROM li GROUP BY 1, 2),
+    varcls AS (SELECT l_partkey,
+        CASE WHEN (nw * ssq - s * s) * 4 <= s * s THEN 'X'
+             WHEN nw * ssq <= s * s * 2 THEN 'Y'
+             ELSE 'Z' END xyz_class
+      FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) nw,
+              CAST(sum(wq) AS BIGINT) s,
+              CAST(sum(wq * wq) AS BIGINT) ssq
+            FROM weekly GROUP BY 1)),
+    rev AS (SELECT l_partkey, sum(net) rev FROM li GROUP BY 1),
+    tot AS (SELECT sum(rev) trev, CAST(count(*) AS BIGINT) np FROM rev),
+    abccls AS (SELECT l_partkey, rev,
+        CASE WHEN rev * np >= trev * 2 THEN 'A'
+             WHEN rev * np * 2 >= trev THEN 'B'
+             ELSE 'C' END abc_class
+      FROM rev CROSS JOIN tot)
+    SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+      CAST(sum(rev) AS DOUBLE) AS revenue
+    FROM abccls JOIN varcls USING (l_partkey)
+    GROUP BY 1, 2 ORDER BY abc_class, xyz_class
+  """
+
+  // XOR of per-row 60-bit hashes commutes — partitioning-independent
+  val pipelineRunChecksum: String = """
+    WITH k AS (SELECT event_type,
+        CAST(concat('0x', substring(md5(concat(
+          CAST(event_id AS VARCHAR), ':',
+          CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS VARCHAR))), 1, 15)) AS BIGINT) k
+      FROM events)
+    SELECT COALESCE(event_type, 'ALL') AS scope,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(bit_xor(k) AS BIGINT) AS checksum
+    FROM k GROUP BY ROLLUP(event_type) ORDER BY scope
+  """
+
+  // routing is physical only — the oracle is the plain join
+  val skewHybridJoin: String = """
+    SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1 ORDER BY s_nationkey
+  """
+
+  // nation under two roles; cross-border volume per year
+  val joinRolePlayingDims: String = s"""
+    SELECT n1.n_name supp_nation, n2.n_name cust_nation,
+      CAST(year(o_orderdate) AS INTEGER) yr,
+      CAST(sum($netExpr) AS DOUBLE) AS volume
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name != n2.n_name
+    GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, yr
+  """
+
+  // DISTINCT-qualified sum/avg over the value set
+  val aggSumAvgDistinct: String = """
+    WITH q AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) q
+               FROM lineitem)
+    SELECT l_returnflag,
+      CAST(count(DISTINCT q) AS BIGINT) AS n_distinct,
+      CAST(sum(DISTINCT q) AS BIGINT) AS sum_distinct,
+      ROUND(CAST(sum(DISTINCT q) AS DOUBLE)
+        / CAST(count(DISTINCT q) AS DOUBLE), 6) AS avg_distinct
+    FROM q GROUP BY 1 ORDER BY l_returnflag
+  """
+
+  // min-distance BFS to 4 hops; 12/d weights stay integer
+  val graphHarmonicCentrality: String = s"""
+    WITH RECURSIVE $thinnedGraphCte,
+    adj AS (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und),
+    nodes AS (SELECT DISTINCT a node FROM adj),
+    bfs(s, node, d) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION ALL
+      SELECT bfs.s, adj.b, d + 1 FROM bfs JOIN adj ON adj.a = bfs.node
+      WHERE d < 4),
+    md AS (SELECT s, node, min(d) md FROM bfs GROUP BY 1, 2),
+    h AS (SELECT s, CAST(sum(CASE md WHEN 1 THEN 12 WHEN 2 THEN 6
+            WHEN 3 THEN 4 WHEN 4 THEN 3 ELSE 0 END) AS BIGINT) hs
+          FROM md WHERE md > 0 GROUP BY s)
+    SELECT s AS node, hs AS harmonic_scaled,
+      ROUND(CAST(hs AS DOUBLE) / 12.0, 6) AS harmonic
+    FROM h ORDER BY node
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
