@@ -6310,6 +6310,127 @@ object Oracle {
     FROM h ORDER BY node
   """
 
+  // scaled-integer modularity: Q·4m² = Σ(4m·e_c − d_c²)
+  val graphModularity: String = s"""
+    WITH $thinnedGraphCte,
+    nat AS (SELECT s_suppkey node, s_nationkey comm FROM supplier),
+    e AS (SELECT u, v, cu.comm cu, cv.comm cv
+      FROM und JOIN nat cu ON u = cu.node JOIN nat cv ON v = cv.node),
+    mm AS (SELECT CAST(count(*) AS BIGINT) m FROM e),
+    intra AS (SELECT cu comm, CAST(count(*) AS BIGINT) e_in
+              FROM e WHERE cu = cv GROUP BY 1),
+    deg AS (SELECT comm, CAST(count(*) AS BIGINT) d_sum,
+        CAST(count(DISTINCT node) AS BIGINT) n_nodes
+      FROM (SELECT u node, cu comm FROM e
+            UNION ALL SELECT v, cv FROM e) GROUP BY 1),
+    cells AS (SELECT comm, n_nodes, COALESCE(e_in, 0) e_in, d_sum,
+        4 * m * COALESCE(e_in, 0) - d_sum * d_sum q
+      FROM deg LEFT JOIN intra USING (comm) CROSS JOIN mm),
+    qt AS (SELECT CAST(sum(q) AS BIGINT) qs FROM cells)
+    SELECT comm AS community, n_nodes, CAST(e_in AS BIGINT) AS e_in,
+      d_sum, CAST(q AS BIGINT) AS q_contrib_scaled,
+      ROUND(CAST(qs AS DOUBLE) / (4.0 * m * m), 6) AS modularity
+    FROM cells CROSS JOIN mm CROSS JOIN qt ORDER BY community
+  """
+
+  // leak-free fold-complement rates, one exact division each
+  val mlTargetEncodeOof: String = """
+    WITH base AS (SELECT event_type,
+        CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)),
+          1, 6)) AS BIGINT) % 4 fold,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END y
+      FROM events),
+    pf AS (SELECT event_type, CAST(fold AS BIGINT) fold,
+        CAST(count(*) AS BIGINT) n_f, CAST(sum(y) AS BIGINT) pos_f
+      FROM base GROUP BY 1, 2),
+    pc AS (SELECT event_type et, CAST(sum(n_f) AS BIGINT) n_c,
+        CAST(sum(pos_f) AS BIGINT) pos_c FROM pf GROUP BY 1)
+    SELECT event_type, fold, n_f, pos_f,
+      ROUND(CAST(pos_c - pos_f AS DOUBLE)
+        / CAST(n_c - n_f AS DOUBLE), 6) AS oof_enc
+    FROM pf JOIN pc ON event_type = et ORDER BY event_type, fold
+  """
+
+  // CC labels histogrammed; untouched docs are the size-1 row
+  val dedupClusterSizeHistogram: String = """
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+            (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= 0.8),
+    und AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) sz
+              FROM lbl GROUP BY 1),
+    hist AS (SELECT sz cluster_size, CAST(count(*) AS BIGINT) n_clusters
+             FROM sizes GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) nd FROM documents),
+    inc AS (SELECT CAST(count(*) AS BIGINT) ni FROM lbl),
+    up AS (SELECT cluster_size, n_clusters FROM hist
+           UNION ALL SELECT 1, nd - ni FROM tot CROSS JOIN inc)
+    SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+    FROM up GROUP BY 1 HAVING sum(n_clusters) > 0
+    ORDER BY cluster_size
+  """
+
+  // freeze-then-sum Theil T; μ is one division of exact aggregates
+  val analyticTheilIndex: String = """
+    WITH rev AS (SELECT CAST(year(o_orderdate) AS INTEGER) yr,
+        o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) x
+      FROM orders GROUP BY 1, 2),
+    tots AS (SELECT yr y2, CAST(count(*) AS BIGINT) n,
+        CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) mu
+      FROM rev GROUP BY 1),
+    terms AS (SELECT yr, n,
+        CAST(ROUND((CAST(x AS DOUBLE) / mu)
+          * LN(CAST(x AS DOUBLE) / mu), 9) AS DECIMAL(28,9)) term
+      FROM rev JOIN tots ON yr = y2)
+    SELECT yr, max(n) AS n_cust,
+      ROUND(CAST(sum(term) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+        AS theil
+    FROM terms GROUP BY yr ORDER BY yr
+  """
+
+  // the stripped text is stated from the SOURCE, not from the regexes
+  val textMarkdownStrip: String = """
+    SELECT doc_id,
+      'title' || chr(10) || chr(10) || text || ' see link' AS stripped,
+      CAST(1 AS BIGINT) AS n_links
+    FROM documents ORDER BY doc_id
+  """
+
+  // exact integer S and 18-scaled variance; one mirrored Z double
+  val tsMannKendall: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    sg AS (SELECT a.event_type,
+        CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END sg
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d),
+    s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) s_stat
+          FROM sg GROUP BY 1),
+    n AS (SELECT event_type et, CAST(count(*) AS BIGINT) n_days
+          FROM daily GROUP BY 1)
+    SELECT event_type, n_days, s_stat,
+      ROUND(CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+          WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)
+        / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) AS DOUBLE)
+          / 18.0), 6) AS z,
+      CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+        ELSE 'flat' END AS trend
+    FROM s JOIN n ON event_type = et ORDER BY event_type
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
