@@ -147,6 +147,13 @@ object Round11Ops20 {
     events(spark, sfDir)
       .select($"event_id", (money($"value") * 100).cast(LongType).as("cents"),
         $"event_type", dayofmonth($"ts").as("dom"))
+      // cluster rows into their partition before the write: without
+      // this every task writes a sliver into every directory — the
+      // small-files antipattern (tasks × partitions files: 150k files
+      // from 1000 tasks at cluster scale vs one per directory here;
+      // cost-neutral at sf0.1 where the shuffle offsets the file
+      // overhead, decisive at 100×)
+      .repartition($"event_type", $"dom")
       .write.mode("overwrite").partitionBy("event_type", "dom").parquet(dir)
     spark.read.option("basePath", dir).parquet(s"$dir/event_type=purchase")
       .groupBy($"event_type", $"dom")
