@@ -410,6 +410,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"hinted join must not fall back to sort-merge:\n${p.take(2000)}")
   }
 
+  test("hybrid skew join routes hot keys to broadcast AND cold keys to shuffle") {
+    // the op's contract is physical: the top-16 hot keys' rows take a
+    // BroadcastHashJoin (bounded build side), the cold remainder takes
+    // a ShuffledHashJoin — blanket salting would inflate the cold
+    // path, a blanket broadcast would ship the whole dim
+    val p = plan(graft.ops.Round11Ops23.skewHybridJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot path must broadcast:\n${p.take(2500)}")
+    assert(p.contains("ShuffledHashJoin"),
+      s"cold path must shuffle-hash:\n${p.take(2500)}")
+  }
+
+  test("batch kNN per-probe top-10 becomes a WindowGroupLimit, not a full rank") {
+    // rank <= 10 over probe-partitioned row_number must run as a
+    // running top-k per partition: only probes x 10 (+ties) rows reach
+    // the final window sort, so the corpus side streams through once
+    // at any size
+    val p = plan(graft.ops.Round11Ops18.simKnnBatch(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe top-k must push into WindowGroupLimit:\n${p.take(2500)}")
+  }
+
+  test("exact global quantiles: windows bucket-bounded, no corpus-wide sort") {
+    // distributed selection must not degenerate into a global ORDER BY
+    // of the value column: the only Sort allowed over corpus-sized
+    // input is the final 3-row output ordering after the aggregate
+    val df = graft.ops.Round11Ops22.aggExactGlobalMedian(spark, sf)
+    val p = plan(df)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: LWindow => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "selection re-rank must stay partitioned by quantile target")
+  }
+
   test("cache-reuse: both band branches read the InMemory rollup, not lineitem") {
     // the op's point: the corpus-sized aggregate materializes ONCE;
     // each consumer scans the |nations|-sized cached relation
