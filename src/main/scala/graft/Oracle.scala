@@ -6431,6 +6431,98 @@ object Oracle {
     FROM s JOIN n ON event_type = et ORDER BY event_type
   """
 
+  // freeze-then-sum Shannon entropy of the daily type mix
+  val tsMixEntropy: String = """
+    WITH daily AS (SELECT CAST(ts AS DATE) d, event_type,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    tot AS (SELECT d d2, CAST(sum(c) AS BIGINT) n FROM daily GROUP BY 1),
+    terms AS (SELECT d, n,
+        CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+          * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+          AS DECIMAL(28,9)) term
+      FROM daily JOIN tot ON d = d2)
+    SELECT d, max(n) AS n_events,
+      CAST(ROUND(sum(term) * -1, 6) AS DOUBLE) AS entropy
+    FROM terms GROUP BY d ORDER BY d
+  """
+
+  // below-mean support collapses: c·k >= n is the division-free test
+  val mlRareCategoryCollapse: String = """
+    WITH cats AS (SELECT p_brand || '#' || CAST(p_size AS VARCHAR) cat
+                  FROM part),
+    counts AS (SELECT cat, CAST(count(*) AS BIGINT) c
+               FROM cats GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) n,
+            CAST(count(*) AS BIGINT) k FROM counts),
+    mapping AS (SELECT cat,
+        CASE WHEN c * k >= n THEN cat ELSE 'OTHER' END encoded
+      FROM counts CROSS JOIN tot)
+    SELECT encoded, CAST(count(*) AS BIGINT) AS n_parts,
+      CAST(count(DISTINCT cats.cat) AS BIGINT) AS n_source_cats
+    FROM cats JOIN mapping m ON cats.cat = m.cat
+    GROUP BY 1 ORDER BY encoded
+  """
+
+  // centered MA via date-band self-join; detrended values frozen
+  val tsDecomposeAdditive: String = """
+    WITH daily AS (SELECT CAST(ts AS DATE) d, CAST(count(*) AS BIGINT) c
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    tr AS (SELECT a.d d, a.c c, CAST(count(*) AS BIGINT) nf,
+        CAST(sum(b.c) AS BIGINT) ts7
+      FROM daily a JOIN daily b
+        ON date_diff('day', a.d, b.d) BETWEEN -3 AND 3
+      GROUP BY 1, 2),
+    t2 AS (SELECT d, c, CAST(ts7 AS DOUBLE) / 7.0 trend
+           FROM tr WHERE nf = 7),
+    t3 AS (SELECT d, c, trend,
+        CAST(ROUND(CAST(c AS DOUBLE) - trend, 9) AS DECIMAL(28,9)) detr,
+        dayofweek(d) dow FROM t2),
+    seas AS (SELECT dow dw,
+        CAST(sum(detr) AS DOUBLE) / CAST(count(*) AS DOUBLE) seasonal
+      FROM t3 GROUP BY 1)
+    SELECT d, c, ROUND(trend, 6) AS trend,
+      ROUND(seasonal, 6) AS seasonal,
+      ROUND(CAST(c AS DOUBLE) - trend - seasonal, 6) AS residual
+    FROM t3 JOIN seas ON dow = dw ORDER BY d
+  """
+
+  // the 1-in-100 slice the multiline array document carries
+  val sourceJsonMultiline: String = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) AS sum_cents
+    FROM events WHERE event_id % 100 = 0
+    GROUP BY 1 ORDER BY event_type
+  """
+
+  // CTAS half + INSERT half must reassemble the full table
+  val sqlCtasInsert: String = """
+    SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 1 ORDER BY prio
+  """
+
+  // integer microsecond lag banded into power-of-two hours
+  val analyticConversionLag: String = """
+    WITH v AS (SELECT user_id, min(ts) view_ts FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT e.user_id, v.view_ts, min(e.ts) purchase_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+      GROUP BY 1, 2),
+    lagh AS (SELECT (epoch_us(purchase_ts) - epoch_us(view_ts))
+        // 3600000000 lag_hours FROM p),
+    band AS (SELECT CASE WHEN lag_hours < 1 THEN 0
+        WHEN lag_hours < 2 THEN 1 WHEN lag_hours < 4 THEN 2
+        WHEN lag_hours < 8 THEN 4 WHEN lag_hours < 16 THEN 8
+        WHEN lag_hours < 32 THEN 16 ELSE 32 END lag_band_hours
+      FROM lagh)
+    SELECT CAST(lag_band_hours AS BIGINT) AS lag_band_hours,
+      CAST(count(*) AS BIGINT) AS n_users
+    FROM band GROUP BY 1 ORDER BY lag_band_hours
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
