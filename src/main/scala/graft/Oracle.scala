@@ -6523,6 +6523,108 @@ object Oracle {
     FROM band GROUP BY 1 ORDER BY lag_band_hours
   """
 
+  // the three delimited-field extraction idioms, mirrored by algebra
+  val fnSplitPart: String = """
+    SELECT p_partkey, p_name,
+      CASE WHEN strpos(p_name, ' ') = 0 THEN p_name
+        ELSE substring(p_name, 1, strpos(p_name, ' ') - 1)
+      END AS head_tok,
+      CASE WHEN strpos(p_name, ' ') = 0 THEN NULL
+        ELSE substring(p_name, strpos(p_name, ' ') + 1)
+      END AS tail_rest,
+      split_part(p_name, ' ', 1) AS first_part,
+      list_extract(string_split(p_name, ' '), -1) AS last_part,
+      array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ' ')
+        AS first_two
+    FROM part ORDER BY p_partkey
+  """
+
+  // variables resolve to literals — the oracle is the literal form
+  val sqlSessionVariables: String = """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) AS sum_bal_cents
+    FROM customer
+    WHERE c_acctbal >= 1000.0 AND c_mktsegment != 'BUILDING'
+    GROUP BY 1 ORDER BY c_mktsegment
+  """
+
+  // four cell means, one division each; DiD is mirrored arithmetic
+  val analyticDiffInDiff: String = """
+    WITH cells AS (SELECT
+        CASE WHEN user_id % 2 = 0 THEN 'treated' ELSE 'control' END grp,
+        CASE WHEN day(ts) <= 15 THEN 'before' ELSE 'after' END period,
+        CAST(count(*) AS BIGINT) n,
+        CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS BIGINT) sc
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    m AS (SELECT grp, period, n,
+        CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) mean_cents FROM cells),
+    did AS (SELECT ROUND(
+        ((SELECT mean_cents FROM m WHERE grp = 'treated' AND period = 'after')
+         - (SELECT mean_cents FROM m WHERE grp = 'treated' AND period = 'before'))
+        - ((SELECT mean_cents FROM m WHERE grp = 'control' AND period = 'after')
+           - (SELECT mean_cents FROM m WHERE grp = 'control' AND period = 'before')),
+        6) did_cents)
+    SELECT grp, period, n, ROUND(mean_cents, 6) AS mean_cents, did_cents
+    FROM m CROSS JOIN did ORDER BY grp, period
+  """
+
+  // decile bounds in integer math; tie membership is sum-stable
+  val aggTrimmedMean: String = """
+    WITH li AS (SELECT l_returnflag,
+        CAST(l_extendedprice AS DECIMAL(12,2)) m FROM lineitem),
+    r AS (SELECT l_returnflag, m,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY m) rn
+      FROM li),
+    c AS (SELECT l_returnflag rf, CAST(count(*) AS BIGINT) n
+          FROM li GROUP BY 1)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+      ROUND(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS trimmed_mean
+    FROM r JOIN c ON l_returnflag = rf
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY 1 ORDER BY l_returnflag
+  """
+
+  // inline() literal table == VALUES; the band join must agree
+  val sqlTvfInline: String = """
+    WITH bands(band, lo, hi) AS (VALUES
+      ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+      ('high', 150000.0, 1e18))
+    SELECT band, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) AS sum_cents
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band ORDER BY band
+  """
+
+  // 10-scaled integer pinball sums; one division per (type, q)
+  val mlPinballLoss: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    sc AS (SELECT event_type,
+        c - lag(c, 7) OVER (PARTITION BY event_type ORDER BY d) err,
+        lag(c, 7) OVER (PARTITION BY event_type ORDER BY d) f
+      FROM daily),
+    f AS (SELECT event_type, err FROM sc WHERE f IS NOT NULL),
+    a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        CAST(sum(CASE WHEN err >= 0 THEN err * 5 ELSE err * (-5) END)
+          AS BIGINT) l5,
+        CAST(sum(CASE WHEN err >= 0 THEN err * 9 ELSE err * (-1) END)
+          AS BIGINT) l9
+      FROM f GROUP BY 1)
+    SELECT event_type, CAST(q AS DOUBLE) AS q, n AS n_scored,
+      ROUND(raw, 6) AS pinball_loss
+    FROM (
+      SELECT event_type, 0.5 q, n,
+        CAST(l5 AS DOUBLE) / (CAST(n AS DOUBLE) * 10.0) raw FROM a
+      UNION ALL
+      SELECT event_type, 0.9, n,
+        CAST(l9 AS DOUBLE) / (CAST(n AS DOUBLE) * 10.0) FROM a)
+    ORDER BY event_type, q
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
