@@ -6625,6 +6625,109 @@ object Oracle {
     ORDER BY event_type, q
   """
 
+  // frozen components; exact sums cast once, then mirrored doubles
+  val simDimVarianceAudit: String = """
+    WITH comps AS (SELECT CAST(i AS INTEGER) dim,
+        CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) x
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) i)),
+    a AS (SELECT dim, CAST(count(*) AS BIGINT) n, sum(x) s,
+        sum(x * x) ssq FROM comps GROUP BY 1)
+    SELECT dim, n,
+      ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+      ROUND((CAST(ssq AS DOUBLE) * CAST(n AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS variance
+    FROM a ORDER BY dim
+  """
+
+  // the oracle re-derives mask() with regexp algebra (digits LAST so
+  // replacement characters are never re-replaced)
+  val fnMaskPii: String = """
+    SELECT c_custkey, c_name,
+      regexp_replace(regexp_replace(regexp_replace(c_name,
+        '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        AS masked,
+      regexp_replace(regexp_replace(regexp_replace(c_name,
+        '[A-Z]', '#', 'g'), '[a-z]', '*', 'g'), '[0-9]', '0', 'g')
+        AS masked_custom
+    FROM customer ORDER BY c_custkey
+  """
+
+  // telescoping volume/rate effects over exact cell means
+  val analyticMixShift: String = """
+    WITH byy AS (SELECT o_orderpriority prio,
+        CAST(year(o_orderdate) AS INTEGER) yr,
+        CAST(count(*) AS BIGINT) n,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) sc
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2),
+    m AS (SELECT prio, yr, n, sc,
+        CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) a FROM byy),
+    y1 AS (SELECT prio, n n1, sc sc1, a a1 FROM m WHERE yr = 1996),
+    y2 AS (SELECT prio p2, n n2, sc sc2, a a2 FROM m WHERE yr = 1997)
+    SELECT prio, n1, n2, sc2 - sc1 AS delta_cents,
+      ROUND(CAST(n2 - n1 AS DOUBLE) * a1, 2) AS volume_effect,
+      ROUND(CAST(n2 AS DOUBLE) * (a2 - a1), 2) AS rate_effect
+    FROM y1 JOIN y2 ON prio = p2 ORDER BY prio
+  """
+
+  // full-outer book walk; components reconcile exactly in cents
+  val analyticRevenueBridge: String = """
+    WITH b1 AS (SELECT o_custkey k1,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) c1
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+    b2 AS (SELECT o_custkey k2,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) c2
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+    j AS (SELECT * FROM b1 FULL OUTER JOIN b2 ON k1 = k2)
+    SELECT CAST(sum(COALESCE(c1, 0)) AS BIGINT) AS start_cents,
+      CAST(sum(CASE WHEN k1 IS NULL THEN c2 ELSE 0 END) AS BIGINT)
+        AS new_cents,
+      CAST(sum(CASE WHEN k2 IS NULL THEN c1 ELSE 0 END) AS BIGINT)
+        AS churn_cents,
+      CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL AND c2 > c1
+        THEN c2 - c1 ELSE 0 END) AS BIGINT) AS expansion_cents,
+      CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL AND c2 < c1
+        THEN c1 - c2 ELSE 0 END) AS BIGINT) AS contraction_cents,
+      CAST(sum(COALESCE(c2, 0)) AS BIGINT) AS end_cents
+    FROM j
+  """
+
+  // nulls cannot match an inner join — the bypass loses nothing
+  val scaleNullSkewBypass: String = """
+    WITH li AS (SELECT
+        CASE WHEN l_suppkey % 97 = 0 THEN NULL ELSE l_suppkey END sk,
+        CAST(l_extendedprice AS DECIMAL(12,2)) m FROM lineitem),
+    ns AS (SELECT CAST(count(*) AS BIGINT) n_bypassed FROM li
+           WHERE sk IS NULL)
+    SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum(m) AS DOUBLE) AS revenue, n_bypassed
+    FROM li JOIN supplier ON sk = s_suppkey CROSS JOIN ns
+    GROUP BY 1, n_bypassed ORDER BY s_nationkey
+  """
+
+  // frozen log-factors; the window sum is exact, one exp at the end
+  val winCompoundGrowth: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS BIGINT) cents
+      FROM events GROUP BY 1, 2),
+    lg AS (SELECT event_type, d, cents,
+        lag(cents) OVER (PARTITION BY event_type ORDER BY d) prev
+      FROM daily),
+    f AS (SELECT event_type, d,
+        CAST(ROUND(LN(CAST(cents AS DOUBLE) / CAST(prev AS DOUBLE)), 9)
+          AS DECIMAL(28,9)) lf
+      FROM lg WHERE prev IS NOT NULL AND prev > 0)
+    SELECT event_type, d,
+      ROUND(exp(CAST(sum(lf) OVER (PARTITION BY event_type ORDER BY d
+        ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS growth_index
+    FROM f ORDER BY event_type, d
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
