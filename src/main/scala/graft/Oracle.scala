@@ -6728,6 +6728,90 @@ object Oracle {
     FROM f ORDER BY event_type, d
   """
 
+  // the CSV roundtrip must land back on the direct aggregate
+  val fnFromCsv: String = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1 ORDER BY event_type
+  """
+
+  // ordinals resolve against the select list in both engines
+  val sqlGroupByOrdinal: String = """
+    SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) yr,
+      CAST(count(*) AS BIGINT) n,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        AS BIGINT)) AS BIGINT) sum_cents
+    FROM orders GROUP BY 1, 2 HAVING count(*) > 5
+    ORDER BY 1, 2
+  """
+
+  // one exact p̄ division; z mirrored operation-for-operation
+  val tsControlChart: String = """
+    WITH daily AS (SELECT CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) n,
+        CAST(count(*) FILTER (event_type = 'error') AS BIGINT) n_err
+      FROM events GROUP BY 1),
+    g AS (SELECT CAST(sum(n_err) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+        pbar FROM daily)
+    SELECT d, n, n_err,
+      ROUND(((CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) - pbar)
+        / sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE)), 6) AS z
+    FROM daily CROSS JOIN g ORDER BY d
+  """
+
+  // the canonical json text stated from the source columns
+  val fnJsonCanonical: String = """
+    SELECT event_id,
+      '{"event_id":' || event_id || ',"event_type":"' || event_type
+        || '"}' AS json,
+      event_type AS rt_type
+    FROM events ORDER BY event_id
+  """
+
+  // deterministic per-source ranks; shift over the shared vocabulary
+  val textRankShift: String = """
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) tok
+      FROM documents WHERE source IN ('src0', 'src1')),
+    cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) c
+            FROM toks GROUP BY 1, 2),
+    rk AS (SELECT source, tok, c,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY c DESC, tok) AS INTEGER) rk
+      FROM cnt),
+    a AS (SELECT tok, rk rank_a, c n_a FROM rk WHERE source = 'src0'),
+    b AS (SELECT tok tok_b, rk rank_b, c n_b FROM rk
+          WHERE source = 'src1')
+    SELECT tok, rank_a, rank_b, n_a, n_b,
+      CAST(rank_b - rank_a AS INTEGER) AS shift
+    FROM a JOIN b ON tok = tok_b ORDER BY rank_a, tok
+  """
+
+  // date-shift equi-join lags; frozen deviation products
+  val tsAcfTable: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    mu AS (SELECT event_type et,
+        CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) mu
+      FROM daily GROUP BY 1),
+    dev AS (SELECT event_type, d, CAST(c AS DOUBLE) - mu dv
+            FROM daily JOIN mu ON event_type = et),
+    den AS (SELECT event_type et2,
+        sum(CAST(ROUND(dv * dv, 6) AS DECIMAL(28,6))) den
+      FROM dev GROUP BY 1),
+    pairs AS (SELECT a.event_type, k,
+        sum(CAST(ROUND(a.dv * b.dv, 6) AS DECIMAL(28,6))) num,
+        CAST(count(*) AS BIGINT) n_pairs
+      FROM dev a CROSS JOIN (SELECT unnest(range(1, 8)) k)
+        JOIN dev b ON b.event_type = a.event_type
+          AND b.d = a.d + CAST(k AS INTEGER)
+      GROUP BY 1, 2)
+    SELECT p.event_type, CAST(k AS INTEGER) AS k, n_pairs,
+      ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+    FROM pairs p JOIN den ON p.event_type = et2
+    ORDER BY event_type, k
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
