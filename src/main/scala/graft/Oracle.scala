@@ -6812,6 +6812,99 @@ object Oracle {
     ORDER BY event_type, k
   """
 
+  // full forward frames only (1..7 FOLLOWING)
+  val winForwardFrame: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, d, c,
+        sum(c) OVER fr next7, count(*) OVER fr nf
+      FROM daily
+      WINDOW fr AS (PARTITION BY event_type ORDER BY d
+        ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING))
+    SELECT event_type, d, c, CAST(next7 AS BIGINT) AS next7
+    FROM w WHERE nf = 7 ORDER BY event_type, d
+  """
+
+  // chained integer differences; lags computed BEFORE the filter
+  val tsAcceleration: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    s1 AS (SELECT event_type, d, c,
+        c - lag(c) OVER (PARTITION BY event_type ORDER BY d) v
+      FROM daily),
+    s2 AS (SELECT event_type, d, v,
+        v - lag(v) OVER (PARTITION BY event_type ORDER BY d) a
+      FROM s1),
+    s3 AS (SELECT event_type, d, v, a,
+        lag(a) OVER (PARTITION BY event_type ORDER BY d) prev_a
+      FROM s2),
+    f AS (SELECT * FROM s3 WHERE a IS NOT NULL)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      CAST(max(abs(v)) AS BIGINT) AS max_abs_velocity,
+      CAST(max(abs(a)) AS BIGINT) AS max_abs_accel,
+      CAST(count(*) FILTER (prev_a IS NOT NULL AND
+        ((a > 0 AND prev_a < 0) OR (a < 0 AND prev_a > 0)))
+        AS BIGINT) AS n_inflections
+    FROM f GROUP BY 1 ORDER BY event_type
+  """
+
+  // match-multiplicity bands over a left outer aggregate join
+  val joinFanoutAudit: String = """
+    WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) m
+                FROM orders GROUP BY 1),
+    j AS (SELECT COALESCE(m, 0) m FROM customer
+          LEFT JOIN pc ON c_custkey = o_custkey)
+    SELECT CASE WHEN m = 0 THEN '0_none' WHEN m = 1 THEN '1_exact'
+        WHEN m <= 5 THEN '2_to_5' ELSE '6_plus' END AS fanout_band,
+      CAST(count(*) AS BIGINT) AS n_keys,
+      CAST(sum(m) AS BIGINT) AS n_joined_rows
+    FROM j GROUP BY 1 ORDER BY fanout_band
+  """
+
+  // per-bin gaps frozen at 9 dp; ECE is one division
+  val mlEceScore: String = """
+    WITH k AS (SELECT CAST(concat('0x', substring(
+        md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) k,
+        CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END y
+      FROM events),
+    bins AS (SELECT CAST((10 * k + 5) // 16777216 AS INTEGER) bin,
+        CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) n_pos,
+        CAST(sum(k) AS BIGINT) sk
+      FROM k GROUP BY 1),
+    g AS (SELECT bin, n,
+        CAST(ROUND(abs((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+          - (CAST(sk * 2 + n AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 33554432.0)))
+          * CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) gap
+      FROM bins),
+    t AS (SELECT ROUND(CAST(sum(gap) AS DOUBLE)
+        / CAST(sum(n) AS DOUBLE), 6) ece FROM g)
+    SELECT bin, n, ROUND(CAST(gap AS DOUBLE), 6) AS weighted_gap, ece
+    FROM g CROSS JOIN t ORDER BY bin
+  """
+
+  // identical to the direct filtered join — routing is physical
+  val scaleSemijoinReduction: String = """
+    SELECT o_orderpriority, CAST(month(o_orderdate) AS INTEGER) mon,
+      CAST(count(*) AS BIGINT) n_items,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997
+    GROUP BY 1, 2 ORDER BY mon
+  """
+
+  // bucket = bit length of exact cents − 1 = floor(log2)
+  val aggLogHistogram: String = """
+    WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        AS BIGINT) cents FROM orders),
+    f AS (SELECT cents, CAST(length(bin(cents)) - 1 AS INTEGER) b
+          FROM c WHERE cents > 0)
+    SELECT b, CAST(count(*) AS BIGINT) AS n, min(cents) AS min_cents,
+      max(cents) AS max_cents, CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM f GROUP BY 1 ORDER BY b
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
