@@ -6905,6 +6905,96 @@ object Oracle {
     FROM f GROUP BY 1 ORDER BY b
   """
 
+  // two-round BM25: round-1 top-5 donate 3 expansion terms
+  val simQueryExpansionPrf: String = s"""
+    WITH $bm25Ctes,
+    top5 AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT 5),
+    expt AS (SELECT term FROM (
+      SELECT t.term, count(*) c FROM toks t JOIN top5 USING (doc_id)
+      WHERE t.term NOT IN ('spark', 'query', 'merge', 'dup')
+      GROUP BY t.term ORDER BY c DESC, t.term LIMIT 3)),
+    terms2 AS (SELECT unnest(['spark', 'query', 'merge', 'dup']) term
+               UNION ALL SELECT term FROM expt),
+    tf2 AS (SELECT doc_id, t.term, count(*) AS tf
+            FROM toks t JOIN terms2 USING (term) GROUP BY 1, 2),
+    dft2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+    contrib2 AS (SELECT tf2.doc_id,
+        CAST(round(CAST(round(ln(2.0 * (n + 1) / (2 * df + 1)), 9)
+              AS DECIMAL(28,9)) *
+          ((22.0 * tf * t) / (10.0 * t * tf + 3.0 * t + 9.0 * dl.dl * n)), 9)
+          AS DECIMAL(28,9)) AS c
+      FROM tf2 JOIN dl ON tf2.doc_id = dl.doc_id
+      JOIN dft2 ON tf2.term = dft2.term CROSS JOIN tot),
+    bm2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+              round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+            FROM contrib2 GROUP BY doc_id)
+    SELECT doc_id, n_terms, bm25 FROM bm2
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+  """
+
+  // every generated format parses and round-trips
+  val fnMultiformatDates: String = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(0 AS BIGINT) AS n_unparsed,
+      CAST(count(*) AS BIGINT) AS n_roundtrip
+    FROM orders GROUP BY 1 ORDER BY yr
+  """
+
+  // k = ceil(n/20) via 20·rn <= n + 19
+  val winTopPercent: String = """
+    WITH o AS (SELECT CAST(year(o_orderdate) AS INTEGER) yr, o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders),
+    r AS (SELECT yr, cents, row_number() OVER (PARTITION BY yr
+        ORDER BY cents DESC, o_orderkey) rn FROM o),
+    c AS (SELECT yr y2, CAST(count(*) AS BIGINT) n FROM o GROUP BY 1)
+    SELECT yr, CAST(count(*) AS BIGINT) AS n_top,
+      min(cents) AS threshold_cents,
+      CAST(sum(cents) AS BIGINT) AS top_cents
+    FROM r JOIN c ON yr = y2 WHERE rn * 20 <= n + 19
+    GROUP BY 1 ORDER BY yr
+  """
+
+  // the corrupt file contributes nothing; intact content survives
+  val sourceIgnoreCorrupt: String = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1 ORDER BY event_type
+  """
+
+  // published content equals the audited source batch
+  val pipelineWriteAuditPublish: String = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 1 ORDER BY o_orderpriority
+  """
+
+  // bounded brand×typo cross join; ties break by brand asc
+  val fnFuzzyBrandMatch: String = """
+    WITH brands AS (SELECT DISTINCT p_brand FROM part),
+    typos AS (SELECT p_partkey, p_brand true_brand,
+        CAST(p_partkey % (length(p_brand) - 1) + 1 AS INTEGER) pos
+      FROM part),
+    t2 AS (SELECT p_partkey, true_brand,
+        substring(true_brand, 1, pos - 1)
+          || substring(true_brand, pos + 1) typo
+      FROM typos),
+    sc AS (SELECT p_partkey, true_brand, b.p_brand,
+        row_number() OVER (PARTITION BY p_partkey
+          ORDER BY levenshtein(typo, b.p_brand), b.p_brand) rk
+      FROM t2 CROSS JOIN brands b),
+    best AS (SELECT * FROM sc WHERE rk = 1)
+    SELECT true_brand, CAST(count(*) AS BIGINT) AS n,
+      CAST(count(*) FILTER (p_brand = true_brand) AS BIGINT)
+        AS n_recovered,
+      ROUND(CAST(count(*) FILTER (p_brand = true_brand) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS recovery_rate
+    FROM best GROUP BY 1 ORDER BY true_brand
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
