@@ -6995,6 +6995,97 @@ object Oracle {
     FROM best GROUP BY 1 ORDER BY true_brand
   """
 
+  // RE2 has no lookaround — semantics proven by substring counting
+  val fnRegexLookahead: String = """
+    WITH c AS (SELECT doc_id,
+        CAST((length(text) - length(replace(text, 'data merge', '')))
+          // 10 AS BIGINT) n_lookahead,
+        CAST((length(text) - length(replace(text, 'fast scan', '')))
+          // 9 AS BIGINT) n_lookbehind
+      FROM documents)
+    SELECT doc_id, n_lookahead, n_lookbehind FROM c
+    WHERE n_lookahead > 0 OR n_lookbehind > 0 ORDER BY doc_id
+  """
+
+  // six unrolled push iterations; per-edge messages frozen at 9 dp
+  val graphPersonalizedPagerank: String = {
+    def step(i: Int) = s"""
+    p$i AS (SELECT b, sum(CAST(ROUND(0.85 * x / CAST(d AS DOUBLE), 9)
+        AS DECIMAL(28,9))) inflow
+      FROM adj JOIN x${i - 1} ON a = node GROUP BY b),
+    x$i AS (SELECT n.node, n.d,
+        COALESCE(CAST(inflow AS DOUBLE), 0.0)
+          + CASE WHEN n.node = s THEN 0.15 ELSE 0.0 END x
+      FROM nodes n LEFT JOIN p$i ON p$i.b = n.node CROSS JOIN seed)"""
+    s"""
+    WITH $thinnedGraphCte,
+    adj AS (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) d FROM adj GROUP BY 1),
+    nodes AS (SELECT a node, d FROM deg),
+    seed AS (SELECT min(node) s FROM nodes),
+    x0 AS (SELECT node, d, CASE WHEN node = s THEN 1.0 ELSE 0.0 END x
+           FROM nodes CROSS JOIN seed),
+    ${(1 to 6).map(step).mkString(",")}
+    SELECT node, ROUND(x, 6) AS ppr FROM x6
+    WHERE ROUND(x, 6) > 0 ORDER BY ppr DESC, node LIMIT 50
+  """
+  }
+
+  // 1-in-10 rows are malformed; they bucket under _CORRUPT
+  val sourceJsonCorruptRecords: String = """
+    WITH j AS (SELECT event_id, event_type,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) cents,
+        event_id % 10 = 0 corrupt FROM events)
+    SELECT CASE WHEN corrupt THEN '_CORRUPT' ELSE event_type END
+        AS bucket,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN corrupt THEN 0 ELSE cents END) AS BIGINT)
+        AS sum_cents
+    FROM j GROUP BY 1 ORDER BY bucket
+  """
+
+  // exact byte/token integers; one division per language
+  val textBytesPerToken: String = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      ROUND(CAST(sum(strlen(text)) AS DOUBLE)
+        / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
+        AS bytes_per_token
+    FROM documents GROUP BY 1 ORDER BY lang
+  """
+
+  // weekend bits: Spark dayofweek 1/7 == DuckDB dayofweek 0/6
+  val aggBitOps: String = """
+    WITH m AS (SELECT event_type,
+        (CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END
+         + CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END * 2
+         + CASE WHEN day(ts) <= 10 THEN 1 ELSE 0 END * 4
+         + CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END * 8) mask
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(bit_and(mask) AS BIGINT) AS and_mask,
+      CAST(bit_or(mask) AS BIGINT) AS or_mask,
+      CAST(bit_xor(mask) AS BIGINT) AS xor_mask
+    FROM m GROUP BY 1 ORDER BY event_type
+  """
+
+  // RANGE shares frames across ORDER-value peers; ROWS splits them
+  val winRangePeers: String = """
+    WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM orders GROUP BY 1, 2),
+    f AS (SELECT * FROM daily WHERE year(d) = 1997)
+    SELECT o_orderpriority, d, c,
+      CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY c
+        RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cum_range,
+      CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY c, d
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rows,
+      CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY c
+        RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT)
+        AS n_peers
+    FROM f ORDER BY o_orderpriority, c, d
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
