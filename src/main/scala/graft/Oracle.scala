@@ -7086,6 +7086,78 @@ object Oracle {
     FROM f ORDER BY o_orderpriority, c, d
   """
 
+  // to_number must land the formatted strings back on exact cents
+  val fnToNumber: String = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 1 ORDER BY o_orderpriority
+  """
+
+  // canonical sorted-distinct-token hash census
+  val dedupTokenSetHash: String = """
+    WITH h AS (SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(
+          string_split(text, ' '))), ' ')) h
+      FROM documents)
+    SELECT h, CAST(count(*) AS BIGINT) AS n_docs,
+      min(doc_id) AS keep_id
+    FROM h GROUP BY 1 HAVING count(*) > 1 ORDER BY h
+  """
+
+  // 0.1-wide bands on the 6-dp cosine; identical double floor math
+  val simCosineHistogram: String = s"""
+    WITH p AS (SELECT ROUND($cosExpr, 6) c6
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT CAST(floor(c6 * 10) AS INTEGER) AS band,
+      CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1 ORDER BY band
+  """
+
+  // order-grain lifecycle snapshot rolled to month grain
+  val joinAccumulatingSnapshot: String = """
+    WITH snap AS (SELECT o_orderkey, o_orderdate,
+        min(l_shipdate) first_ship, max(l_shipdate) last_ship,
+        CAST(count(*) AS BIGINT) n_lines,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) gross_cents
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2)
+    SELECT strftime(o_orderdate, '%Y-%m') AS om,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(n_lines) AS BIGINT) AS n_lines,
+      CAST(sum(gross_cents) AS BIGINT) AS gross_cents,
+      CAST(sum(date_diff('day', CAST(first_ship AS DATE),
+        CAST(last_ship AS DATE))) AS BIGINT) AS sum_span_days
+    FROM snap GROUP BY 1 ORDER BY om
+  """
+
+  // H(next|prev) from exact counts; cells frozen at 9 dp
+  val textBigramCondEntropy: String = """
+    WITH toks AS (SELECT lang, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    bp AS (SELECT lang,
+        unnest(list_transform(range(1, len(t)),
+          i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+      FROM toks),
+    cells AS (SELECT lang, b.w1 w1, b.w2 w2,
+        CAST(count(*) AS BIGINT) n12 FROM bp GROUP BY 1, 2, 3),
+    prefix AS (SELECT lang l2, w1 p1, CAST(sum(n12) AS BIGINT) n1
+               FROM cells GROUP BY 1, 2),
+    tot AS (SELECT lang l3, CAST(sum(n12) AS BIGINT) nt
+            FROM cells GROUP BY 1),
+    terms AS (SELECT lang, nt,
+        CAST(ROUND(CAST(n12 AS DOUBLE)
+          * LN(CAST(n1 AS DOUBLE) / CAST(n12 AS DOUBLE)), 9)
+          AS DECIMAL(28,9)) term
+      FROM cells JOIN prefix ON lang = l2 AND w1 = p1
+        JOIN tot ON lang = l3)
+    SELECT lang, max(nt) AS n_bigrams,
+      ROUND(CAST(sum(term) AS DOUBLE) / CAST(max(nt) AS DOUBLE), 6)
+        AS cond_entropy
+    FROM terms GROUP BY 1 ORDER BY lang
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
