@@ -37,3 +37,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // machine has 128 GiB; 24g keeps headroom for the driver harness.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// forward the opt-in sweep flag to the FORKED test JVM so the
+// documented `sbt -Dgraft.sf01=true "testOnly graft.Sf01CrossCheckSpec"`
+// works (Test/fork does not inherit sbt-JVM system properties)
+javaOptions ++= sys.props.get("graft.sf01").map(v => s"-Dgraft.sf01=$v").toSeq

@@ -7158,6 +7158,64 @@ object Oracle {
     FROM terms GROUP BY 1 ORDER BY lang
   """
 
+  // reciprocals frozen at 12 dp; the Pythagorean trio's third mean
+  val aggHarmonicMean: String = """
+    WITH r AS (SELECT l_returnflag,
+        CAST(ROUND(1.0 / l_extendedprice, 12) AS DECIMAL(28,12)) r
+      FROM lineitem)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      ROUND(CAST(count(*) AS DOUBLE) / CAST(sum(r) AS DOUBLE), 6)
+        AS harmonic_mean
+    FROM r GROUP BY 1 ORDER BY l_returnflag
+  """
+
+  // overlay rebuilt with substring algebra; the rest map 1:1
+  val fnStringBuilders: String = """
+    SELECT p_partkey, p_name,
+      substring(p_name, 1, 2) || '###' || substring(p_name, 6)
+        AS spliced,
+      repeat(substring(p_name, 1, 2), 3) AS repeated,
+      lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+      reverse(p_name) AS reversed
+    FROM part ORDER BY p_partkey
+  """
+
+  // normalization recovers every mangled reference
+  val joinNormalizedKeys: String = """
+    WITH messy AS (SELECT s_suppkey,
+        CASE WHEN s_suppkey % 3 = 0 THEN upper(s_name)
+             WHEN s_suppkey % 3 = 1 THEN '  ' || s_name || ' '
+             ELSE s_name END ref_name
+      FROM supplier),
+    raw AS (SELECT CAST(count(*) AS BIGINT) n,
+        CAST(count(d.s_nationkey) AS BIGINT) raw_matched
+      FROM messy LEFT JOIN supplier d ON ref_name = d.s_name),
+    norm AS (SELECT CAST(count(d.s_nationkey) AS BIGINT) norm_matched
+      FROM messy LEFT JOIN supplier d
+        ON upper(trim(ref_name)) = upper(trim(d.s_name)))
+    SELECT n AS n_refs, raw_matched, norm_matched,
+      norm_matched - raw_matched AS recovered
+    FROM raw CROSS JOIN norm
+  """
+
+  // two exact means, one mirrored double ratio
+  val analyticWeekendUplift: String = """
+    WITH d0 AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c
+      FROM events GROUP BY 1, 2),
+    daily AS (SELECT event_type, d, c,
+        dayofweek(d) IN (0, 6) is_we FROM d0)
+    SELECT event_type,
+      CAST(count(*) FILTER (is_we) AS BIGINT) AS n_we_days,
+      CAST(count(*) FILTER (NOT is_we) AS BIGINT) AS n_wd_days,
+      ROUND((CAST(sum(CASE WHEN is_we THEN c ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) FILTER (is_we) AS DOUBLE))
+        / (CAST(sum(CASE WHEN NOT is_we THEN c ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) FILTER (NOT is_we) AS DOUBLE)), 6)
+        AS weekend_uplift
+    FROM daily GROUP BY 1 ORDER BY event_type
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,

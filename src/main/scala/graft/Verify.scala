@@ -35,7 +35,11 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // class name + top frame: a bare getMessage can be empty
+        // (e.g. breeze NotConvergedException), which hides the cause
+        System.err.println(s"[verify] $name failed: " +
+          s"${e.getClass.getName}: ${e.getMessage} @ " +
+          e.getStackTrace.headOption.map(_.toString).getOrElse("?"))
       }
       // free localCheckpoint/persist blocks the query leaked (see
       // Bench: unchecked they accumulate across the sweep)
