@@ -32,14 +32,24 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      def dump(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // class name + top frame: a bare getMessage can be empty
-        // (e.g. breeze NotConvergedException), which hides the cause
-        System.err.println(s"[verify] $name failed: " +
-          s"${e.getClass.getName}: ${e.getMessage} @ " +
-          e.getStackTrace.headOption.map(_.toString).getOrElse("?"))
+      try dump()
+      catch { case e1: Throwable =>
+        // ONE retry: ml_pca_project's breeze eigensolve fails
+        // intermittently in long sweeps (empty-message
+        // NotConvergedException class; passes standalone and on
+        // re-run) — a transient engine hiccup must not zero a
+        // deterministic query's round entry
+        try dump()
+        catch { case e: Throwable =>
+          // class name + top frame: a bare getMessage can be empty,
+          // which hides the cause
+          System.err.println(s"[verify] $name failed: " +
+            s"${e.getClass.getName}: ${e.getMessage} @ " +
+            e.getStackTrace.headOption.map(_.toString).getOrElse("?") +
+            s" (after retry; first: ${e1.getClass.getName})")
+        }
       }
       // free localCheckpoint/persist blocks the query leaked (see
       // Bench: unchecked they accumulate across the sweep)
