@@ -7216,6 +7216,80 @@ object Oracle {
     FROM daily GROUP BY 1 ORDER BY event_type
   """
 
+  // the nested export must unexplode onto the flat join
+  val sourceNestedRoundtrip: String = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY o_orderpriority
+  """
+
+  // explicit floor before every fractional cents cast (Spark
+  // truncates decimal→long, DuckDB rounds — never cast a fraction)
+  val analyticPriceWaterfall: String = """
+    WITH li AS (SELECT strftime(o_orderdate, '%Y-%m') om,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          gross,
+        CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))
+          * CAST(l_discount AS DECIMAL(4,2)) * 100) AS BIGINT) disc,
+        CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+          * CAST(l_tax AS DECIMAL(4,2)) * 100) AS BIGINT) tax
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT om, CAST(sum(gross) AS BIGINT) AS gross_cents,
+      CAST(sum(disc) AS BIGINT) AS discount_cents,
+      CAST(sum(tax) AS BIGINT) AS tax_cents,
+      CAST(sum(gross) - sum(disc) + sum(tax) AS BIGINT)
+        AS charged_cents
+    FROM li GROUP BY 1 ORDER BY om
+  """
+
+  // partition-clustered write ⟹ exactly one file per directory
+  val pipelinePartitionFileStats: String = """
+    SELECT event_type, CAST(1 AS BIGINT) AS n_files,
+      CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type ORDER BY event_type
+  """
+
+  // the builtin's edge semantics re-derived with the floor formula
+  val fnWidthBucket: String = """
+    WITH b AS (SELECT
+        CAST(CASE WHEN o_totalprice < 50000.0 THEN 0
+          WHEN o_totalprice >= 350000.0 THEN 7
+          ELSE 1 + CAST(floor((o_totalprice - 50000.0) * 6
+            / (350000.0 - 50000.0)) AS INTEGER) END AS INTEGER) bucket,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      min(cents) AS min_cents, max(cents) AS max_cents
+    FROM b GROUP BY 1 ORDER BY bucket
+  """
+
+  // integer rect algebra; IoU >= 0.3 ⟺ 13·inter >= 3·areas
+  val multimodalBboxIou: String = """
+    WITH boxes AS (SELECT event_id, CAST(ts AS DATE) d,
+        CAST(event_id % 80 AS BIGINT) x,
+        CAST((event_id * 7) % 80 AS BIGINT) y,
+        CAST((event_id * 13) % 20 + 5 AS BIGINT) w,
+        CAST((event_id * 29) % 20 + 5 AS BIGINT) h
+      FROM events WHERE event_type = 'error'),
+    p AS (SELECT a.d,
+        greatest(0, least(a.x + a.w, b.x + b.w) - greatest(a.x, b.x))
+          ix,
+        greatest(0, least(a.y + a.h, b.y + b.h) - greatest(a.y, b.y))
+          iy,
+        a.w * a.h area_a, b.w * b.h area_b
+      FROM boxes a JOIN boxes b
+        ON a.d = b.d AND a.event_id < b.event_id),
+    q AS (SELECT d, ix * iy inter, area_a + area_b areas FROM p)
+    SELECT CASE WHEN inter = 0 THEN 'disjoint'
+        WHEN inter * 13 >= areas * 3 THEN 'overlap_30plus'
+        ELSE 'touch_under_30' END AS band,
+      CAST(count(*) AS BIGINT) AS n_pairs
+    FROM q GROUP BY 1 ORDER BY band
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
