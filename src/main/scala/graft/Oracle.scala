@@ -7290,6 +7290,50 @@ object Oracle {
     FROM q GROUP BY 1 ORDER BY band
   """
 
+  // DISTINCT + FILTER branches in one aggregate pass
+  val aggDistinctFilter: String = """
+    WITH q AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) q,
+        CAST(l_discount AS DECIMAL(4,2)) > 0 disc FROM lineitem)
+    SELECT l_returnflag,
+      CAST(count(DISTINCT CASE WHEN disc THEN q END) AS BIGINT)
+        AS n_q_discounted,
+      CAST(count(DISTINCT CASE WHEN NOT disc THEN q END) AS BIGINT)
+        AS n_q_fullprice,
+      CAST(count(*) AS BIGINT) AS n_rows
+    FROM q GROUP BY 1 ORDER BY l_returnflag
+  """
+
+  // per-token upper-head/lower-tail algebra checks initcap semantics
+  val fnInitcap: String = """
+    SELECT p_partkey, p_name,
+      array_to_string(list_transform(string_split(p_name, ' '),
+        w -> CASE WHEN length(w) = 0 THEN w
+          ELSE upper(substring(w, 1, 1)) || lower(substring(w, 2))
+        END), ' ') AS title,
+      array_to_string(list_transform(string_split(p_name, ' '),
+        w -> CASE WHEN length(w) = 0 THEN w
+          ELSE upper(substring(w, 1, 1)) || lower(substring(w, 2))
+        END), ' ') AS title_from_upper
+    FROM part ORDER BY p_partkey
+  """
+
+  // bare HAVING gates the implicit single global group
+  val sqlHavingGlobal: String = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders HAVING count(*) > 100
+  """
+
+  // chr(ascii(c)) is the identity on the ASCII head characters
+  val fnCharCodes: String = """
+    WITH h AS (SELECT ascii(substring(p_name, 1, 1)) c,
+        substring(p_name, 1, 1) ch FROM part)
+    SELECT CAST(c AS INTEGER) AS head_code, ch AS head_rt,
+      CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY 1, 2 ORDER BY head_code
+  """
+
   // v3-layout UUID spliced from md5 hex; pure string construction
   val fnUuid5Stable: String = """
     WITH h AS (SELECT o_orderkey,
