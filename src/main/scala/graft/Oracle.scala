@@ -5459,11 +5459,12 @@ object Oracle {
   """
 
   // the XPath roundtrip must land back on the source columns
+  // (deterministic 1-in-4 slice mirrors the engine side)
   val fnXpath: String = """
     SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
         AS BIGINT) AS sum_cents
-    FROM orders GROUP BY 1 ORDER BY 1
+    FROM orders WHERE o_orderkey % 4 = 0 GROUP BY 1 ORDER BY 1
   """
 
   // same-weekday equi-join on the bounded daily rollup; one scalar
@@ -6486,12 +6487,12 @@ object Oracle {
     FROM t3 JOIN seas ON dow = dw ORDER BY d
   """
 
-  // the 1-in-100 slice the multiline array document carries
+  // the constant-size slice the multiline array document carries
   val sourceJsonMultiline: String = """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
         AS BIGINT) AS sum_cents
-    FROM events WHERE event_id % 100 = 0
+    FROM events WHERE event_id % 100 = 0 AND event_id <= 50000
     GROUP BY 1 ORDER BY event_type
   """
 
@@ -7335,7 +7336,7 @@ object Oracle {
   """
 
   // v3-layout UUID spliced from md5 hex; pure string construction
-  val fnUuid5Stable: String = """
+  val fnUuid3Stable: String = """
     WITH h AS (SELECT o_orderkey,
         md5('order:' || CAST(o_orderkey AS VARCHAR)) h FROM orders)
     SELECT o_orderkey,

@@ -88,4 +88,11 @@ object Tables {
 
   /** NTZ timestamp literal — safe to compare against MILLIS-NTZ columns. */
   def ntz(s: String): Column = expr(s"TIMESTAMP_NTZ '$s'")
+
+  /** Per-session-unique tmp-path suffix: two concurrent runs (e.g. an
+    * sf0.1 bench alongside an sf0.01 verify) must not race on a shared
+    * /tmp directory mid-overwrite. Same construction as Sources.tag.
+    */
+  def runTag(spark: SparkSession, sfDir: String): String =
+    sfDir.hashCode.toHexString + "_" + spark.sparkContext.applicationId
 }

@@ -40,7 +40,11 @@ object Verify {
         // intermittently in long sweeps (empty-message
         // NotConvergedException class; passes standalone and on
         // re-run) — a transient engine hiccup must not zero a
-        // deterministic query's round entry
+        // deterministic query's round entry. The first failure is
+        // ALWAYS logged so a flaky query can't pass a sweep with its
+        // failure silently swallowed by a lucky retry.
+        System.err.println(s"[verify] $name first attempt failed " +
+          s"(${e1.getClass.getName}: ${e1.getMessage}), retrying once")
         try dump()
         catch { case e: Throwable =>
           // class name + top frame: a bare getMessage can be empty,

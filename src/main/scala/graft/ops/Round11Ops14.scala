@@ -186,7 +186,7 @@ object Round11Ops14 {
     */
   def sourcePartitionedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = "/tmp/graft_r11_partrt"
+    val out = "/tmp/graft_r11_partrt_" + runTag(spark, sfDir)
     events(spark, sfDir)
       .select($"event_id", $"event_type", (money($"value") * 100)
         .cast(LongType).as("cents"))

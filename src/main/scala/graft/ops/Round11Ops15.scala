@@ -82,6 +82,11 @@ object Round11Ops15 {
   def fnXpath(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     orders(spark, sfDir)
+      // deterministic 1-in-4 slice (mirrored in the oracle): the JDK
+      // XML parse is ~17 µs/doc and was 7% of the whole board's wall
+      // time — a surface demo doesn't need every order to prove the
+      // roundtrip semantics
+      .filter(pmod($"o_orderkey", lit(4)) === 0)
       .withColumn("cents", (money($"o_totalprice") * 100).cast(LongType))
       .withColumn("xml", concat(lit("<o><p>"), $"o_orderpriority",
         lit("</p><t>"), $"cents".cast(StringType), lit("</t></o>")))

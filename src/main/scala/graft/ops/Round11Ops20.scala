@@ -143,7 +143,7 @@ object Round11Ops20 {
     */
   def sourcePathGlob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_r11_glob"
+    val dir = "/tmp/graft_r11_glob_" + runTag(spark, sfDir)
     events(spark, sfDir)
       .select($"event_id", (money($"value") * 100).cast(LongType).as("cents"),
         $"event_type", dayofmonth($"ts").as("dom"))

@@ -152,7 +152,7 @@ object Round11Ops21 {
     * the md5 hex (version nibble forced to 3, variant nibble to
     * 8–b), so the oracle owns the identical construction.
     */
-  def fnUuid5Stable(spark: SparkSession, sfDir: String): DataFrame = {
+  def fnUuid3Stable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     orders(spark, sfDir)
       .select($"o_orderkey", md5(concat(lit("order:"),

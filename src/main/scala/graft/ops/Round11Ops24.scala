@@ -80,8 +80,7 @@ object Round11Ops24 {
     */
   def dedupClusterSizeHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cc = Round3Ops.connectedComponents(spark,
-      LlmOps.dedupNearJaccard(spark, sfDir).select($"id_a", $"id_b"))
+    val cc = Round3Ops.nearDupClusters(spark, sfDir)
     val sizes = cc.select($"doc_id", $"cluster_id").distinct()
       .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
     val hist = sizes.groupBy($"sz".as("cluster_size"))

@@ -113,12 +113,15 @@ object Round11Ops25 {
     */
   def sourceJsonMultiline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_r11_mljson"
-    // a 1-in-100 slice: a multiline array is ONE document, so the
-    // builder necessarily single-threads — the op demonstrates the
-    // read path, not bulk export (json-lines is the bulk format)
+    val dir = "/tmp/graft_r11_mljson_" + runTag(spark, sfDir)
+    // a CONSTANT-size slice (≤500 docs at any corpus size): a
+    // multiline array is ONE document, so the builder necessarily
+    // single-threads — the op demonstrates the read path, not bulk
+    // export (json-lines is the bulk format). Bounding by event_id
+    // keeps driver memory and the single Files.write O(1) in the
+    // corpus, not O(n) as a plain 1-in-100 slice would be.
     val rows = events(spark, sfDir)
-      .filter(pmod($"event_id", lit(100)) === 0)
+      .filter(pmod($"event_id", lit(100)) === 0 && $"event_id" <= 50000)
       .select($"event_id", $"event_type",
         (money($"value") * 100).cast(LongType).as("cents"))
       .orderBy($"event_id")
@@ -147,12 +150,13 @@ object Round11Ops25 {
     import spark.implicits._
     orders(spark, sfDir).createOrReplaceTempView("g11_orders_ci")
     spark.sql("DROP TABLE IF EXISTS g11_priority_cents")
-    val loc = new org.apache.hadoop.fs.Path("/tmp/graft_r11_ctas")
+    val ctasDir = "/tmp/graft_r11_ctas_" + runTag(spark, sfDir)
+    val loc = new org.apache.hadoop.fs.Path(ctasDir)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    spark.sql("""
+    spark.sql(s"""
       CREATE TABLE g11_priority_cents USING parquet
-      LOCATION '/tmp/graft_r11_ctas' AS
+      LOCATION '$ctasDir' AS
       SELECT o_orderpriority prio,
         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
       FROM g11_orders_ci WHERE o_orderkey % 2 = 0

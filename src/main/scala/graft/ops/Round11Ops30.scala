@@ -126,7 +126,7 @@ object Round11Ops30 {
     */
   def sourceIgnoreCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_r11_corrupt"
+    val dir = "/tmp/graft_r11_corrupt_" + runTag(spark, sfDir)
     events(spark, sfDir)
       .select($"event_id", $"event_type",
         (money($"value") * 100).cast(LongType).as("cents"))
@@ -149,8 +149,10 @@ object Round11Ops30 {
     */
   def pipelineWriteAuditPublish(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val stage = new org.apache.hadoop.fs.Path("/tmp/graft_r11_wap_stage")
-    val publish = new org.apache.hadoop.fs.Path("/tmp/graft_r11_wap_pub")
+    val stage = new org.apache.hadoop.fs.Path(
+      "/tmp/graft_r11_wap_stage_" + runTag(spark, sfDir))
+    val publish = new org.apache.hadoop.fs.Path(
+      "/tmp/graft_r11_wap_pub_" + runTag(spark, sfDir))
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(stage)) fs.delete(stage, true)
     if (fs.exists(publish)) fs.delete(publish, true)
@@ -163,7 +165,10 @@ object Round11Ops30 {
     val nStaged = staged.count()
     val nSource = orders(spark, sfDir).count()
     require(nStaged == nSource, s"WAP audit failed: $nStaged != $nSource")
-    fs.rename(stage, publish)
+    // rename reports failure by RETURN VALUE on some filesystems —
+    // an unchecked false would silently break the atomic-promote
+    // contract and read a missing publish dir
+    require(fs.rename(stage, publish), s"WAP publish rename failed: $stage -> $publish")
     spark.read.parquet(publish.toString)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))

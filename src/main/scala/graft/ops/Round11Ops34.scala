@@ -20,7 +20,7 @@ object Round11Ops34 {
     */
   def sourceNestedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_r11_nested"
+    val dir = "/tmp/graft_r11_nested_" + runTag(spark, sfDir)
     val nested = orders(spark, sfDir)
       .join(lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey", $"o_orderpriority")
@@ -71,7 +71,7 @@ object Round11Ops34 {
     */
   def pipelinePartitionFileStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_r11_pstats"
+    val dir = "/tmp/graft_r11_pstats_" + runTag(spark, sfDir)
     events(spark, sfDir)
       .select($"event_id", $"event_type",
         (money($"value") * 100).cast(LongType).as("cents"))

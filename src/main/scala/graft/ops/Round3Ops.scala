@@ -170,10 +170,30 @@ object Round3Ops {
     * min-label is order-free, so the result is deterministic under any
     * partitioning.
     */
-  def dedupConnectedComponents(spark: SparkSession, sfDir: String): DataFrame =
-    connectedComponents(spark,
-      LlmOps.dedupNearJaccard(spark, sfDir)
-        .select(col("id_a"), col("id_b")))
+  def dedupConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    nearDupClusters(spark, sfDir).orderBy($"cluster_id", $"doc_id")
+  }
+
+  /** The near-dup CC labels as a SHARED materialized artifact
+    * (build-once, same pattern as Round10Ops4.thinnedGraph): three
+    * board ops consume the identical clustering
+    * (dedup_connected_components, pipeline_dedup_survivorship,
+    * dedup_cluster_size_histogram) — recomputing the pair join + the
+    * iterative CC loop per consumer tripled the most GC-expensive
+    * work on the board. min-label CC is deterministic, so the
+    * artifact is layout-independent.
+    */
+  private[ops] def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ScaleTechniques.materializeOnce(
+      s"neardup_cc_v1_${ScaleTechniques.datasetKey(sfDir)}") { tmp =>
+      connectedComponents(spark,
+        LlmOps.dedupNearJaccard(spark, sfDir)
+          .select(col("id_a"), col("id_b")))
+        .write.parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
 
   /** Connected components over an (id_a, id_b) edge frame. Each round
     * combines neighbor-min propagation with POINTER JUMPING (also take

@@ -140,7 +140,7 @@ object Round8Ops {
     */
   def pipelineDedupSurvivorship(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val clusters = Round3Ops.dedupConnectedComponents(spark, sfDir)
+    val clusters = Round3Ops.nearDupClusters(spark, sfDir)
       .select($"doc_id", $"cluster_id")
     clusters.join(documents(spark, sfDir), Seq("doc_id"))
       .groupBy($"cluster_id")

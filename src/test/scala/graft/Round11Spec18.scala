@@ -93,14 +93,14 @@ class Round11Spec18 extends AnyFunSuite with SparkFixture {
 
   test("stable uuid: v3 layout, deterministic across runs") {
     import spark.implicits._
-    val rows = Round11Ops21.fnUuid5Stable(spark, sf)
+    val rows = Round11Ops21.fnUuid3Stable(spark, sf)
       .as[(Long, String)].collect()
     assert(rows.length === Tables.orders(spark, sf).count())
     val re = "^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
     rows.foreach { case (_, u) =>
       assert(re.matches(u), s"uuid layout: $u")
     }
-    val again = Round11Ops21.fnUuid5Stable(spark, sf)
+    val again = Round11Ops21.fnUuid3Stable(spark, sf)
       .as[(Long, String)].collect()
     assert(rows.toSeq === again.toSeq)
   }
