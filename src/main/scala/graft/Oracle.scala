@@ -7347,4 +7347,22 @@ object Oracle {
       || substring(h, 18, 3) || '-' || substring(h, 21, 12) AS uuid
     FROM h ORDER BY o_orderkey
   """
+
+  // phrase = the corpus's most frequent adjacent word pair (ties by
+  // terms); per-doc occurrence counts are plain adjacent-bigram
+  // matches — equivalent to the engine's position-list intersection
+  val textPhraseQuery: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    bi0 AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 1),
+          i -> {'a': w[i], 'b': w[i + 1]})) p
+      FROM t),
+    bi AS (SELECT doc_id, p.a AS a, p.b AS b FROM bi0),
+    top AS (SELECT a, b FROM bi GROUP BY a, b
+            ORDER BY count(*) DESC, a, b LIMIT 1)
+    SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM bi JOIN top USING (a, b)
+    GROUP BY 1 ORDER BY doc_id
+  """
 }

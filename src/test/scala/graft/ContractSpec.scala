@@ -35,13 +35,16 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "sim_ann_filtered", // IVF centroid choice engine-specific (filtered recall asserted)
     "text_compression_ratio", // deflate byte counts codec-implementation specific (direction asserted)
     "ml_bpe_train_merges", // 8-round merge loop not expressible as one SQL query (validity + compression asserted)
-    "ml_lda_topics") // EM topic fit engine-specific (determinism + normalization asserted)
+    "ml_lda_topics", // EM topic fit engine-specific (determinism + normalization asserted)
+    "sim_ann_index_persist", // centroid choice engine-specific; probe-reads-artifact plan + recall asserted
+    "ml_bpe_apply", // encodes with the trainer's driver-loop merges (determinism + count sandwich asserted)
+    "dedup_semantic_cluster") // coarse centroid choice engine-specific (recall + keep-min asserted)
 
   test("registered query count matches the declared SURVEY §2 inventory") {
     // Bump DELIBERATELY with each widening, in the same commit that
     // updates SURVEY.md §2 and README — this pin is what makes
     // inventory drift (round 5/6 verdicts) impossible to ship silently.
-    assert(SparkEntry.queries.size === 493,
+    assert(SparkEntry.queries.size === 497,
       "SparkEntry.queries changed size: update SURVEY.md §2 + README " +
         "and bump this pin in the same commit")
   }
