@@ -7351,6 +7351,21 @@ object Oracle {
   // phrase = the corpus's most frequent adjacent word pair (ties by
   // terms); per-doc occurrence counts are plain adjacent-bigram
   // matches — equivalent to the engine's position-list intersection
+  val textPhraseQueryK3: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    tri0 AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 2),
+          i -> {'a': w[i], 'b': w[i + 1], 'c': w[i + 2]})) p
+      FROM t),
+    tri AS (SELECT doc_id, p.a AS a, p.b AS b, p.c AS c FROM tri0),
+    top AS (SELECT a, b, c FROM tri GROUP BY a, b, c
+            ORDER BY count(*) DESC, a, b, c LIMIT 1)
+    SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tri JOIN top USING (a, b, c)
+    GROUP BY 1 ORDER BY doc_id
+  """
+
   val textPhraseQuery: String = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents
                WHERE len(string_split(text, ' ')) >= 2),

@@ -92,7 +92,39 @@ object Tables {
   /** Per-session-unique tmp-path suffix: two concurrent runs (e.g. an
     * sf0.1 bench alongside an sf0.01 verify) must not race on a shared
     * /tmp directory mid-overwrite. Same construction as Sources.tag.
+    *
+    * Tagged dirs are GC'd two ways (round-13 advisory: per-run tags
+    * fixed the cross-run race but leaked a fresh dir set per
+    * application): a shutdown hook removes THIS application's dirs,
+    * and a once-per-JVM startup sweep removes dirs from crashed runs
+    * older than 6 h — old enough that no legitimately concurrent
+    * session (minutes apart) can still be writing them.
     */
-  def runTag(spark: SparkSession, sfDir: String): String =
+  def runTag(spark: SparkSession, sfDir: String): String = {
+    registerTmpCleanup(spark.sparkContext.applicationId)
     sfDir.hashCode.toHexString + "_" + spark.sparkContext.applicationId
+  }
+
+  private val cleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def taggedTmpDirs(): Array[java.io.File] =
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_r11_"))
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  private def registerTmpCleanup(appId: String): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      val staleMs = 6L * 3600 * 1000
+      val now = System.currentTimeMillis()
+      taggedTmpDirs()
+        .filter(f => now - f.lastModified() > staleMs)
+        .foreach(rmTree)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        taggedTmpDirs().filter(_.getName.endsWith("_" + appId)).foreach(rmTree)))
+    }
 }

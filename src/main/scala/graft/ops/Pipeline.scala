@@ -97,24 +97,22 @@ object Pipeline {
     * broadcast-centroids map pass and each query touches nProbe/16 of
     * the corpus. Recall vs the exact kNN asserted in PipelineSpec; no
     * oracle (centroid choice is engine-specific by nature).
+    *
+    * Round 13: reads centroids + rn=1 assignments from the persisted
+    * v2 IVF artifact (Round12Ops.ivfIndexPath) — the assignment window
+    * runs once in the index build, not per query. sim_ann_index_persist
+    * demonstrates the same probe explicitly; this op keeps the
+    * original registered name for the inline-probe surface.
     */
   def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val nCent = 16
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
     val nProbe = 4
-    val t = LlmOps.embeddingsWithNorm(spark, sfDir)
-    val cents = t.filter($"vec_id" < nCent)
-      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
-    // nearest-centroid assignment: broadcast the 16 centroids, keep the
-    // top-1 per vector (ties toward the smallest cid)
-    val assigned = t.crossJoin(broadcast(cents))
-      .withColumn("cos_c",
-        LlmOps.dot($"embedding", $"ce") / ($"nrm" * $"cn"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cid")))
-      .filter($"rn" === 1)
-      .select($"cid", $"vec_id", $"embedding", $"nrm")
-    val probe = t.filter($"vec_id" === 0)
+    val path = Round12Ops.ivfIndexPath(spark, sfDir)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assign")
+      .filter($"rn" === 1).drop("rn")
+    val probe = assigned.filter($"vec_id" === 0)
       .select($"embedding".as("pe"), $"nrm".as("pn"))
     val probeCids = cents.crossJoin(broadcast(probe))
       .withColumn("cos_p", LlmOps.dot($"ce", $"pe") / ($"cn" * $"pn"))

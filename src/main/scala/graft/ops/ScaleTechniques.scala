@@ -67,9 +67,16 @@ object ScaleTechniques {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }
 
-  private val matLock = new Object
+  // Per-KEY build locks (round-13 advisory): a process-global lock
+  // serialized every artifact read behind whichever long build (CC
+  // loop, BPE trainer) held it first in a parallel sweep. Unrelated
+  // keys now build/read concurrently; two threads wanting the SAME
+  // key still collapse to one build, and the cross-JVM race stays
+  // handled by the rename-publish protocol below.
+  private val matLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   def materializeOnce(key: String)(write: String => Unit): String =
-    matLock.synchronized {
+    matLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val dest = new java.io.File(s"/tmp/graft_mat/$key")
       def done = new java.io.File(dest, "_SUCCESS").exists()
       if (!done) {

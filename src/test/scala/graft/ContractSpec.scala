@@ -38,13 +38,14 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "ml_lda_topics", // EM topic fit engine-specific (determinism + normalization asserted)
     "sim_ann_index_persist", // centroid choice engine-specific; probe-reads-artifact plan + recall asserted
     "ml_bpe_apply", // encodes with the trainer's driver-loop merges (determinism + count sandwich asserted)
-    "dedup_semantic_cluster") // coarse centroid choice engine-specific (recall + keep-min asserted)
+    "dedup_semantic_cluster", // coarse centroid choice engine-specific (recall + keep-min asserted in Round12Spec)
+    "dedup_minhash_index_persist") // band bucketing hash-family specific (cross-pair recall + zero-FP + index plan asserted in Round13Spec)
 
   test("registered query count matches the declared SURVEY §2 inventory") {
     // Bump DELIBERATELY with each widening, in the same commit that
     // updates SURVEY.md §2 and README — this pin is what makes
     // inventory drift (round 5/6 verdicts) impossible to ship silently.
-    assert(SparkEntry.queries.size === 497,
+    assert(SparkEntry.queries.size === 499,
       "SparkEntry.queries changed size: update SURVEY.md §2 + README " +
         "and bump this pin in the same commit")
   }

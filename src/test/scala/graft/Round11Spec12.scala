@@ -43,7 +43,12 @@ class Round11Spec12 extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val rows = Round11Ops15.fnXpath(spark, sf)
       .as[(String, Long, Long)].collect()
-    assert(rows.map(_._2).sum === Tables.orders(spark, sf).count())
+    // fnXpath processes the deterministic 1-in-4 orderkey slice
+    // (pmod(o_orderkey,4)=0, mirrored in the oracle) — sum against it
+    import org.apache.spark.sql.functions.pmod
+    val sliced = Tables.orders(spark, sf)
+      .filter(pmod($"o_orderkey", lit(4)) === 0).count()
+    assert(rows.map(_._2).sum === sliced)
     assert(rows.length === 5)
   }
 
