@@ -181,10 +181,23 @@ object LlmOps {
     // worst GC driver (6.9 s of the sweep's gc_ms). Candidates
     // distinct FIRST (collapsing band multiplicity before any array
     // work), then ONE exact verification per unique pair after a
-    // re-join to the sketch table. Both shapes shuffle O(corpus × b),
-    // never O(pairs); the re-join adds two id-keyed corpus joins but
-    // removes the array payload from the widest shuffle — measured
-    // 0.55 s / ~0 gc vs 0.68 s / 0.2-1.6 s gc fused at sf0.1.
+    // re-join to the sketch table. The bucket shuffle is O(corpus × b);
+    // the verify stage is O(candidates) — and on THIS corpus that is
+    // the honest, irreducible cost: at sf0.1, 5,000 documents yield
+    // 2.46 MILLION verified pairs (j >= 0.8 holds for ~20% of ALL
+    // pairs — the synthetic corpus is pathologically self-similar), so
+    // the pair join materializes 2.5M rows each carrying two th
+    // arrays, and the jvm GC time the driver benches attribute here
+    // (~2.6 s over 3 runs) is those short-lived per-pair arrays, not a
+    // fixable plan defect. The round-11 A/B note's "0.55 s / ~0 gc"
+    // was a contended-session artifact and is retracted; measured
+    // round 13 isolated: ~1.5 s med. A round-13 A/B pruning the
+    // sketch re-join to candidate ids (semi-join + eager-checkpointed
+    // candIds) measured 4.1 s — WORSE, because every doc is a
+    // candidate here, so the prune buys nothing and the checkpoint
+    // adds a job. On a realistic corpus (near-dup density << 1) the
+    // same candidate-count argument makes this shape sublinear; the
+    // output volume, not the plan, is what a 100 TB run must budget.
     // NO broadcast anywhere — every side is corpus-sized except the
     // candidate list, which is data-dependent and may be too. Skew on
     // identical-doc signatures is AQE skew-join territory.
