@@ -7351,6 +7351,124 @@ object Oracle {
   // phrase = the corpus's most frequent adjacent word pair (ties by
   // terms); per-doc occurrence counts are plain adjacent-bigram
   // matches — equivalent to the engine's position-list intersection
+  val analyticWelchTtest: String = """
+    WITH t AS (SELECT o_orderpriority p, CAST(o_totalprice AS DECIMAL(12,2)) x
+               FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    g AS (SELECT p, COUNT(*) n, CAST(SUM(x) AS DOUBLE) s,
+                 CAST(SUM(x * x) AS DOUBLE) ss
+          FROM t GROUP BY p),
+    a AS (SELECT n n1, s s1, ss ss1 FROM g WHERE p = '1-URGENT'),
+    b AS (SELECT n n2, s s2, ss ss2 FROM g WHERE p = '5-LOW')
+    SELECT CAST(n1 AS BIGINT) n_urgent, CAST(n2 AS BIGINT) n_low,
+      ROUND(s1 / n1, 6) mean_urgent, ROUND(s2 / n2, 6) mean_low,
+      ROUND((s1 / n1 - s2 / n2) /
+        sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 +
+             ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) t_stat,
+      ROUND(
+        (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 +
+         ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) *
+        (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 +
+         ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) /
+        ((((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1) *
+         (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1) +
+         (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) *
+         (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1)), 4) welch_df
+    FROM a, b
+  """
+
+  val analyticMannwhitneyU: String = """
+    WITH t AS (SELECT o_orderpriority p,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) c
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    vc AS (SELECT c,
+        SUM(CASE WHEN p = '1-URGENT' THEN 1 ELSE 0 END) na,
+        SUM(CASE WHEN p = '5-LOW' THEN 1 ELSE 0 END) nb
+      FROM t GROUP BY c),
+    cum AS (SELECT c, na, nb,
+        COALESCE(SUM(nb) OVER (ORDER BY c
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumb,
+        COALESCE(SUM(na) OVER (ORDER BY c
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cuma
+      FROM vc)
+    SELECT CAST(SUM(na) AS BIGINT) n_a, CAST(SUM(nb) AS BIGINT) n_b,
+      CAST(SUM(na * (2 * cumb + nb)) AS BIGINT) u2_a,
+      CAST(SUM(nb * (2 * cuma + na)) AS BIGINT) u2_b
+    FROM cum
+  """
+
+  val mlChiSquareSelect: String = """
+    WITH cells AS (SELECT c_mktsegment segment,
+        CAST(c_nationkey AS INTEGER) nation, COUNT(*) obs
+      FROM customer GROUP BY 1, 2),
+    rt AS (SELECT segment, SUM(obs) row_n FROM cells GROUP BY 1),
+    ct AS (SELECT nation, SUM(obs) col_n FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(obs) n_total FROM cells)
+    SELECT segment, nation, CAST(obs AS BIGINT) obs,
+      ROUND(CAST(row_n * col_n AS DOUBLE) / n_total, 6) expected,
+      ROUND((obs - CAST(row_n * col_n AS DOUBLE) / n_total) *
+            (obs - CAST(row_n * col_n AS DOUBLE) / n_total) /
+            (CAST(row_n * col_n AS DOUBLE) / n_total), 6) chi2_contrib
+    FROM cells JOIN rt USING (segment) JOIN ct USING (nation), tot
+    ORDER BY segment, nation
+  """
+
+  val mlQuantileBins: String = """
+    WITH r AS (SELECT CAST(l_quantity AS INTEGER) v,
+        NTILE(10) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) b
+      FROM lineitem)
+    SELECT b AS bin, CAST(COUNT(*) AS BIGINT) n_rows,
+      MIN(v) min_q, MAX(v) max_q
+    FROM r GROUP BY 1 ORDER BY 1
+  """
+
+  val mlCrossvalFolds: String = """
+    WITH per AS (SELECT CAST(o_orderkey % 5 AS INTEGER) fold, COUNT(*) n,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) s,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2)) *
+            CAST(o_totalprice AS DECIMAL(12,2))) ss
+      FROM orders GROUP BY 1),
+    tot AS (SELECT SUM(n) tn, SUM(s) ts, SUM(ss) tss FROM per)
+    SELECT fold, CAST(n AS BIGINT) n_test,
+      ROUND(CAST(ts - s AS DOUBLE) / (tn - n), 6) mean_train,
+      ROUND(sqrt(CAST(ss AS DOUBLE) / n -
+        2.0 * (CAST(ts - s AS DOUBLE) / (tn - n)) * (CAST(s AS DOUBLE) / n) +
+        (CAST(ts - s AS DOUBLE) / (tn - n)) *
+        (CAST(ts - s AS DOUBLE) / (tn - n))), 6) rmse
+    FROM per, tot ORDER BY fold
+  """
+
+  val analyticAbLift: String = """
+    WITH u AS (SELECT user_id,
+        CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 13
+             THEN 1 ELSE 0 END conv
+      FROM events GROUP BY 1),
+    g AS (SELECT CAST(user_id % 2 AS INTEGER) arm, COUNT(*) users,
+        SUM(conv) convs FROM u GROUP BY 1),
+    a AS (SELECT users users_a, convs conv_a FROM g WHERE arm = 0),
+    b AS (SELECT users users_b, convs conv_b FROM g WHERE arm = 1)
+    SELECT CAST(users_a AS BIGINT) users_a, CAST(conv_a AS BIGINT) conv_a,
+      CAST(users_b AS BIGINT) users_b, CAST(conv_b AS BIGINT) conv_b,
+      ROUND(CAST(conv_a AS DOUBLE) / users_a, 6) rate_a,
+      ROUND(CAST(conv_b AS DOUBLE) / users_b, 6) rate_b,
+      ROUND((CAST(conv_b AS DOUBLE) / users_b) /
+            (CAST(conv_a AS DOUBLE) / users_a) - 1, 6) lift,
+      ROUND((CAST(conv_b AS DOUBLE) / users_b -
+             CAST(conv_a AS DOUBLE) / users_a) /
+        sqrt((CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b)) *
+             (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b)) *
+             (1.0 / users_a + 1.0 / users_b)), 6) z_score
+    FROM a, b
+  """
+
+  val joinFuzzyLevenshtein: String = """
+    WITH v AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) w FROM part)
+    SELECT x.w w1, y.w w2, CAST(levenshtein(x.w, y.w) AS INTEGER) dist
+    FROM v x, v y
+    WHERE x.w < y.w AND abs(len(x.w) - len(y.w)) <= 1
+      AND levenshtein(x.w, y.w) <= 2
+    ORDER BY 1, 2
+  """
+
   val textPhraseQueryK3: String = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents
                WHERE len(string_split(text, ' ')) >= 3),

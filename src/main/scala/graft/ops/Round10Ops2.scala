@@ -185,23 +185,52 @@ object Round10Ops2 {
     * principal components — the dimensionality-reduction step that
     * precedes clustering/ANN in an embedding pipeline. Covariance is
     * accumulated distributed (one pass of Gram-matrix partial sums);
-    * only the 64×8 rotation is driver-side. Component sign is
+    * only the 64×64 eigensolve is driver-side. Component sign is
     * basis-dependent (not SQL-expressible — scalatest-only: MLSpec
     * asserts the explained-variance ordering and that projected
     * variance matches it).
+    *
+    * Round 13: the rotation comes from breeze eigSym (LAPACK's
+    * symmetric dsyevd) on the covariance instead of MLlib PCA's
+    * general dgesdd SVD — dgesdd intermittently threw NotConverged in
+    * long shared-JVM board sweeps (the round-11 "pca flake"; passed
+    * standalone every time). dsyevd is the right routine for a
+    * symmetric PSD matrix and removes the flake at the root. Each
+    * component's sign is normalized (largest-|loading| entry made
+    * positive) so the projection is deterministic, not just
+    * variance-equivalent.
     */
   def mlPcaProject(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val d = 64; val k = 8
     val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val vecs = embeddings(spark, sfDir)
-      .select($"vec_id", $"label", toVec($"embedding").as("features"))
-    val model = new PCA().setK(8)
-      .setInputCol("features").setOutputCol("pc").fit(vecs)
-    model.transform(vecs)
+      org.apache.spark.mllib.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val rm = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+      embeddings(spark, sfDir).select(toVec($"embedding").as("f"))
+        .rdd.map(_.getAs[org.apache.spark.mllib.linalg.Vector](0)))
+    val cov = rm.computeCovariance()
+    val es = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(d, d, cov.toArray))
+    // eigSym returns eigenvalues ASCENDING: take the top-k columns in
+    // descending order, sign-normalized
+    val w = Array.tabulate(k) { j =>
+      val col = es.eigenvectors(::, d - 1 - j).toArray
+      val m = col.indices.maxBy(i => math.abs(col(i)))
+      if (col(m) < 0) col.map(v => -v) else col
+    }
+    val bw = spark.sparkContext.broadcast(w)
+    val project = udf((a: Seq[Float]) => {
+      val x = a.map(_.toDouble).toArray
+      bw.value.map(c => {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * c(i); i += 1 }
+        s
+      })
+    })
+    embeddings(spark, sfDir)
+      .select($"vec_id", $"label", project($"embedding").as("pc"))
       .select($"vec_id" +: $"label" +:
-        (0 until 8).map(i =>
-          element_at(vector_to_array($"pc"), i + 1).as(s"pc${i + 1}")): _*)
+        (0 until k).map(i => element_at($"pc", i + 1).as(s"pc${i + 1}")): _*)
       .orderBy($"vec_id")
   }
 

@@ -223,7 +223,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val df = fn(spark, sf)
+        // one construction retry, same policy as Verify.scala's dump
+        // loop: iterative MLlib fits historically flaked in long
+        // shared-JVM sweeps (the dgesdd NotConverged pca flake, fixed
+        // at the root in round 13 by switching to eigSym — this guard
+        // keeps the board sweep robust to the next one)
+        val df = try fn(spark, sf) catch { case _: Throwable => fn(spark, sf) }
         val bad = df.queryExecution.optimizedPlan.collectWithSubqueries {
           case w: LWindow if w.partitionSpec.isEmpty => w
         }
