@@ -1696,6 +1696,66 @@ object Oracle {
 
   // identical 16-term shift-and-mask interleave in DuckDB's operator
   // dialect
+  val graphLabelPropagation: String = {
+    // 3 unrolled synchronous rounds: adopt the most frequent neighbor
+    // label, ties to the smallest label — mirrors the Spark loop
+    def round(i: Int): String = {
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""g$i AS (SELECT e.src node, l.lbl, COUNT(*) cnt
+        FROM edges e JOIN $prev l ON e.dst = l.node GROUP BY 1, 2),
+      l$i AS (SELECT node, lbl FROM (
+        SELECT node, lbl, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY cnt DESC, lbl) rn FROM g$i)
+        WHERE rn = 1)"""
+    }
+    s"""
+    WITH pairs AS (SELECT DISTINCT l_partkey p, l_suppkey + 10000000 s
+                   FROM lineitem),
+    edges AS (SELECT p src, s dst FROM pairs
+              UNION ALL SELECT s, p FROM pairs),
+    l0 AS (SELECT DISTINCT src node, src lbl FROM edges),
+    ${round(1)}, ${round(2)}, ${round(3)}
+    SELECT node, lbl AS community FROM l3 ORDER BY node
+    """
+  }
+
+  val scaleHilbertCluster: String = {
+    // the 8 unrolled xy->d Hilbert stages, mirrored from
+    // Round13Ops3.hilbertStage: quadrant bits, then flip+swap when
+    // ry = 0
+    val stages = (0 until 8).map { i =>
+      val s = 1 << (7 - i)
+      val prev = if (i == 0) "base" else s"h${i - 1}"
+      s"""h$i AS (SELECT o_orderkey, xb, yb,
+        CASE WHEN ry = 0 THEN yf ELSE x END AS x,
+        CASE WHEN ry = 0 THEN xf ELSE y END AS y,
+        d + ${s.toLong * s} * xor(3 * rx, ry) AS d
+        FROM (SELECT o_orderkey, xb, yb, x, y, d, rx, ry,
+          CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END AS xf,
+          CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END AS yf
+          FROM (SELECT o_orderkey, xb, yb, x, y, d,
+            CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+            CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+            FROM $prev)))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH base AS (SELECT o_orderkey, xb, yb, x, y, CAST(0 AS BIGINT) d
+      FROM (SELECT o_orderkey,
+              CAST(o_custkey % 256 AS INTEGER) AS xb,
+              CAST(o_custkey % 256 AS INTEGER) AS x,
+              CAST(date_diff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) % 256 AS INTEGER)
+                AS yb,
+              CAST(date_diff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) % 256 AS INTEGER)
+                AS y
+            FROM orders)),
+    $stages
+    SELECT o_orderkey, xb, yb, CAST(d AS BIGINT) AS hval
+    FROM h7 ORDER BY hval, o_orderkey
+    """
+  }
+
   val scaleZorderCluster: String = {
     val morton = (0 until 8).map { i =>
       s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})"
