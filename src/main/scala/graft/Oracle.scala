@@ -1696,6 +1696,56 @@ object Oracle {
 
   // identical 16-term shift-and-mask interleave in DuckDB's operator
   // dialect
+  // the serial window formulation of the op's distributed
+  // fold-selection; both pick the UPPER median (rank n//2 + 1)
+  val analyticMadOutliers: String = """
+    WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) c
+               FROM orders),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM c),
+    m AS (SELECT c med FROM
+      (SELECT c, ROW_NUMBER() OVER (ORDER BY c) rn FROM c), nn
+      WHERE rn = n // 2 + 1),
+    d AS (SELECT abs(c.c - m.med) d FROM c, m),
+    md AS (SELECT d mad FROM
+      (SELECT d, ROW_NUMBER() OVER (ORDER BY d) rn FROM d), nn
+      WHERE rn = n // 2 + 1)
+    SELECT nn.n, m.med AS med_cents, md.mad AS mad_cents,
+      CAST((SELECT COUNT(*) FROM d, md WHERE d.d > 3 * md.mad) AS BIGINT)
+        AS n_outliers,
+      ROUND(CAST((SELECT COUNT(*) FROM d, md WHERE d.d > 3 * md.mad)
+              AS DOUBLE) / nn.n, 6) AS outlier_rate
+    FROM nn, m, md
+  """
+
+  val mlImputeMissing: String = """
+    WITH t AS (SELECT event_type,
+        CASE WHEN event_id % 7 = 0 THEN NULL
+             ELSE CAST(value AS DECIMAL(12,2)) END x
+      FROM events),
+    g AS (SELECT event_type, COUNT(*) n_total, COUNT(x) n_present,
+                 CAST(SUM(x) AS DOUBLE) s
+          FROM t GROUP BY 1)
+    SELECT event_type, CAST(n_total AS BIGINT) n_total,
+      CAST(n_total - n_present AS BIGINT) n_missing,
+      ROUND(s / n_present, 6) imputed_mean,
+      ROUND(s + (n_total - n_present) * (s / n_present), 4) filled_total
+    FROM g ORDER BY event_type
+  """
+
+  val sourceSchemaEvolution: String = """
+    WITH base AS (SELECT o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders)
+    SELECT 1 AS gen, CAST(COUNT(*) AS BIGINT) n,
+      CAST(SUM(cents) AS BIGINT) sum_cents, CAST(0 AS BIGINT) n_with_channel
+    FROM base WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+      CAST(COUNT(*) AS BIGINT)
+    FROM base WHERE o_orderkey % 2 = 1
+    ORDER BY gen
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop

@@ -110,7 +110,7 @@ object Tables {
 
   private def taggedTmpDirs(): Array[java.io.File] =
     Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_r11_"))
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_r1"))
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))

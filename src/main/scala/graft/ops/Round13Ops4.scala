@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-13 widening, part 4: robust outlier screening (MAD), null
+  * imputation, and parquet schema evolution — the data-quality prep
+  * steps between ingest and training.
+  */
+object Round13Ops4 {
+
+  /** Discrete median (value at rank ⌈n/2⌉) from a (value, count)
+    * table via the O(k) sorted-array fold — the repo's window-free
+    * cumulative shape. -1 sentinel while unresolved; integer-exact.
+    */
+  private def discMedian(vc: DataFrame): DataFrame = {
+    vc.agg(array_sort(collect_list(struct(col("v"), col("cnt")))).as("a"))
+      .select(expr("""
+        aggregate(a,
+          named_struct('cum', CAST(0 AS BIGINT), 'tot',
+            aggregate(a, CAST(0 AS BIGINT), (t, x) -> t + x.cnt),
+            'med', CAST(-1 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'cum', acc.cum + x.cnt,
+            'tot', acc.tot,
+            'med', CASE WHEN acc.med >= 0 THEN acc.med
+                        WHEN 2 * (acc.cum + x.cnt) >= acc.tot + 1
+                          THEN x.v ELSE CAST(-1 AS BIGINT) END))""").as("st"))
+      .select(col("st.tot").as("n"), col("st.med").as("med"))
+  }
+
+  /** Robust outlier screen: median / MAD (median absolute deviation)
+    * over order totals in exact integer cents — the heavy-tail-safe
+    * alternative to mean/stddev z-scores. Both medians are discrete
+    * order statistics (rank ⌈n/2⌉) computed by the window-free
+    * distinct-value fold, so everything up to the final rate is
+    * integer-exact and the oracle's serial window formulation must
+    * agree bit-for-bit. Outlier rule kept integer: |x − med| > 3·MAD
+    * (the 1.4826 normal-consistency factor is deliberately omitted —
+    * it only rescales the threshold and would drag floats into the
+    * decision). Corpus passes: one per-value count, one deviation
+    * count (after a 1-row median broadcast), one filtered count.
+    */
+  def analyticMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = orders(spark, sfDir)
+      .select((money($"o_totalprice") * 100).cast(LongType).as("c"))
+    val med = discMedian(
+      cents.groupBy($"c".as("v")).agg(count(lit(1)).as("cnt")))
+      .select($"n", $"med".as("med_cents"))
+    val dev = cents.crossJoin(broadcast(med))
+      .select(abs($"c" - $"med_cents").as("d"), $"med_cents", $"n")
+    val mad = discMedian(
+      dev.groupBy($"d".as("v")).agg(count(lit(1)).as("cnt")))
+      .select($"med".as("mad_cents"))
+    val out = dev.crossJoin(broadcast(mad))
+      .agg(sum(when($"d" > lit(3) * $"mad_cents", 1L).otherwise(0L))
+        .as("n_outliers"))
+    med.crossJoin(broadcast(mad)).crossJoin(broadcast(out))
+      .select($"n", $"med_cents", $"mad_cents", $"n_outliers",
+        round($"n_outliers".cast(DoubleType) / $"n", 6).as("outlier_rate"))
+  }
+
+  /** Null imputation — per-group mean fill, the first prep step of
+    * any numeric pipeline. The corpus has no natural nulls, so a
+    * deterministic 1-in-7 slice of event values (pmod(event_id,7)=0)
+    * plays the missing set; the present values' per-type DECIMAL
+    * partials give an exact imputed mean and the filled total expands
+    * from the same partials — double math only in the epilogue, the
+    * round-13 stats protocol.
+    */
+  def mlImputeMissing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .select($"event_type",
+        when(pmod($"event_id", lit(7)) === 0, lit(null))
+          .otherwise(money($"value")).as("x"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        count($"x").as("n_present"),
+        sum($"x").as("s"))
+      .select($"event_type", $"n_total",
+        ($"n_total" - $"n_present").as("n_missing"),
+        round($"s".cast(DoubleType) / $"n_present", 6).as("imputed_mean"),
+        // total after filling every missing row with the mean
+        round($"s".cast(DoubleType) +
+          ($"n_total" - $"n_present") *
+            ($"s".cast(DoubleType) / $"n_present"), 4).as("filled_total"))
+      .orderBy($"event_type")
+  }
+
+  /** Parquet schema evolution: batch 1 lands without the `channel`
+    * column, batch 2 adds it; `mergeSchema` reads both generations as
+    * one table with nulls backfilled — the append-only schema-change
+    * story every long-lived 100 TB dataset needs. The audit aggregate
+    * reconciles per-generation counts and totals against the source,
+    * which is exactly what the oracle recomputes relationally.
+    */
+  def sourceSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = "/tmp/graft_r13_schevo_" + runTag(spark, sfDir)
+    val base = orders(spark, sfDir)
+      .select($"o_orderkey",
+        (money($"o_totalprice") * 100).cast(LongType).as("cents"),
+        $"o_orderpriority")
+    base.filter(pmod($"o_orderkey", lit(2)) === 0)
+      .select($"o_orderkey", $"cents")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    base.filter(pmod($"o_orderkey", lit(2)) === 1)
+      .select($"o_orderkey", $"cents", $"o_orderpriority".as("channel"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy($"gen".cast(IntegerType).as("gen"))
+      .agg(count(lit(1)).as("n"),
+        sum($"cents").as("sum_cents"),
+        count($"channel").as("n_with_channel"))
+      .orderBy($"gen")
+  }
+}
