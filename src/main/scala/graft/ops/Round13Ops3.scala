@@ -42,10 +42,12 @@ object Round13Ops3 {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy($"src".as("node"), $"lbl")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"node").orderBy($"cnt".desc, $"lbl".asc)))
-        .filter($"rn" === 1)
-        .select($"node", $"lbl")
+        // argmax-per-node as a mergeable aggregate instead of a
+        // node-partitioned top-1 window: max_by over the (cnt, -lbl)
+        // pair implements "most frequent, ties to smallest label"
+        // with partial aggregation and no per-partition sort
+        .groupBy($"node")
+        .agg(max_by($"lbl", struct($"cnt", (-$"lbl").as("neg"))).as("lbl"))
         .localCheckpoint(true)
       prevCkpt.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
@@ -55,36 +57,39 @@ object Round13Ops3 {
     labels.select($"node", $"lbl".as("community")).orderBy($"node")
   }
 
-  /** One Hilbert-curve refinement stage: given (x, y, d) at scale s,
-    * fold in the (rx, ry) quadrant bits and apply the curve's rotation
-    * (flip then swap when ry = 0). Pure integer arithmetic so the
-    * oracle mirrors it stage for stage.
-    */
-  private[graft] def hilbertStage(s: Int)(
-      x: Column, y: Column, d: Column): (Column, Column, Column) = {
-    val rx = when((x.bitwiseAND(lit(s))) > 0, 1).otherwise(0)
-    val ry = when((y.bitwiseAND(lit(s))) > 0, 1).otherwise(0)
-    val d2 = d + lit(s.toLong * s) * (lit(3) * rx).bitwiseXOR(ry).cast(LongType)
-    val xf = when(rx === 1, lit(s - 1) - x).otherwise(x)
-    val yf = when(rx === 1, lit(s - 1) - y).otherwise(y)
-    val x2 = when(ry === 0, yf).otherwise(x)
-    val y2 = when(ry === 0, xf).otherwise(y)
-    (x2, y2, d2)
-  }
-
   /** Full xy→d Hilbert index for a 2^order × 2^order grid: the
-    * standard iterative conversion unrolled into `order` expression
-    * stages (each stage is a handful of integer ops — all inside
-    * whole-stage codegen). */
+    * standard iterative conversion as a RUNTIME `aggregate` fold over
+    * the descending scale array, carrying (x, y, d) in a struct
+    * accumulator. Each step folds in the (rx, ry) quadrant bits and
+    * applies the curve's rotation (flip then swap when ry = 0) —
+    * pure integer arithmetic mirrored stage-for-stage in the oracle.
+    *
+    * Why a fold and not `order` chained withColumns: each unrolled
+    * stage references its predecessor's x and y several times, and
+    * CollapseProject re-inlines the chain, so the expression tree
+    * grows EXPONENTIALLY with the order — the first cut of this op
+    * planned 8 unrolled stages and spent 47 s (vs 0.3 s) almost
+    * entirely in analysis/codegen of the blown-up tree. The fold
+    * keeps ONE stage in the plan and iterates at runtime.
+    */
   private[graft] def hilbertIndex(order: Int, x0: Column, y0: Column): Column = {
-    var x = x0; var y = y0; var d: Column = lit(0L)
-    var s = 1 << (order - 1)
-    while (s > 0) {
-      val (x2, y2, d2) = hilbertStage(s)(x, y, d)
-      x = x2; y = y2; d = d2
-      s >>= 1
-    }
-    d
+    val scales = array((0 until order).map(i => lit(1 << (order - 1 - i))): _*)
+    aggregate(
+      scales,
+      struct(x0.as("x"), y0.as("y"), lit(0L).as("d")),
+      (a, s) => {
+        val x = a.getField("x"); val y = a.getField("y")
+        val rx = when(x.bitwiseAND(s) > 0, 1).otherwise(0)
+        val ry = when(y.bitwiseAND(s) > 0, 1).otherwise(0)
+        struct(
+          when(ry === 1, x).otherwise(
+            when(rx === 1, s - 1 - y).otherwise(y)).as("x"),
+          when(ry === 1, y).otherwise(
+            when(rx === 1, s - 1 - x).otherwise(x)).as("y"),
+          (a.getField("d") + (s.cast(LongType) * s.cast(LongType)) *
+            (lit(3) * rx).bitwiseXOR(ry).cast(LongType)).as("d"))
+      },
+      a => a.getField("d"))
   }
 
   /** Hilbert-curve clustering key over the same (customer bucket,
