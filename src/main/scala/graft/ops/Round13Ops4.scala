@@ -91,6 +91,46 @@ object Round13Ops4 {
       .orderBy($"event_type")
   }
 
+  /** Batch ANN serving through the persisted IVF index — the
+    * realistic retrieval shape (sim_ann_ivf probes ONE query; real
+    * serving joins a whole query batch against the artifact). The
+    * 1-in-16 vec_id slice plays the query batch; each probe ranks the
+    * 16 broadcast centroids (qid-partitioned window), keeps its
+    * nProbe=4 cells, and the candidate join is a plain shuffle
+    * equi-join on cell id — per-probe work is nProbe/16 of the
+    * corpus, batch-wide work is one join, no per-query loop. Top-3
+    * neighbors per probe via a qid-partitioned WindowGroupLimit.
+    * No oracle (centroid rule is engine-specific, same as
+    * sim_ann_ivf); Round13Spec4 pins recall vs an exact driver-side
+    * batch kNN and the artifact-scanning plan.
+    */
+  def simAnnIndexBatchProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val path = Round12Ops.ivfIndexPath(spark, sfDir)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assign")
+      .filter($"rn" === 1).drop("rn")
+    val probes = assigned.filter(pmod($"vec_id", lit(16)) === 3)
+      .select($"vec_id".as("qid"), $"embedding".as("pe"), $"nrm".as("pn"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("cos_c", LlmOps.dot($"pe", $"ce") / ($"pn" * $"cn"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos_c".desc, $"cid")))
+      .filter($"cr" <= 4)
+      .select($"qid", $"cid", $"pe", $"pn")
+    probeCells.join(assigned, Seq("cid"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos", LlmOps.dot($"embedding", $"pe") / ($"nrm" * $"pn"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rk" <= 3)
+      .select($"qid", $"rk".as("rank"), $"vec_id".as("neighbor_id"),
+        round($"cos", 6).as("cosine"))
+      .orderBy($"qid", $"rank")
+  }
+
   /** Parquet schema evolution: batch 1 lands without the `channel`
     * column, batch 2 adds it; `mergeSchema` reads both generations as
     * one table with nulls backfilled — the append-only schema-change

@@ -39,6 +39,41 @@ class Round13Spec4 extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("batch probe: recall vs exact driver-side kNN >= 0.5, plan reads the artifact") {
+    import spark.implicits._
+    val df = graft.ops.Round13Ops4.simAnnIndexBatchProbe(spark, sf)
+    val got = df.as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length), "dense ranks per probe")
+      assert(rs.length <= 3)
+    }
+    // exact reference: full cosine kNN per probe, computed driver-side
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val byId = vecs.toMap
+    val probes = vecs.filter(_._1 % 16 == 3).map(_._1)
+    var hits = 0; var total = 0
+    probes.foreach { q =>
+      val exact = vecs.filter(_._1 != q)
+        .map { case (id, e) => (id, cos(byId(q), e)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      val ann = got.filter(_._1 == q).map(_._3).toSet
+      hits += (exact intersect ann).size; total += exact.size
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.5, s"batch-probe recall@3 $recall below floor")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_index_v3"),
+      s"batch probe should scan the persisted index:\n${plan.take(1500)}")
+  }
+
   test("schema evolution: generations reconcile with the source halves") {
     import spark.implicits._
     val gens = Round13Ops4.sourceSchemaEvolution(spark, sf)
