@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,8 +20,8 @@ object Round13Ops3 {
     * deterministic, so the op oracles against 3 unrolled DuckDB
     * rounds. Scale shape per round: one key-partitioned join of the
     * label vector with the edge list, a (node, label) hash count, and
-    * a node-partitioned top-1 window; `localCheckpoint` cuts lineage
-    * per round (Graph.scala pattern) so plan depth stays flat.
+    * a mergeable max_by argmax per node; `localCheckpoint` cuts
+    * lineage per round (Graph.scala pattern) so plan depth stays flat.
     */
   def graphLabelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
