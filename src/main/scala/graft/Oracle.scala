@@ -1746,6 +1746,39 @@ object Oracle {
     ORDER BY gen
   """
 
+  val tsLttbDownsample: String = """
+    WITH daily AS (SELECT event_type,
+        date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) x,
+        CAST(COUNT(*) AS BIGINT) y
+      FROM events GROUP BY 1, 2),
+    rng AS (SELECT event_type, MIN(x) xmin, MAX(x) xmax
+            FROM daily GROUP BY 1),
+    b AS (SELECT d.event_type, ((d.x - xmin) * 16) // (xmax - xmin + 1) bkt,
+                 d.x, d.y
+          FROM daily d JOIN rng USING (event_type)),
+    agg AS (SELECT event_type, bkt, SUM(x) sx, SUM(y) sy, COUNT(*) n
+            FROM b GROUP BY 1, 2),
+    cand AS (SELECT b.event_type, b.bkt, b.x, b.y,
+        abs((l.sx - l.n * b.x) * (r.sy - r.n * b.y) -
+            (r.sx - r.n * b.x) * (l.sy - l.n * b.y)) a2
+      FROM b
+      JOIN agg l ON l.event_type = b.event_type AND l.bkt = b.bkt - 1
+      JOIN agg r ON r.event_type = b.event_type AND r.bkt = b.bkt + 1),
+    mid AS (SELECT event_type, bkt, x, y FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+          ORDER BY a2 DESC, x) rn FROM cand) WHERE rn = 1),
+    fst AS (SELECT event_type, bkt, x, y FROM (
+        SELECT b.*, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) rn
+        FROM b) WHERE rn = 1),
+    lst AS (SELECT event_type, bkt, x, y FROM (
+        SELECT b.*, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x DESC) rn
+        FROM b) WHERE rn = 1)
+    SELECT event_type, CAST(bkt AS BIGINT) bkt, CAST(x AS INTEGER) x, y
+    FROM (SELECT * FROM fst UNION ALL SELECT * FROM mid
+          UNION ALL SELECT * FROM lst)
+    ORDER BY event_type, x
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop

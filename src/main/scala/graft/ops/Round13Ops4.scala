@@ -91,6 +91,61 @@ object Round13Ops4 {
       .orderBy($"event_type")
   }
 
+  /** LTTB-style downsampling of the per-type daily event series —
+    * the visualization-grade reduction a 100 TB telemetry store runs
+    * before charting. Classic LTTB anchors each bucket's pick on the
+    * PREVIOUSLY SELECTED point (a sequential chain); this is the
+    * standard parallel variant that anchors on the neighboring
+    * buckets' average points instead, so every bucket selects
+    * independently — one join against the per-bucket aggregates, a
+    * mergeable max_by per bucket, no cross-bucket dependency. The
+    * triangle-area argmax is kept EXACT by multiplying through the
+    * average denominators: comparing
+    * |(Sxl−nl·x)(Syr−nr·y) − (Sxr−nr·x)(Syl−nl·y)| ranks candidates
+    * identically to the rational areas, in pure integer math (ties to
+    * the smallest x). First/last series points are kept as anchors;
+    * interior buckets need both neighbors (edge buckets drop out of
+    * the inner joins by construction, mirrored in the oracle).
+    */
+  def tsLttbDownsample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nBuckets = 16
+    val daily = events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1995-01-01"))).as("x"))
+      .agg(count(lit(1)).as("y"))
+    val rng = daily.groupBy($"event_type")
+      .agg(min($"x").as("xmin"), max($"x").as("xmax"))
+    val b = daily.join(broadcast(rng), Seq("event_type"))
+      .withColumn("bkt",
+        expr(s"((x - xmin) * $nBuckets) div (xmax - xmin + 1)"))
+      .select($"event_type", $"bkt", $"x", $"y")
+    val agg = b.groupBy($"event_type", $"bkt")
+      .agg(sum($"x").as("sx"), sum($"y").as("sy"), count(lit(1)).as("n"))
+    val lefts = agg.select($"event_type", ($"bkt" + 1).as("bkt"),
+      $"sx".as("sxl"), $"sy".as("syl"), $"n".as("nl"))
+    val rights = agg.select($"event_type", ($"bkt" - 1).as("bkt"),
+      $"sx".as("sxr"), $"sy".as("syr"), $"n".as("nr"))
+    val mid = b
+      .join(lefts, Seq("event_type", "bkt"))
+      .join(rights, Seq("event_type", "bkt"))
+      .withColumn("a2", abs(
+        ($"sxl" - $"nl" * $"x") * ($"syr" - $"nr" * $"y") -
+        ($"sxr" - $"nr" * $"x") * ($"syl" - $"nl" * $"y")))
+      .groupBy($"event_type", $"bkt")
+      .agg(max_by(struct($"x", $"y"), struct($"a2", (-$"x").as("nx"))).as("pt"))
+      .select($"event_type", $"bkt", $"pt.x".as("x"), $"pt.y".as("y"))
+    val first = b.groupBy($"event_type")
+      .agg(min_by(struct($"bkt", $"x", $"y"), $"x").as("pt"))
+      .select($"event_type", $"pt.bkt".as("bkt"), $"pt.x".as("x"), $"pt.y".as("y"))
+    val last = b.groupBy($"event_type")
+      .agg(max_by(struct($"bkt", $"x", $"y"), $"x").as("pt"))
+      .select($"event_type", $"pt.bkt".as("bkt"), $"pt.x".as("x"), $"pt.y".as("y"))
+    first.unionAll(mid).unionAll(last)
+      .select($"event_type", $"bkt", $"x", $"y")
+      .orderBy($"event_type", $"x")
+  }
+
   /** Batch ANN serving through the persisted IVF index — the
     * realistic retrieval shape (sim_ann_ivf probes ONE query; real
     * serving joins a whole query batch against the artifact). The

@@ -74,6 +74,32 @@ class Round13Spec4 extends AnyFunSuite with SparkFixture {
       s"batch probe should scan the persisted index:\n${plan.take(1500)}")
   }
 
+  test("lttb: anchors preserved, one point per populated interior bucket, real series points") {
+    import spark.implicits._
+    val got = Round13Ops4.tsLttbDownsample(spark, sf)
+      .as[(String, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1995-01-01"))).as("x"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(r => r._2 -> r._3).toMap }
+    got.groupBy(_._1).foreach { case (t, pts) =>
+      val series = daily(t)
+      // every selected point is a real (x, y) of the series
+      pts.foreach { case (_, _, x, y) => assert(series(x) === y) }
+      // the global first and last x are always kept
+      assert(pts.exists(_._3 == series.keys.min))
+      assert(pts.exists(_._3 == series.keys.max))
+      // at most one point per bucket among interior picks
+      val interior = pts.filter(p =>
+        p._3 != series.keys.min && p._3 != series.keys.max)
+      assert(interior.groupBy(_._2).forall(_._2.length == 1),
+        s"$t: interior buckets must contribute at most one point")
+    }
+  }
+
   test("schema evolution: generations reconcile with the source halves") {
     import spark.implicits._
     val gens = Round13Ops4.sourceSchemaEvolution(spark, sf)
