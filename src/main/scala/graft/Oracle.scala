@@ -1779,6 +1779,89 @@ object Oracle {
     ORDER BY event_type, x
   """
 
+  val analyticKruskalWallis: String = """
+    WITH cnt AS (SELECT l_returnflag g,
+        CAST(l_quantity AS INTEGER) v,
+        CAST(COUNT(*) AS BIGINT) ngv
+      FROM lineitem GROUP BY 1, 2),
+    tv AS (SELECT v, CAST(SUM(ngv) AS BIGINT) t FROM cnt GROUP BY 1),
+    cum AS (SELECT v, t, CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) cb
+      FROM tv),
+    grp AS (SELECT g, CAST(SUM(ngv) AS BIGINT) n_g,
+        CAST(SUM(ngv * (2 * cb + t + 1)) AS BIGINT) r2
+      FROM cnt JOIN cum USING (v) GROUP BY 1),
+    ties AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) tie3,
+        CAST(SUM(t) AS BIGINT) n FROM tv),
+    scal AS (SELECT SUM(CAST(ROUND(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) /
+        (4.0 * n_g), 6) AS DECIMAL(38,6))) sr FROM grp),
+    hrow AS (SELECT n, ROUND(
+        12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+          CAST(sr AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) h_stat,
+      ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+          CAST(sr AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0)) /
+        (1.0 - CAST(tie3 AS DOUBLE) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+           CAST(n AS DOUBLE))), 6) h_tie_corrected
+      FROM scal, ties)
+    SELECT g AS return_flag, n_g, r2 AS rank_sum_x2,
+      ROUND(CAST(r2 AS DOUBLE) / (2.0 * n_g), 6) AS mean_rank,
+      n AS n_total, h_stat, h_tie_corrected
+    FROM grp, hrow
+    ORDER BY return_flag
+  """
+
+  val analyticRunsTest: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(COUNT(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    diff AS (SELECT a.event_type, a.d,
+        CASE WHEN b.c - a.c > 0 THEN 1 ELSE -1 END sgn
+      FROM daily a JOIN daily b ON b.event_type = a.event_type
+        AND b.d = a.d + 1
+      WHERE b.c - a.c <> 0),
+    lagged AS (SELECT event_type, sgn,
+        lag(sgn) OVER (PARTITION BY event_type ORDER BY d) prev
+      FROM diff),
+    runs AS (SELECT event_type,
+        CAST(SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) n_pos,
+        CAST(SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) n_neg,
+        CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END)
+          AS BIGINT) runs
+      FROM lagged GROUP BY 1)
+    SELECT event_type, n_pos, n_neg, runs,
+      ROUND(2.0 * n_pos * n_neg / (CAST(n_pos AS DOUBLE) + n_neg) + 1.0, 6)
+        AS expected_runs,
+      ROUND((CAST(runs AS DOUBLE) -
+          (2.0 * n_pos * n_neg / (CAST(n_pos AS DOUBLE) + n_neg) + 1.0)) /
+        sqrt(2.0 * n_pos * n_neg *
+            (2.0 * n_pos * n_neg - (CAST(n_pos AS DOUBLE) + n_neg)) /
+          ((CAST(n_pos AS DOUBLE) + n_neg) * (CAST(n_pos AS DOUBLE) + n_neg) *
+           ((CAST(n_pos AS DOUBLE) + n_neg) - 1.0))), 6) AS z_score
+    FROM runs ORDER BY event_type
+  """
+
+  val analyticCramersV: String = """
+    WITH cells AS (SELECT c_mktsegment segment,
+        CAST(c_nationkey AS INTEGER) nation, COUNT(*) obs
+      FROM customer GROUP BY 1, 2),
+    rt AS (SELECT segment, SUM(obs) row_n FROM cells GROUP BY 1),
+    ct AS (SELECT nation, SUM(obs) col_n FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) n_total FROM cells),
+    dims AS (SELECT CAST(COUNT(DISTINCT segment) AS BIGINT) r,
+        CAST(COUNT(DISTINCT nation) AS BIGINT) c FROM cells),
+    chi AS (SELECT SUM(CAST(ROUND(
+        (obs - CAST(row_n * col_n AS DOUBLE) / n_total) *
+        (obs - CAST(row_n * col_n AS DOUBLE) / n_total) /
+        (CAST(row_n * col_n AS DOUBLE) / n_total), 6) AS DECIMAL(38,6))) chi2
+      FROM cells JOIN rt USING (segment) JOIN ct USING (nation), tot)
+    SELECT n_total, r AS n_rows, c AS n_cols,
+      CAST(chi2 AS DOUBLE) AS chi2,
+      ROUND(sqrt(CAST(chi2 AS DOUBLE) /
+        (CAST(n_total AS DOUBLE) *
+         CAST(least(r, c) - 1 AS DOUBLE))), 6) AS cramers_v
+    FROM chi, tot, dims
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop
