@@ -1862,6 +1862,86 @@ object Oracle {
     FROM chi, tot, dims
   """
 
+  // shared ACF scaffold (the tsAcfTable recipe + n_days), lags 1..maxLag
+  private def acfCte(maxLag: Int): String = s"""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    mu AS (SELECT event_type et,
+        CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) mu
+      FROM daily GROUP BY 1),
+    dev AS (SELECT event_type, d, CAST(c AS DOUBLE) - mu dv
+            FROM daily JOIN mu ON event_type = et),
+    den AS (SELECT event_type et2,
+        sum(CAST(ROUND(dv * dv, 6) AS DECIMAL(28,6))) den
+      FROM dev GROUP BY 1),
+    nd AS (SELECT event_type et3, CAST(count(*) AS BIGINT) n_days
+           FROM daily GROUP BY 1),
+    pairs AS (SELECT a.event_type, k,
+        sum(CAST(ROUND(a.dv * b.dv, 6) AS DECIMAL(28,6))) num
+      FROM dev a CROSS JOIN (SELECT unnest(range(1, ${maxLag + 1})) k)
+        JOIN dev b ON b.event_type = a.event_type
+          AND b.d = a.d + CAST(k AS INTEGER)
+      GROUP BY 1, 2),
+    acf AS (SELECT p.event_type, CAST(k AS INTEGER) k, n_days,
+        ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) acf
+      FROM pairs p JOIN den ON p.event_type = et2
+        JOIN nd ON p.event_type = et3)"""
+
+  val tsLjungBox: String = acfCte(7) + """,
+    t AS (SELECT event_type, n_days,
+        CAST(ROUND(acf * acf / (n_days - k), 12) AS DECIMAL(28,12)) term
+      FROM acf)
+    SELECT event_type, n_days, CAST(COUNT(*) AS BIGINT) df,
+      ROUND(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0) *
+        CAST(SUM(term) AS DOUBLE), 4) q_stat
+    FROM t GROUP BY 1, 2 ORDER BY event_type
+  """
+
+  val tsSpectralEntropy: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type et, min(d) d0,
+        CAST(count(*) AS BIGINT) n_days FROM daily GROUP BY 1),
+    idx AS (SELECT event_type, c, n_days,
+        CAST(date_diff('day', d0, d) AS BIGINT) i
+      FROM daily JOIN span ON event_type = et),
+    terms AS (SELECT event_type, k, n_days, c,
+        2.0 * pi() * k * i / CAST(n_days AS DOUBLE) ang
+      FROM idx CROSS JOIN (SELECT unnest(range(1, 9)) k)),
+    q AS (SELECT event_type, k, n_days, c,
+        CAST(ROUND(cos(ang), 6) AS DECIMAL(12,6)) cosq,
+        CAST(ROUND(sin(ang), 6) AS DECIMAL(12,6)) sinq FROM terms),
+    pw AS (SELECT event_type, k, max(n_days) n_days,
+        CAST(ROUND(CAST(sum(cosq * c) AS DOUBLE) * CAST(sum(cosq * c) AS DOUBLE)
+          + CAST(sum(sinq * c) AS DOUBLE) * CAST(sum(sinq * c) AS DOUBLE), 4)
+          AS DECIMAL(28,4)) pow
+      FROM q GROUP BY 1, 2),
+    tot AS (SELECT event_type et2, sum(pow) totp FROM pw GROUP BY 1),
+    tm AS (SELECT event_type, n_days,
+        CAST(CASE WHEN pow > 0 THEN ROUND(
+            -(CAST(pow AS DOUBLE) / CAST(totp AS DOUBLE)) *
+            log2(CAST(pow AS DOUBLE) / CAST(totp AS DOUBLE)), 8)
+          ELSE 0.0 END AS DECIMAL(28,8)) term
+      FROM pw JOIN tot ON event_type = et2)
+    SELECT event_type, n_days,
+      ROUND(CAST(SUM(term) AS DOUBLE) / 3.0, 6) spectral_entropy
+    FROM tm GROUP BY 1, 2 ORDER BY event_type
+  """
+
+  val tsPacf: String = acfCte(3) + """,
+    r AS (SELECT event_type,
+        MAX(CASE WHEN k = 1 THEN acf END) r1,
+        MAX(CASE WHEN k = 2 THEN acf END) r2,
+        MAX(CASE WHEN k = 3 THEN acf END) r3
+      FROM acf GROUP BY 1),
+    s2 AS (SELECT *, ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) p22 FROM r),
+    s3 AS (SELECT *, ROUND(r1 - p22 * r1, 6) p21 FROM s2),
+    s4 AS (SELECT *, ROUND((r3 - p21 * r2 - p22 * r1) /
+        (1.0 - p21 * r1 - p22 * r2), 6) p33 FROM s3)
+    SELECT event_type, r1 AS pacf1, p22 AS pacf2, p33 AS pacf3
+    FROM s4 ORDER BY event_type
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop
