@@ -1942,6 +1942,104 @@ object Oracle {
     FROM s4 ORDER BY event_type
   """
 
+  val textKneserNeyBigram: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        FROM toks WHERE len(t) >= 2)
+      GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) c1,
+        CAST(count(*) AS BIGINT) n1f FROM bi GROUP BY 1),
+    hist AS (SELECT w2, CAST(count(*) AS BIGINT) n1b FROM bi GROUP BY 1),
+    types AS (SELECT CAST(count(*) AS BIGINT) t_types FROM bi),
+    top AS (SELECT * FROM bi JOIN ctx USING (w1) JOIN hist USING (w2), types
+            ORDER BY c12 DESC, w1, w2 LIMIT 25)
+    SELECT w1, w2, c12, c1,
+      ROUND(GREATEST(c12 - 0.75, 0.0) / c1 +
+        0.75 * (CAST(n1f AS DOUBLE) / c1) *
+          (CAST(n1b AS DOUBLE) / t_types), 6) AS p_kn
+    FROM top ORDER BY c12 DESC, w1, w2
+  """
+
+  val mlRidgeClosedForm: String = """
+    WITH per AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) x1,
+        CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT) x2,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) y
+      FROM lineitem GROUP BY 1),
+    p AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(x1) AS BIGINT) sx1, CAST(SUM(x2) AS BIGINT) sx2,
+        CAST(SUM(y) AS BIGINT) sy,
+        CAST(SUM(x1 * x1) AS BIGINT) s11, CAST(SUM(x1 * x2) AS BIGINT) s12,
+        CAST(SUM(x2 * x2) AS BIGINT) s22,
+        CAST(SUM(x1 * y) AS BIGINT) s1y, CAST(SUM(x2 * y) AS BIGINT) s2y
+      FROM per),
+    m AS (SELECT *,
+        CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) /
+          CAST(n AS DOUBLE) + 1000.0 a,
+        CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) /
+          CAST(n AS DOUBLE) b,
+        CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) /
+          CAST(n AS DOUBLE) + 1000.0 c,
+        CAST(s1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) /
+          CAST(n AS DOUBLE) d,
+        CAST(s2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) /
+          CAST(n AS DOUBLE) e
+      FROM p),
+    w AS (SELECT *,
+        ROUND((c * d - b * e) / (a * c - b * b), 6) w1,
+        ROUND((a * e - b * d) / (a * c - b * b), 6) w2
+      FROM m)
+    SELECT n, w1, w2,
+      ROUND((CAST(sy AS DOUBLE) - w1 * sx1 - w2 * sx2) /
+        CAST(n AS DOUBLE), 4) AS intercept,
+      CAST(1000.0 AS DOUBLE) AS lambda
+    FROM w
+  """
+
+  val mlKmeansSqlExact: String = """
+    WITH pts AS (SELECT l_orderkey okey, l_linenumber lnum,
+        CAST(l_quantity AS INTEGER) x,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) y
+      FROM lineitem),
+    seeds AS (SELECT * FROM (VALUES
+        (1, CAST(10.0 AS DECIMAL(18,6)), CAST(1500000.0 AS DECIMAL(18,6))),
+        (2, CAST(25.0 AS DECIMAL(18,6)), CAST(3000000.0 AS DECIMAL(18,6))),
+        (3, CAST(40.0 AS DECIMAL(18,6)), CAST(6000000.0 AS DECIMAL(18,6))))
+      AS s(cid, cx, cy)),
+    a1 AS (SELECT okey, lnum, x, y, cid, d2 FROM (
+        SELECT p.*, s.cid,
+          (x - CAST(cx AS DOUBLE)) * (x - CAST(cx AS DOUBLE)) +
+          (y - CAST(cy AS DOUBLE)) * (y - CAST(cy AS DOUBLE)) d2,
+          ROW_NUMBER() OVER (PARTITION BY okey, lnum, x, y
+            ORDER BY (x - CAST(cx AS DOUBLE)) * (x - CAST(cx AS DOUBLE)) +
+              (y - CAST(cy AS DOUBLE)) * (y - CAST(cy AS DOUBLE)), s.cid) rn
+        FROM pts p CROSS JOIN seeds s) WHERE rn = 1),
+    c1 AS (SELECT cid,
+        CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
+          AS DECIMAL(18,6)) cx,
+        CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)
+          AS DECIMAL(18,6)) cy
+      FROM a1 GROUP BY 1),
+    a2 AS (SELECT okey, lnum, x, y, cid, d2 FROM (
+        SELECT p.*, s.cid,
+          (x - CAST(cx AS DOUBLE)) * (x - CAST(cx AS DOUBLE)) +
+          (y - CAST(cy AS DOUBLE)) * (y - CAST(cy AS DOUBLE)) d2,
+          ROW_NUMBER() OVER (PARTITION BY okey, lnum, x, y
+            ORDER BY (x - CAST(cx AS DOUBLE)) * (x - CAST(cx AS DOUBLE)) +
+              (y - CAST(cy AS DOUBLE)) * (y - CAST(cy AS DOUBLE)), s.cid) rn
+        FROM pts p CROSS JOIN c1 s) WHERE rn = 1)
+    SELECT cid, CAST(COUNT(*) AS BIGINT) n_points,
+      ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) cx,
+      ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) cy,
+      ROUND(CAST(SUM(CAST(ROUND(d2, 4) AS DECIMAL(28,4))) AS DOUBLE), -6)
+        inertia
+    FROM a2 GROUP BY 1 ORDER BY cid
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop
