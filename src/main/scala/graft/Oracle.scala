@@ -2040,6 +2040,42 @@ object Oracle {
     FROM a2 GROUP BY 1 ORDER BY cid
   """
 
+  // layout clauses don't change results: the oracle is the plain agg
+  val sqlDistributeClusterBy: String = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) n,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) total_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+  """
+
+  val pipelineLateArrivingDim: String = """
+    WITH dim AS (SELECT c_custkey, CAST(c_nationkey AS INTEGER) nation,
+        c_custkey % 10 = 0 late FROM customer),
+    f AS (SELECT o_custkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders)
+    SELECT nation, CAST(COUNT(*) AS BIGINT) n_orders,
+      CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) n_late,
+      CAST(SUM(CASE WHEN late THEN cents ELSE 0 END) AS BIGINT) late_cents,
+      ROUND(CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) /
+        COUNT(*), 6) late_share
+    FROM f JOIN dim ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+  """
+
+  val fnRoundingModes: String = """
+    WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        AS BIGINT) c FROM orders),
+    m AS (SELECT c, c // 100 q, c % 100 r FROM b)
+    SELECT CAST(COUNT(*) AS BIGINT) n,
+      CAST(SUM((c + 50) // 100) AS BIGINT) sum_half_up,
+      CAST(SUM(q + CASE WHEN r > 50 OR (r = 50 AND q % 2 = 1)
+        THEN 1 ELSE 0 END) AS BIGINT) sum_half_even,
+      CAST(SUM(q) AS BIGINT) sum_floor,
+      CAST(SUM((c + 99) // 100) AS BIGINT) sum_ceil
+    FROM m
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop
