@@ -2076,6 +2076,70 @@ object Oracle {
     FROM m
   """
 
+  val simMatryoshkaPrefixRecall: String = """
+    WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+               WHERE vec_id < 8),
+    p AS (SELECT qid, b.vec_id vid,
+        list_dot_product(qe::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]))) cosf,
+        list_dot_product(qe[1:8]::DOUBLE[], b.embedding[1:8]::DOUBLE[]) /
+          (sqrt(list_dot_product(qe[1:8]::DOUBLE[], qe[1:8]::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding[1:8]::DOUBLE[],
+                                 b.embedding[1:8]::DOUBLE[]))) cos8
+      FROM q JOIN embeddings b ON b.vec_id <> qid),
+    r AS (SELECT qid, vid,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosf DESC, vid) rf,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos8 DESC, vid) r8
+      FROM p)
+    SELECT qid, CAST(SUM(CASE WHEN rf <= 10 AND r8 <= 10 THEN 1 ELSE 0 END)
+        AS BIGINT) n_overlap,
+      ROUND(CAST(SUM(CASE WHEN rf <= 10 AND r8 <= 10 THEN 1 ELSE 0 END)
+        AS DOUBLE) / 10.0, 2) recall_at_10
+    FROM r GROUP BY 1 ORDER BY qid
+  """
+
+  val pipelineEmbeddingDrift: String = """
+    WITH comps AS (SELECT label % 2 grp, CAST(i AS INTEGER) dim,
+        CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) x
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) i)),
+    g AS (SELECT dim,
+        CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) na,
+        SUM(CASE WHEN grp = 0 THEN x END) sa,
+        SUM(CASE WHEN grp = 0 THEN x * x END) qa,
+        CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) nb,
+        SUM(CASE WHEN grp = 1 THEN x END) sb,
+        SUM(CASE WHEN grp = 1 THEN x * x END) qb
+      FROM comps GROUP BY 1)
+    SELECT dim, na, nb,
+      ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+            CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) mean_shift,
+      ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        sqrt(((CAST(qa AS DOUBLE) * CAST(na AS DOUBLE) -
+               CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) /
+              (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))) / CAST(na AS DOUBLE)
+            + ((CAST(qb AS DOUBLE) * CAST(nb AS DOUBLE) -
+                CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) /
+               (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))) /
+              CAST(nb AS DOUBLE)), 4) z_score
+    FROM g ORDER BY dim
+  """
+
+  // the bloom-filter layout doesn't change content: derive both
+  // aggregates from the source table
+  val sourceParquetBloomRoundtrip: String = """
+    WITH b AS (SELECT o_orderkey, o_custkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b) n_rows,
+      (SELECT CAST(SUM(cents) AS BIGINT) FROM b) sum_cents,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE o_custkey = 7) n_probe,
+      (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM b
+        WHERE o_custkey = 7) probe_cents
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop
