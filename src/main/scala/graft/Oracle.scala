@@ -2140,6 +2140,64 @@ object Oracle {
         WHERE o_custkey = 7) probe_cents
   """
 
+  val mlStratifiedAte: String = """
+    WITH per AS (SELECT c_mktsegment segment,
+        CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) nt,
+        CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) st,
+        CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) nc,
+        CAST(SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) sc
+      FROM (SELECT o_custkey,
+          o_orderpriority IN ('1-URGENT', '2-HIGH') t,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) y
+        FROM orders) o JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(nt + nc) AS BIGINT) n,
+        CAST(SUM(nt) AS BIGINT) tnt, CAST(SUM(st) AS BIGINT) tst,
+        CAST(SUM(nc) AS BIGINT) tnc, CAST(SUM(sc) AS BIGINT) tsc
+      FROM per),
+    strat AS (SELECT segment, nt, nc,
+        ROUND(CAST(st AS DOUBLE) / nt, 6) mean_treated,
+        ROUND(CAST(sc AS DOUBLE) / nc, 6) mean_control,
+        CAST(ROUND((CAST(nt + nc AS DOUBLE) / n) *
+          (CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc), 6)
+          AS DECIMAL(28,6)) term
+      FROM per, tot),
+    ate AS (SELECT CAST(SUM(term) AS DOUBLE) ate_stratified FROM strat)
+    SELECT segment, nt, nc, mean_treated, mean_control,
+      CAST(term AS DOUBLE) stratum_term, ate_stratified,
+      ROUND(CAST(tst AS DOUBLE) / tnt - CAST(tsc AS DOUBLE) / tnc, 6)
+        ate_naive
+    FROM strat, ate, tot ORDER BY segment
+  """
+
+  val fnArrayHofs: String = """
+    WITH arrs AS (SELECT list_sort(list(CAST(l_quantity AS INTEGER))) arr
+      FROM lineitem GROUP BY l_orderkey),
+    d AS (SELECT list_sum(arr) qsum,
+        len(list_filter(arr, x -> x % 2 = 0)) n_even,
+        list_sum(list_transform(range(1, len(arr) + 1),
+          i -> arr[i] + arr[len(arr) + 1 - i])) pairsum,
+        len(list_filter(arr, x -> x >= 45)) > 0 any_big,
+        len(list_filter(arr, x -> x <= 0)) = 0 all_pos
+      FROM arrs)
+    SELECT CAST(COUNT(*) AS BIGINT) n_orders,
+      CAST(SUM(qsum) AS BIGINT) sum_qty,
+      CAST(SUM(n_even) AS BIGINT) sum_even,
+      CAST(SUM(pairsum) AS BIGINT) sum_pairs,
+      CAST(SUM(CASE WHEN any_big THEN 1 ELSE 0 END) AS BIGINT) n_any_big,
+      CAST(SUM(CASE WHEN all_pos THEN 1 ELSE 0 END) AS BIGINT) n_all_pos
+    FROM d
+  """
+
+  // the struct layout is a write-side artifact: the oracle aggregates
+  // the flat source
+  val scanNestedPruning: String = """
+    SELECT o_orderpriority priority, CAST(COUNT(*) AS BIGINT) n,
+      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) total_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop
