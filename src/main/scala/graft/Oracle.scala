@@ -2198,6 +2198,48 @@ object Oracle {
     FROM orders GROUP BY 1 ORDER BY 1
   """
 
+  val sortNullsOrdering: String = """
+    SELECT o_orderkey, nullif(o_orderstatus, 'F') status_or_null,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+    FROM orders
+    ORDER BY nullif(o_orderstatus, 'F') ASC NULLS LAST,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) DESC,
+      o_orderkey
+    LIMIT 40
+  """
+
+  // the typed lexicographic (cents, okey) reduce is a per-key argmax
+  val typedReduceGroups: String = """
+    WITH b AS (SELECT o_custkey cust, o_orderkey okey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders),
+    r AS (SELECT cust, okey, cents, ROW_NUMBER() OVER (PARTITION BY cust
+        ORDER BY cents DESC, okey DESC) rn FROM b)
+    SELECT CAST(COUNT(*) AS BIGINT) n_customers,
+      CAST(SUM(cents) AS BIGINT) sum_top_cents,
+      CAST(SUM(okey) AS BIGINT) sum_top_keys
+    FROM r WHERE rn = 1
+  """
+
+  // withField/dropFields are projections: the oracle works on the flat
+  // source
+  val projectStructRewrite: String = """
+    SELECT o_orderpriority priority, CAST(COUNT(*) AS BIGINT) n,
+      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2)
+        AS BIGINT) sum_cents_x2,
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        AS BIGINT) n_urgent
+    FROM orders GROUP BY 1 ORDER BY 1
+  """
+
+  val filterPushdownOr: String = """
+    SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(cents) AS BIGINT) sum_cents
+    FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        cents
+      FROM orders
+      WHERE o_totalprice > 400000.0 OR o_orderpriority = '1-URGENT')
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop
