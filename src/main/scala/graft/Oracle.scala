@@ -2240,6 +2240,82 @@ object Oracle {
       WHERE o_totalprice > 400000.0 OR o_orderpriority = '1-URGENT')
   """
 
+  // lazy: references thinnedGraphCte, declared further down the file
+  lazy val graphRandomWalkVisits: String = {
+    def step(prev: String, t: Int): String = s"""
+    s$t AS (SELECT s, u FROM (
+        SELECT $prev.s, adj.b u, ROW_NUMBER() OVER (PARTITION BY $prev.s
+          ORDER BY (($prev.s * 1000003 + $t) * 31 + $prev.u * 17 + adj.b)
+            % 1000000007, adj.b) rn
+        FROM $prev JOIN adj ON $prev.u = adj.a) WHERE rn = 1)"""
+    s"""
+    WITH $thinnedGraphCte,
+    adj AS MATERIALIZED (SELECT u a, v b FROM und
+                         UNION ALL SELECT v, u FROM und),
+    s0 AS (SELECT DISTINCT a s, a u FROM adj),
+    ${step("s0", 1)},
+    ${step("s1", 2)},
+    ${step("s2", 3)}
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) n_walks_ending
+    FROM s3 GROUP BY 1 ORDER BY node
+  """
+  }
+
+  val mlLinearShapExact: String = """
+    WITH per AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) x1,
+        CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT) x2,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) y
+      FROM lineitem GROUP BY 1),
+    p AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(x1) AS BIGINT) sx1, CAST(SUM(x2) AS BIGINT) sx2,
+        CAST(SUM(y) AS BIGINT) sy,
+        CAST(SUM(x1 * x1) AS BIGINT) s11, CAST(SUM(x1 * x2) AS BIGINT) s12,
+        CAST(SUM(x2 * x2) AS BIGINT) s22,
+        CAST(SUM(x1 * y) AS BIGINT) s1y, CAST(SUM(x2 * y) AS BIGINT) s2y
+      FROM per),
+    m AS (SELECT *,
+        CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) /
+          CAST(n AS DOUBLE) + 1000.0 a,
+        CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) /
+          CAST(n AS DOUBLE) b,
+        CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) /
+          CAST(n AS DOUBLE) + 1000.0 c,
+        CAST(s1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) /
+          CAST(n AS DOUBLE) d,
+        CAST(s2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) /
+          CAST(n AS DOUBLE) e
+      FROM p),
+    w AS (SELECT *,
+        ROUND((c * d - b * e) / (a * c - b * b), 6) w1,
+        ROUND((a * e - b * d) / (a * c - b * b), 6) w2
+      FROM m),
+    model AS (SELECT w1, w2,
+        ROUND((CAST(sy AS DOUBLE) - w1 * sx1 - w2 * sx2) /
+          CAST(n AS DOUBLE), 4) b0,
+        ROUND(CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE), 6) m1,
+        ROUND(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE), 6) m2
+      FROM w),
+    top AS (SELECT * FROM per ORDER BY y DESC, l_orderkey LIMIT 10)
+    SELECT l_orderkey, x1, x2, y,
+      ROUND(w1 * (x1 - m1), 4) phi_lines,
+      ROUND(w2 * (x2 - m2), 4) phi_qty,
+      ROUND(b0 + w1 * m1 + w2 * m2, 4) base_value,
+      ROUND(b0 + w1 * x1 + w2 * x2, 4) prediction
+    FROM top, model ORDER BY y DESC, l_orderkey
+  """
+
+  // the delimiter is a layout artifact: the oracle aggregates the
+  // source events directly
+  val sourceCsvMulticharDelim: String = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+      CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) sum_cents,
+      CAST(MIN(event_id) AS BIGINT) min_id,
+      CAST(MAX(event_id) AS BIGINT) max_id
+    FROM events GROUP BY 1 ORDER BY 1
+  """
+
   val graphLabelPropagation: String = {
     // 3 unrolled synchronous rounds: adopt the most frequent neighbor
     // label, ties to the smallest label — mirrors the Spark loop
