@@ -2240,6 +2240,39 @@ object Oracle {
       WHERE o_totalprice > 400000.0 OR o_orderpriority = '1-URGENT')
   """
 
+  val analyticTopPaths: String = """
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) d, ts, event_id, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+          ORDER BY ts, event_id) rn
+      FROM events),
+    seqs AS (SELECT user_id, d,
+        string_agg(event_type, '>' ORDER BY rn) path
+      FROM e WHERE rn <= 4 GROUP BY 1, 2)
+    SELECT path, CAST(COUNT(*) AS BIGINT) n_journeys
+    FROM seqs GROUP BY 1
+    ORDER BY n_journeys DESC, path LIMIT 15
+  """
+
+  val textCodeScore: String = """
+    WITH d AS (SELECT lang,
+        CAST(len(regexp_extract_all(text, '[{}()\[\];=<>]')) AS BIGINT) sym,
+        CAST(len(regexp_extract_all(text,
+          '\b(def|class|return|import|void|int)\b')) AS BIGINT) kw,
+        CAST(len(regexp_extract_all(text, '\n(    |\t)')) AS BIGINT) ind
+      FROM documents),
+    s AS (SELECT lang, 3 * kw + sym // 4 + 2 * ind score FROM d)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) n_docs,
+      ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) mean_score,
+      CAST(SUM(CASE WHEN score >= 20 THEN 1 ELSE 0 END) AS BIGINT) n_codey
+    FROM s GROUP BY 1 ORDER BY 1
+  """
+
+  val scaleJoinStrategySwitch: String = """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY 1
+  """
+
   // lazy: references thinnedGraphCte, declared further down the file
   lazy val graphRandomWalkVisits: String = {
     def step(prev: String, t: Int): String = s"""
