@@ -2273,6 +2273,53 @@ object Oracle {
     GROUP BY 1 ORDER BY 1
   """
 
+  val tsPiecewiseTrend: String = """
+    WITH daily AS (SELECT o_orderdate d, CAST(COUNT(*) AS BIGINT) c
+      FROM orders GROUP BY 1),
+    b AS (SELECT CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) x,
+        c, (month(d) - 1) // 4 seg FROM daily),
+    p AS (SELECT seg, CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(x) AS BIGINT) sx, CAST(SUM(c) AS BIGINT) sy,
+        CAST(SUM(x * x) AS BIGINT) sxx, CAST(SUM(x * c) AS BIGINT) sxy
+      FROM b GROUP BY 1),
+    s AS (SELECT *, ROUND(
+        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) /
+          CAST(n AS DOUBLE)) /
+        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+          CAST(n AS DOUBLE)), 6) slope
+      FROM p)
+    SELECT CAST(seg AS BIGINT) seg, n AS n_days, slope,
+      ROUND((CAST(sy AS DOUBLE) - slope * sx) / CAST(n AS DOUBLE), 4)
+        intercept
+    FROM s ORDER BY seg
+  """
+
+  val fnIpv4Octets: String = """
+    WITH ips AS (SELECT (event_id * 2654435761) % 4294967296 ip FROM events),
+    o AS (SELECT ip, ip // 16777216 o1, (ip // 65536) % 256 o2,
+        (ip // 256) % 256 o3, ip % 256 o4 FROM ips)
+    SELECT CAST(o1 AS BIGINT) o1, CAST(o2 AS BIGINT) o2,
+      CAST(COUNT(*) AS BIGINT) n_events,
+      CAST(COUNT(DISTINCT ip) AS BIGINT) n_ips,
+      MIN(concat_ws('.', o1, o2, o3, o4)) sample_ip
+    FROM o GROUP BY 1, 2
+    ORDER BY n_events DESC, o1, o2 LIMIT 20
+  """
+
+  val pipelineRowLevelSecurity: String = """
+    WITH policy AS (SELECT * FROM (VALUES
+        ('analyst_emea', 0, 9), ('analyst_apac', 10, 19),
+        ('admin_global', 0, 24)) p(role, nation_lo, nation_hi)),
+    c AS (SELECT c_custkey, CAST(c_nationkey AS INTEGER) nk,
+        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) bal_cents
+      FROM customer)
+    SELECT role, CAST(COUNT(*) AS BIGINT) n_visible,
+      CAST(COUNT(DISTINCT nk) AS BIGINT) n_nations,
+      CAST(SUM(bal_cents) AS BIGINT) sum_bal_cents
+    FROM c JOIN policy ON nk >= nation_lo AND nk <= nation_hi
+    GROUP BY 1 ORDER BY 1
+  """
+
   // lazy: references thinnedGraphCte, declared further down the file
   lazy val graphRandomWalkVisits: String = {
     def step(prev: String, t: Int): String = s"""
