@@ -2320,6 +2320,56 @@ object Oracle {
     GROUP BY 1 ORDER BY 1
   """
 
+  val streamRateLimitTokens: String = """
+    WITH e AS (SELECT user_id, event_id, ts, event_type,
+        date_trunc('hour', ts) hr FROM events),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, hr
+        ORDER BY ts, event_id) rn FROM e)
+    SELECT event_type,
+      CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) n_allowed,
+      CAST(SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) n_denied,
+      CAST(COUNT(DISTINCT CASE WHEN rn > 3 THEN user_id END) AS BIGINT)
+        n_throttled_users
+    FROM r GROUP BY 1 ORDER BY 1
+  """
+
+  val joinLookupWaterfall: String = """
+    WITH bp1 AS (SELECT * FROM (VALUES ('1-URGENT', 250), ('2-HIGH', 150))
+      t(pri, bp1)),
+    bp2 AS (SELECT * FROM (VALUES ('F', 50)) t(st, bp2)),
+    o AS (SELECT o_orderpriority, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders),
+    j AS (SELECT o_orderpriority, cents, COALESCE(bp1, bp2, 25) bp
+      FROM o LEFT JOIN bp1 ON o_orderpriority = pri
+        LEFT JOIN bp2 ON o_orderstatus = st)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) n,
+      CAST(MAX(bp) AS BIGINT) bp_max,
+      CAST(SUM((cents * bp) // 10000) AS BIGINT) sum_rebate_cents
+    FROM j GROUP BY 1 ORDER BY 1
+  """
+
+  // duplicates are byte-identical replays, so the silver min-dedup is
+  // field-wise MIN
+  val pipelineMedallionRollup: String = """
+    WITH base AS (SELECT event_id, event_type,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM events),
+    bronze AS (SELECT * FROM base
+               UNION ALL SELECT * FROM base WHERE event_id % 97 = 0),
+    silver AS (SELECT event_id, MIN(event_type) event_type,
+        MIN(cents) cents FROM bronze GROUP BY 1),
+    gold AS (SELECT event_type, COUNT(*) n, SUM(cents) s
+             FROM silver GROUP BY 1)
+    SELECT '1_bronze' layer, CAST(COUNT(*) AS BIGINT) n_rows,
+      CAST(SUM(cents) AS BIGINT) checksum FROM bronze
+    UNION ALL SELECT '2_silver', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(cents) AS BIGINT) FROM silver
+    UNION ALL SELECT '3_gold', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(s) AS BIGINT) FROM gold
+    ORDER BY layer
+  """
+
   // lazy: references thinnedGraphCte, declared further down the file
   lazy val graphRandomWalkVisits: String = {
     def step(prev: String, t: Int): String = s"""
