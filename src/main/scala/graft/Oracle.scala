@@ -2370,6 +2370,28 @@ object Oracle {
     ORDER BY layer
   """
 
+  val textFreqSpectrum: String = """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+    c AS (SELECT w, COUNT(*) c FROM w WHERE len(w) > 0 GROUP BY 1)
+    SELECT CAST(length(bin(c)) AS BIGINT) band,
+      CAST(COUNT(*) AS BIGINT) n_words,
+      CAST(MIN(c) AS BIGINT) min_count, CAST(MAX(c) AS BIGINT) max_count
+    FROM c GROUP BY 1 ORDER BY band
+  """
+
+  // one file per doc: content equality via md5 + length of the source
+  val sourceWholetext: String = """
+    SELECT md5(text) text_md5, CAST(length(text) AS INTEGER) n_chars
+    FROM documents WHERE doc_id < 16 ORDER BY text_md5
+  """
+
+  // partition sizing changes parallelism, never results
+  val scaleScanPartitionTuning: String = """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) n,
+      CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT) sum_qty
+    FROM lineitem GROUP BY 1 ORDER BY 1
+  """
+
   // lazy: references thinnedGraphCte, declared further down the file
   lazy val graphRandomWalkVisits: String = {
     def step(prev: String, t: Int): String = s"""
