@@ -2370,6 +2370,26 @@ object Oracle {
     ORDER BY layer
   """
 
+  // run1 commits chunks 0-1, the restart picks up only chunk 2
+  val pipelineOffsetResume: String = """
+    WITH c AS (SELECT CAST(event_id % 3 AS INTEGER) batch_id,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM events)
+    SELECT batch_id, CAST(COUNT(*) AS BIGINT) n_rows,
+      CAST(SUM(cents) AS BIGINT) sum_cents,
+      CASE WHEN batch_id < 2 THEN 'run1' ELSE 'run2' END processed_by
+    FROM c GROUP BY 1 ORDER BY 1
+  """
+
+  val sqlSelectStarExcept: String = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) n,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) sum_cents,
+      CAST(count(DISTINCT o_orderpriority) AS BIGINT) n_priorities
+    FROM (SELECT * EXCLUDE (o_custkey, o_orderdate) FROM orders)
+    GROUP BY 1 ORDER BY 1
+  """
+
   val textFreqSpectrum: String = """
     WITH w AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
     c AS (SELECT w, COUNT(*) c FROM w WHERE len(w) > 0 GROUP BY 1)
@@ -2468,9 +2488,10 @@ object Oracle {
     FROM events GROUP BY 1 ORDER BY 1
   """
 
-  val graphLabelPropagation: String = {
-    // 3 unrolled synchronous rounds: adopt the most frequent neighbor
-    // label, ties to the smallest label — mirrors the Spark loop
+  // 3 unrolled synchronous LPA rounds: adopt the most frequent
+  // neighbor label, ties to the smallest label — mirrors the Spark
+  // loop. Shared by graphLabelPropagation and graphConductance.
+  private def lpaCtes: String = {
     def round(i: Int): String = {
       val prev = if (i == 1) "l0" else s"l${i - 1}"
       s"""g$i AS (SELECT e.src node, l.lbl, COUNT(*) cnt
@@ -2480,16 +2501,39 @@ object Oracle {
           PARTITION BY node ORDER BY cnt DESC, lbl) rn FROM g$i)
         WHERE rn = 1)"""
     }
-    s"""
-    WITH pairs AS (SELECT DISTINCT l_partkey p, l_suppkey + 10000000 s
+    s"""pairs AS (SELECT DISTINCT l_partkey p, l_suppkey + 10000000 s
                    FROM lineitem),
-    edges AS (SELECT p src, s dst FROM pairs
+    edges AS MATERIALIZED (SELECT p src, s dst FROM pairs
               UNION ALL SELECT s, p FROM pairs),
     l0 AS (SELECT DISTINCT src node, src lbl FROM edges),
-    ${round(1)}, ${round(2)}, ${round(3)}
+    ${round(1)}, ${round(2)}, ${round(3)}"""
+  }
+
+  val graphLabelPropagation: String = s"""
+    WITH $lpaCtes
     SELECT node, lbl AS community FROM l3 ORDER BY node
     """
-  }
+
+  val graphConductance: String = s"""
+    WITH $lpaCtes,
+    lab AS MATERIALIZED (SELECT node, lbl FROM l3),
+    deg AS (SELECT src node, COUNT(*) dg FROM edges GROUP BY 1),
+    vol AS (SELECT lbl, CAST(SUM(dg) AS BIGINT) volume,
+        CAST(COUNT(*) AS BIGINT) n_nodes
+      FROM deg JOIN lab USING (node) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(volume) AS BIGINT) m2 FROM vol),
+    cut AS (SELECT a.lbl, CAST(COUNT(*) AS BIGINT) cut
+      FROM edges e JOIN lab a ON e.src = a.node
+        JOIN lab b ON e.dst = b.node
+      WHERE a.lbl <> b.lbl GROUP BY 1)
+    SELECT lbl AS community, n_nodes, volume,
+      COALESCE(cut, 0) AS cut_edges,
+      CASE WHEN least(volume, m2 - volume) = 0 THEN 0.0
+        ELSE ROUND(CAST(COALESCE(cut, 0) AS DOUBLE) /
+          least(volume, m2 - volume), 6) END conductance
+    FROM vol LEFT JOIN cut USING (lbl), tot
+    ORDER BY n_nodes DESC, community LIMIT 10
+  """
 
   val scaleHilbertCluster: String = {
     // the 8 unrolled xy->d Hilbert stages, mirrored from
