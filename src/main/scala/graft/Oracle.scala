@@ -2390,6 +2390,64 @@ object Oracle {
     GROUP BY 1 ORDER BY 1
   """
 
+  val tsWmaTriangular: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, d + CAST(k AS INTEGER) d2,
+        CAST(7 - k AS BIGINT) w, c
+      FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) k)),
+    j AS (SELECT l.event_type, l.d2 d, CAST(SUM(w * l.c) AS BIGINT) num,
+        CAST(COUNT(*) AS BIGINT) nw
+      FROM lagged l JOIN daily t ON t.event_type = l.event_type
+        AND t.d = l.d2
+      GROUP BY 1, 2)
+    SELECT event_type, d, ROUND(CAST(num AS DOUBLE) / 28.0, 6) wma7
+    FROM j WHERE nw = 7 ORDER BY event_type, d
+  """
+
+  val analyticSampleSizePower: String = """
+    WITH g AS (SELECT c_mktsegment segment, CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(y) AS BIGINT) s, SUM(CAST(y AS DECIMAL(38,0)) * y) ss
+      FROM (SELECT o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) y
+        FROM orders) o JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1)
+    SELECT segment, n AS n_observed,
+      ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) mean_cents,
+      ROUND(sqrt((CAST(ss AS DOUBLE) * CAST(n AS DOUBLE) -
+        CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 4) sd_cents,
+      CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621) *
+        ((CAST(ss AS DOUBLE) * CAST(n AS DOUBLE) -
+          CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+        ((0.01 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) *
+         (0.01 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT)
+        n_required_per_arm
+    FROM g ORDER BY segment
+  """
+
+  val textVocabCoverage: String = """
+    WITH c AS (SELECT w, CAST(COUNT(*) AS BIGINT) c FROM (
+        SELECT unnest(string_split(text, ' ')) w FROM documents)
+      WHERE len(w) > 0 GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) t,
+        CAST(COUNT(*) AS BIGINT) v FROM c),
+    pts AS (
+      SELECT 100 vocab_k, CAST(SUM(c) AS BIGINT) covered FROM
+        (SELECT c FROM c ORDER BY c DESC, w LIMIT 100)
+      UNION ALL
+      SELECT 1000, CAST(SUM(c) AS BIGINT) FROM
+        (SELECT c FROM c ORDER BY c DESC, w LIMIT 1000)
+      UNION ALL
+      SELECT 4000, CAST(SUM(c) AS BIGINT) FROM
+        (SELECT c FROM c ORDER BY c DESC, w LIMIT 4000))
+    SELECT CAST(vocab_k AS BIGINT) vocab_k, covered,
+      v AS n_distinct_words,
+      ROUND(CAST(covered AS DOUBLE) / t, 6) coverage
+    FROM pts, tot ORDER BY vocab_k
+  """
+
   val textFreqSpectrum: String = """
     WITH w AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
     c AS (SELECT w, COUNT(*) c FROM w WHERE len(w) > 0 GROUP BY 1)
