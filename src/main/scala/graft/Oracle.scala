@@ -2470,6 +2470,58 @@ object Oracle {
     FROM lineitem GROUP BY 1 ORDER BY 1
   """
 
+  val tsRollingOriginBacktest: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    ends AS (SELECT event_type et, MAX(d) dmax FROM daily GROUP BY 1),
+    h AS (SELECT d.event_type, d.d, d.c, o origin
+      FROM daily d JOIN ends ON event_type = et
+      CROSS JOIN (SELECT unnest([28, 21, 14]) o)
+      WHERE d.d > dmax - CAST(o AS INTEGER)
+        AND d.d <= dmax - CAST(o - 7 AS INTEGER)),
+    j AS (SELECT h.event_type, h.origin,
+        CAST(COUNT(*) AS BIGINT) n_days,
+        CAST(SUM(abs(h.c - f.c)) AS BIGINT) abs_err
+      FROM h JOIN daily f ON f.event_type = h.event_type
+        AND f.d = h.d - 7
+      GROUP BY 1, 2)
+    SELECT event_type, CAST(origin AS BIGINT) origin_days_back, n_days,
+      ROUND(CAST(abs_err AS DOUBLE) / n_days, 6) mae
+    FROM j ORDER BY event_type, origin_days_back
+  """
+
+  // layout artifact: the oracle derives the same aggregate (with the
+  // inferred-typed keys) from the source
+  val sourcePartitionTypeInference: String = """
+    SELECT CAST(o_orderdate AS DATE) d, CAST(o_orderkey % 4 AS INTEGER) bucket,
+      CAST(COUNT(*) AS BIGINT) n,
+      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) sum_cents
+    FROM orders WHERE o_orderdate < DATE '1995-01-10'
+    GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
+  lazy val graphKtruss2Round: String = s"""
+    WITH $thinnedGraphCte,
+    adj0 AS MATERIALIZED (SELECT u a, v b FROM und
+                          UNION ALL SELECT v, u FROM und),
+    t1 AS MATERIALIZED (SELECT e.u, e.v FROM und e
+      JOIN adj0 x ON x.a = e.u
+      JOIN adj0 y ON y.a = e.v AND y.b = x.b
+      GROUP BY e.u, e.v),
+    adj1 AS MATERIALIZED (SELECT u a, v b FROM t1
+                          UNION ALL SELECT v, u FROM t1),
+    t2 AS MATERIALIZED (SELECT e.u, e.v FROM t1 e
+      JOIN adj1 x ON x.a = e.u
+      JOIN adj1 y ON y.a = e.v AND y.b = x.b
+      GROUP BY e.u, e.v)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) n_edges_initial,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) n_edges_round1,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) n_edges_round2,
+      (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM
+        (SELECT u n FROM t2 UNION ALL SELECT v FROM t2)) n_truss_nodes
+  """
+
   // lazy: references thinnedGraphCte, declared further down the file
   lazy val graphRandomWalkVisits: String = {
     def step(prev: String, t: Int): String = s"""
