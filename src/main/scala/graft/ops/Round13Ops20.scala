@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-13 widening, part 20: the IVF nprobe recall/cost sweep —
+  * the serving-time tuning table for the persisted ANN index.
+  */
+object Round13Ops20 {
+
+  /** Recall@10 and scan cost vs nprobe ∈ {1,2,4,16} through the
+    * persisted IVF index — THE serving knob: more probed cells buys
+    * recall with linearly more scanned candidates. One candidate pass
+    * (probes × corpus, cell rank attached from the tiny centroid
+    * table), then per-nprobe ranks over the SAME pairs; at nprobe=16
+    * every cell is probed, so recall is exactly 1.0 by construction —
+    * pinned in Round13Spec20 along with monotonicity, which makes
+    * this op self-verifying despite having no SQL oracle (the
+    * centroid choice is engine-specific, same reason as sim_ann_ivf).
+    */
+  def simIvfNprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val path = Round12Ops.ivfIndexPath(spark, sfDir)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assign")
+      .filter($"rn" === 1).drop("rn")
+    val probes = assigned.filter(pmod($"vec_id", lit(16)) === 5)
+      .select($"vec_id".as("qid"), $"embedding".as("pe"), $"nrm".as("pn"))
+    // cell rank per (probe, cell): how many cells must be probed
+    // before this cell is scanned
+    val cellRank = probes.crossJoin(broadcast(cents))
+      .withColumn("cos_c", LlmOps.dot($"pe", $"ce") / ($"pn" * $"cn"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos_c".desc, $"cid")))
+      .select($"qid", $"cid", $"cr")
+    val pairs = assigned.join(
+        cellRank.join(probes, Seq("qid")), Seq("cid"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos", LlmOps.dot($"embedding", $"pe") / ($"nrm" * $"pn"))
+      .select($"qid", $"vec_id", $"cr", $"cos")
+      .localCheckpoint()
+    val exact = pairs
+      .withColumn("xr", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"xr" <= 10)
+      .select($"qid", $"vec_id")
+    val swept = pairs
+      .withColumn("nprobe", explode(array(Seq(1, 2, 4, 16).map(lit): _*)))
+      .filter($"cr" <= $"nprobe")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid", $"nprobe").orderBy($"cos".desc, $"vec_id")))
+    val hits = swept.filter($"rk" <= 10)
+      .join(exact, Seq("qid", "vec_id"))
+      .groupBy($"nprobe", $"qid").agg(count(lit(1)).as("hit"))
+    val cand = swept.groupBy($"nprobe", $"qid")
+      .agg(count(lit(1)).as("n_cand"))
+    cand.join(hits, Seq("nprobe", "qid"), "left")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_probes"),
+        round(avg(coalesce($"hit", lit(0L)).cast(DoubleType) / 10.0), 4)
+          .as("avg_recall_at_10"),
+        round(avg($"n_cand".cast(DoubleType)), 2).as("avg_candidates"))
+      .orderBy($"nprobe")
+  }
+}

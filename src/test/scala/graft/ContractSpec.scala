@@ -40,13 +40,14 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     "ml_bpe_apply", // encodes with the trainer's driver-loop merges (determinism + count sandwich asserted)
     "dedup_semantic_cluster", // coarse centroid choice engine-specific (recall + keep-min asserted in Round12Spec)
     "dedup_minhash_index_persist", // band bucketing hash-family specific (cross-pair recall + zero-FP + index plan asserted in Round13Spec)
-    "sim_ann_index_batch_probe") // centroid choice engine-specific (batch recall vs exact kNN + artifact plan asserted in Round13Spec4)
+    "sim_ann_index_batch_probe", // centroid choice engine-specific (batch recall vs exact kNN + artifact plan asserted in Round13Spec4)
+    "sim_ivf_nprobe_sweep") // centroid choice engine-specific; recall(16)=1.0 exact + monotonicity asserted in Round13Spec20
 
   test("registered query count matches the declared SURVEY §2 inventory") {
     // Bump DELIBERATELY with each widening, in the same commit that
     // updates SURVEY.md §2 and README — this pin is what makes
     // inventory drift (round 5/6 verdicts) impossible to ship silently.
-    assert(SparkEntry.queries.size === 559,
+    assert(SparkEntry.queries.size === 560,
       "SparkEntry.queries changed size: update SURVEY.md §2 + README " +
         "and bump this pin in the same commit")
   }
