@@ -2470,6 +2470,62 @@ object Oracle {
     FROM lineitem GROUP BY 1 ORDER BY 1
   """
 
+  // the same anti-diagonal wavefront as the Spark fold, replayed as a
+  // recursive CTE — every cell is BIGINT so equality is exact
+  val tsDtwDistance: String = """
+    WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    p AS (SELECT x.event_type ta, y.event_type tb, x.d, x.c ca, y.c cb
+      FROM daily x JOIN daily y ON x.d = y.d
+        AND x.event_type < y.event_type),
+    base AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) n,
+        list(ca ORDER BY d) a, list(cb ORDER BY d) b
+      FROM p GROUP BY 1, 2),
+    dp AS (
+      SELECT ta, tb, n, a, b, CAST(2 AS BIGINT) dg,
+        list_transform(range(1, n + 1), i -> CASE WHEN i = 1
+          THEN abs(a[1] - b[1])
+          ELSE CAST(1000000000000000 AS BIGINT) END) prev,
+        list_transform(range(1, n + 1),
+          i -> CAST(1000000000000000 AS BIGINT)) pp
+      FROM base
+      UNION ALL
+      SELECT ta, tb, n, a, b, dg + 1,
+        list_transform(range(1, n + 1), i ->
+          CASE WHEN dg + 1 - i >= 1 AND dg + 1 - i <= n THEN
+            abs(a[i] - b[dg + 1 - i]) + least(
+              CASE WHEN i > 1 THEN prev[i - 1]
+                ELSE CAST(1000000000000000 AS BIGINT) END,
+              prev[i],
+              CASE WHEN i > 1 THEN pp[i - 1]
+                ELSE CAST(1000000000000000 AS BIGINT) END)
+          ELSE CAST(1000000000000000 AS BIGINT) END),
+        prev
+      FROM dp WHERE dg < 2 * n)
+    SELECT ta type_a, tb type_b, n n_days,
+      CAST(prev[n] AS BIGINT) dtw_cost,
+      ROUND(CAST(prev[n] AS DOUBLE) / (2.0 * n), 4) dtw_per_step
+    FROM dp WHERE dg = 2 * n ORDER BY type_a, type_b
+  """
+
+  val tsHierarchicalReconcile: String = """
+    WITH o AS (SELECT CAST(c_nationkey AS INTEGER) nation,
+        CAST(o_orderdate AS DATE) od
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    dmax AS (SELECT MAX(od) dmax FROM o),
+    bu AS (SELECT nation, CAST(COUNT(*) AS BIGINT) bottom_up
+      FROM o, dmax WHERE od > dmax - 7 GROUP BY 1),
+    tot14 AS (SELECT CAST(COUNT(*) AS BIGINT) n14 FROM o, dmax
+      WHERE od > dmax - 14),
+    but AS (SELECT CAST(SUM(bottom_up) AS BIGINT) bu_total FROM bu)
+    SELECT nation, bottom_up,
+      ROUND(CAST(bottom_up AS DOUBLE) / bu_total, 6) AS share,
+      CAST(n14 // 2 AS BIGINT) total_forecast,
+      ROUND((CAST(bottom_up AS DOUBLE) / bu_total) *
+        CAST(n14 // 2 AS DOUBLE), 4) top_down
+    FROM bu, tot14, but ORDER BY nation
+  """
+
   val tsRollingOriginBacktest: String = """
     WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
         CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
