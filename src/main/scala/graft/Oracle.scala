@@ -2526,6 +2526,56 @@ object Oracle {
     FROM bu, tot14, but ORDER BY nation
   """
 
+  val mlViterbiScore: String = """
+    WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    ob AS (SELECT a.event_type, a.d,
+        CASE WHEN b.c > a.c THEN 1 ELSE 0 END o
+      FROM daily a JOIN daily b ON b.event_type = a.event_type
+        AND b.d = a.d + 1),
+    arr AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n_obs,
+        list(o ORDER BY d) obs FROM ob GROUP BY 1),
+    dp AS (
+      SELECT event_type, n_obs, obs, CAST(0 AS BIGINT) i,
+        CAST(0 AS BIGINT) s0, CAST(0 AS BIGINT) s1 FROM arr
+      UNION ALL
+      SELECT event_type, n_obs, obs, i + 1,
+        (CASE WHEN obs[i + 1] = 0 THEN 2 ELSE -1 END) +
+          greatest(s0 + 1, s1 - 1),
+        (CASE WHEN obs[i + 1] = 1 THEN 2 ELSE -1 END) +
+          greatest(s1 + 1, s0 - 1)
+      FROM dp WHERE i < n_obs),
+    fin AS (SELECT event_type, n_obs,
+        CAST(greatest(s0, s1) AS BIGINT) viterbi_score
+      FROM dp WHERE i = n_obs),
+    up AS (SELECT event_type, CAST(list_sum(obs) AS BIGINT) n_up_days
+      FROM arr)
+    SELECT f.event_type, n_obs, n_up_days, viterbi_score,
+      CAST(greatest(n_up_days, n_obs - n_up_days) * 2 +
+        (n_obs - greatest(n_up_days, n_obs - n_up_days)) * -1 + n_obs
+        AS BIGINT) baseline_score,
+      CAST(viterbi_score -
+        (greatest(n_up_days, n_obs - n_up_days) * 2 +
+         (n_obs - greatest(n_up_days, n_obs - n_up_days)) * -1 + n_obs)
+        AS BIGINT) regime_gain
+    FROM fin f JOIN up ON f.event_type = up.event_type
+    ORDER BY f.event_type
+  """
+
+  val fnFiscal445: String = """
+    WITH b AS (SELECT
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents,
+        date_diff('day', DATE '1995-02-01', CAST(o_orderdate AS DATE)) dd
+      FROM orders),
+    f AS (SELECT cents, CAST(1995 + dd // 364 AS BIGINT) fiscal_year,
+        (dd % 364) // 7 wy FROM b WHERE dd >= 0)
+    SELECT fiscal_year, CAST(wy // 13 + 1 AS BIGINT) fiscal_quarter,
+      CASE WHEN wy % 13 < 4 THEN 1 WHEN wy % 13 < 8 THEN 2 ELSE 3 END
+        period_in_quarter,
+      CAST(COUNT(*) AS BIGINT) n_orders, CAST(SUM(cents) AS BIGINT) sum_cents
+    FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+  """
+
   val tsRollingOriginBacktest: String = """
     WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
         CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
