@@ -2526,6 +2526,54 @@ object Oracle {
     FROM bu, tot14, but ORDER BY nation
   """
 
+  val graphWeightedPagerank: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst, CAST(SUM((r.rr * e.w) // s.wsum) AS BIGINT) sm
+        FROM edges e JOIN ws s ON s.src = e.src
+          JOIN $prev r ON r.node = e.src GROUP BY 1),
+      r$i AS (SELECT dst node,
+        CAST(150000000000 // nn + (85 * sm) // 100 AS BIGINT) rr
+        FROM c$i, nc)"""
+    }
+    s"""
+    WITH pairs AS (SELECT l_partkey p, l_suppkey + 10000000 s,
+        CAST(COUNT(*) AS BIGINT) w FROM lineitem GROUP BY 1, 2),
+    edges AS MATERIALIZED (SELECT p src, s dst, w FROM pairs
+              UNION ALL SELECT s, p, w FROM pairs),
+    ws AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) wsum
+                        FROM edges GROUP BY 1),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) nn FROM ws),
+    r0 AS (SELECT src node, CAST(1000000000000 // nn AS BIGINT) rr
+           FROM ws, nc),
+    ${round(1)}, ${round(2)}, ${round(3)}
+    SELECT node, CAST((rr * nn) // 1000000 AS DOUBLE) / 1000000.0
+      rank_scaled
+    FROM r3, nc ORDER BY node
+    """
+  }
+
+  val sourceGenerateRange: String = """
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(v) AS BIGINT) sum_v,
+      CAST(MIN(v) AS BIGINT) min_v, CAST(MAX(v) AS BIGINT) max_v
+    FROM (SELECT range id, range % 7 bucket,
+        (range * 2654435761) % 1000 v
+      FROM range(0, 100000))
+    GROUP BY 1 ORDER BY 1
+  """
+
+  val tsDowMedianProfile: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    k AS (SELECT event_type, CAST(isodow(d) AS INTEGER) isodow, c
+          FROM daily)
+    SELECT event_type, isodow, CAST(count(*) AS BIGINT) n_days,
+      CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS DOUBLE)
+        median_daily,
+      CAST(min(c) AS BIGINT) min_daily, CAST(max(c) AS BIGINT) max_daily
+    FROM k GROUP BY 1, 2 ORDER BY 1, 2
+  """
+
   val mlViterbiScore: String = """
     WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) d,
         CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
