@@ -2574,6 +2574,31 @@ object Oracle {
     FROM k GROUP BY 1, 2 ORDER BY 1, 2
   """
 
+  val analyticShapleyAttribution: String = """
+    WITH fp AS (SELECT user_id, MIN(ts) t0 FROM events
+      WHERE event_type = 'purchase' GROUP BY 1),
+    tm AS (SELECT e.user_id, bit_or(CASE e.event_type
+        WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'search' THEN 4
+        WHEN 'cart' THEN 8 ELSE 0 END) mask
+      FROM fp JOIN events e ON e.user_id = fp.user_id AND e.ts < fp.t0
+      GROUP BY 1),
+    am AS (SELECT COALESCE(mask, 0) mask, CAST(COUNT(*) AS BIGINT) m
+      FROM fp LEFT JOIN tm ON fp.user_id = tm.user_id GROUP BY 1),
+    lat AS (SELECT unnest(range(0, 16)) s),
+    v AS (SELECT s, CAST(COALESCE(SUM(m), 0) AS BIGINT) v
+      FROM lat LEFT JOIN am ON (mask & s) = mask GROUP BY 1),
+    ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+        ('search', 4), ('cart', 8)) c(channel, cbit)),
+    t AS (SELECT channel,
+        (CASE bit_count(v1.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+          WHEN 2 THEN 2 WHEN 3 THEN 6 END) * (v2.v - v1.v) term
+      FROM ch JOIN v v1 ON (v1.s & cbit) = 0
+        JOIN v v2 ON v2.s = (v1.s | cbit))
+    SELECT channel, CAST(SUM(term) AS BIGINT) phi_x24,
+      ROUND(CAST(SUM(term) AS DOUBLE) / 24.0, 6) phi
+    FROM t GROUP BY 1 ORDER BY 1
+  """
+
   val mlViterbiScore: String = """
     WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) d,
         CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
