@@ -2574,6 +2574,60 @@ object Oracle {
     FROM k GROUP BY 1, 2 ORDER BY 1, 2
   """
 
+  val fnHaversineNearestHub: String = """
+    WITH cust AS (SELECT c_custkey,
+        CAST((c_custkey * 2654435761) % 14000 AS DOUBLE) / 100.0 - 70.0 lat,
+        CAST((c_custkey * 40503) % 36000 AS DOUBLE) / 100.0 - 180.0 lon
+      FROM customer),
+    hubs AS (SELECT * FROM (VALUES (1, 40.7, -74.0), (2, 51.5, -0.1),
+        (3, 35.7, 139.7), (4, -33.9, 151.2), (5, 19.4, -99.1))
+      h(hub, hlat, hlon)),
+    d AS (SELECT c_custkey, hub, ROUND(12742.0 * asin(sqrt(
+        sin((hlat - lat) * (pi() / 180.0) / 2.0) *
+          sin((hlat - lat) * (pi() / 180.0) / 2.0) +
+        cos(lat * (pi() / 180.0)) * cos(hlat * (pi() / 180.0)) *
+          sin((hlon - lon) * (pi() / 180.0) / 2.0) *
+          sin((hlon - lon) * (pi() / 180.0) / 2.0))), 4) d
+      FROM cust CROSS JOIN hubs),
+    best AS (SELECT c_custkey, hub, d FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+          ORDER BY d, hub) rn FROM d) WHERE rn = 1)
+    SELECT hub, CAST(COUNT(*) AS BIGINT) n_customers,
+      ROUND(CAST(SUM(CAST(d AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2)
+        avg_km,
+      MAX(d) max_km
+    FROM best GROUP BY 1 ORDER BY 1
+  """
+
+  val tsTradingDayAdjust: String = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+        CAST(COUNT(*) AS BIGINT) c FROM orders GROUP BY 1),
+    dd AS (SELECT d, c, CAST(isodow(d) AS INTEGER) dow FROM daily),
+    wk AS (SELECT dow dw, CAST(SUM(c) AS BIGINT) sc,
+        CAST(COUNT(*) AS BIGINT) nd FROM dd GROUP BY 1),
+    tot AS (SELECT CAST(SUM(sc) AS BIGINT) ts2,
+        CAST(SUM(nd) AS BIGINT) td FROM wk),
+    m AS (SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+        CAST(SUM(c) AS BIGINT) actual, CAST(COUNT(*) AS BIGINT) n_days,
+        SUM(CAST(ROUND(CAST(sc AS DOUBLE) / nd, 6) AS DECIMAL(28,6))) expw,
+        MAX(CAST(ts2 AS DOUBLE) / td) avg_day
+      FROM dd JOIN wk ON dow = dw, tot GROUP BY 1)
+    SELECT month, actual, n_days,
+      ROUND(CAST(expw AS DOUBLE) / (n_days * avg_day), 6) td_index,
+      ROUND(CAST(actual AS DOUBLE) /
+        (CAST(expw AS DOUBLE) / (n_days * avg_day)), 4) adjusted
+    FROM m ORDER BY month
+  """
+
+  // the range layout never changes the aggregate
+  val scaleRangePartitionSort: String = """
+    SELECT CAST(COUNT(*) AS BIGINT) n, CAST(MIN(cents) AS BIGINT) min_cents,
+      CAST(MAX(cents) AS BIGINT) max_cents,
+      CAST(SUM(cents) AS BIGINT) sum_cents
+    FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        cents FROM orders)
+  """
+
   val analyticShapleyAttribution: String = """
     WITH fp AS (SELECT user_id, MIN(ts) t0 FROM events
       WHERE event_type = 'purchase' GROUP BY 1),
