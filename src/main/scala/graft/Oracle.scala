@@ -2628,6 +2628,82 @@ object Oracle {
         cents FROM orders)
   """
 
+  val analyticCupedAdjustment: String = """
+    WITH ev AS (SELECT user_id, epoch_us(ts) us FROM events
+      WHERE event_type = 'purchase'),
+    mid AS (SELECT (MIN(us) + MAX(us)) // 2 mid_us FROM ev),
+    per0 AS (SELECT user_id,
+        CAST(SUM(CASE WHEN us < mid_us THEN 1 ELSE 0 END) AS BIGINT) x,
+        CAST(SUM(CASE WHEN us >= mid_us THEN 1 ELSE 0 END) AS BIGINT) y
+      FROM ev, mid GROUP BY 1),
+    g AS (SELECT CAST(user_id % 2 AS INTEGER) arm,
+        CAST(COUNT(*) AS BIGINT) n, CAST(SUM(x) AS BIGINT) sx,
+        CAST(SUM(y) AS BIGINT) sy, CAST(SUM(x * x) AS BIGINT) sxx,
+        CAST(SUM(x * y) AS BIGINT) sxy, CAST(SUM(y * y) AS BIGINT) syy
+      FROM per0 GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) tn, CAST(SUM(sx) AS BIGINT) tsx,
+        CAST(SUM(sy) AS BIGINT) tsy, CAST(SUM(sxx) AS BIGINT) tsxx,
+        CAST(SUM(sxy) AS BIGINT) tsxy FROM g),
+    th AS (SELECT ROUND(
+        (CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE) /
+          CAST(tn AS DOUBLE)) /
+        (CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) /
+          CAST(tn AS DOUBLE)), 6) th,
+      ROUND(CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE), 6) xb FROM tot)
+    SELECT arm, n,
+      ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) mean_post,
+      ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+        th * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - xb), 6) mean_cuped,
+      ROUND((CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) -
+        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) var_post,
+      ROUND((CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) -
+          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) -
+        2.0 * th * ((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) -
+          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) +
+        th * th * ((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) -
+          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) var_cuped,
+      ROUND(((CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) -
+          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) -
+        2.0 * th * ((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) -
+          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) +
+        th * th * ((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) -
+          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) /
+        ((CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) -
+          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) var_ratio
+    FROM g, th ORDER BY arm
+  """
+
+  val analyticTheilDecomposition: String = """
+    WITH rev AS (SELECT c_mktsegment segment, o_custkey,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) x
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+    segs AS (SELECT segment s2, SUM(x) tx, CAST(COUNT(*) AS BIGINT) ns
+      FROM rev GROUP BY 1),
+    tot AS (SELECT SUM(tx) gx, CAST(SUM(ns) AS BIGINT) gn FROM segs),
+    w AS (SELECT segment, ns, CAST(ROUND(
+        (CAST(x AS DOUBLE) / (CAST(tx AS DOUBLE) / CAST(ns AS DOUBLE))) *
+        ln(CAST(x AS DOUBLE) / (CAST(tx AS DOUBLE) / CAST(ns AS DOUBLE))),
+        9) AS DECIMAL(28,9)) term
+      FROM rev JOIN segs ON segment = s2),
+    wa AS (SELECT segment, MAX(ns) n_cust, SUM(term) st FROM w GROUP BY 1),
+    wi AS (SELECT segment, n_cust, ROUND(CAST(st AS DOUBLE) /
+        CAST(n_cust AS DOUBLE), 6) theil_within FROM wa)
+    SELECT segment, n_cust, theil_within,
+      ROUND(CAST(tx AS DOUBLE) / CAST(gx AS DOUBLE), 6) income_share,
+      ROUND((CAST(tx AS DOUBLE) / CAST(gx AS DOUBLE)) *
+        ln((CAST(tx AS DOUBLE) / CAST(ns AS DOUBLE)) /
+           (CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE))), 6) between_term
+    FROM wi JOIN segs ON segment = s2, tot ORDER BY segment
+  """
+
   val analyticShapleyAttribution: String = """
     WITH fp AS (SELECT user_id, MIN(ts) t0 FROM events
       WHERE event_type = 'purchase' GROUP BY 1),
