@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -118,16 +118,32 @@ object Round13Ops7 {
       .toDF("cid", "cx", "cy")
       .select($"cid", $"cx".cast(DecimalType(18, 6)),
         $"cy".cast(DecimalType(18, 6)))
+    // assignment as a PURE PROJECTION: the 3 centroids pivot into one
+    // broadcast row and the argmin is a least()/CASE chain — no
+    // crossJoin fan-out, no per-point re-aggregation (the first cut
+    // grouped 1.8M exploded rows per round and was the board's most
+    // expensive query at 5.8 s; this shape is one codegen'd map pass).
+    // Tie-break ≤ chains pick the smallest cid, matching the oracle's
+    // ROW_NUMBER ORDER BY d2, cid.
     def assign(cents: DataFrame): DataFrame = {
-      val d2 = ($"x" - $"cx".cast(DoubleType)) *
-        ($"x" - $"cx".cast(DoubleType)) +
-        ($"y" - $"cy".cast(DoubleType)) * ($"y" - $"cy".cast(DoubleType))
-      pts.crossJoin(broadcast(cents))
-        .withColumn("d2", d2)
-        .groupBy($"okey", $"lnum", $"x", $"y")
-        .agg(min_by(struct($"cid", $"d2"), struct($"d2", $"cid")).as("m"))
+      val row = cents.groupBy().agg(
+        max(when($"cid" === 1, $"cx")).as("cx1"),
+        max(when($"cid" === 1, $"cy")).as("cy1"),
+        max(when($"cid" === 2, $"cx")).as("cx2"),
+        max(when($"cid" === 2, $"cy")).as("cy2"),
+        max(when($"cid" === 3, $"cx")).as("cx3"),
+        max(when($"cid" === 3, $"cy")).as("cy3"))
+      def dd(cx: Column, cy: Column): Column =
+        ($"x" - cx.cast(DoubleType)) * ($"x" - cx.cast(DoubleType)) +
+          ($"y" - cy.cast(DoubleType)) * ($"y" - cy.cast(DoubleType))
+      pts.crossJoin(broadcast(row))
+        .withColumn("d1", dd($"cx1", $"cy1"))
+        .withColumn("dm2", dd($"cx2", $"cy2"))
+        .withColumn("dm3", dd($"cx3", $"cy3"))
         .select($"okey", $"lnum", $"x", $"y",
-          $"m.cid".as("cid"), $"m.d2".as("d2"))
+          when($"d1" <= $"dm2" && $"d1" <= $"dm3", 1)
+            .when($"dm2" <= $"dm3", 2).otherwise(3).as("cid"),
+          least($"d1", $"dm2", $"dm3").as("d2"))
     }
     def update(asg: DataFrame): DataFrame = asg
       .groupBy($"cid")
