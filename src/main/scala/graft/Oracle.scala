@@ -2628,6 +2628,76 @@ object Oracle {
         cents FROM orders)
   """
 
+  val textStyleSimilarity: String = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+    val vec = stop.map(s =>
+      s"CAST(SUM(CASE WHEN w = '$s' THEN 1 ELSE 0 END) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) w
+      FROM documents),
+    prof AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_tokens,
+        $vec v
+      FROM toks GROUP BY 1),
+    pairs AS (SELECT a.source src, b.source neighbor,
+        ROUND(CAST(list_sum(list_transform(range(1, 9),
+            i -> a.v[i] * b.v[i])) AS DOUBLE) /
+          (sqrt(CAST(list_sum(list_transform(range(1, 9),
+            i -> a.v[i] * a.v[i])) AS DOUBLE)) *
+           sqrt(CAST(list_sum(list_transform(range(1, 9),
+            i -> b.v[i] * b.v[i])) AS DOUBLE))), 6) style_cos
+      FROM prof a JOIN prof b ON a.source <> b.source)
+    SELECT src AS source, neighbor, style_cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+        ORDER BY style_cos DESC, neighbor) rn FROM pairs)
+    WHERE rn = 1 ORDER BY source
+  """
+  }
+
+  val pipelineChecksumChain: String = """
+    WITH base AS (SELECT event_id,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) cents FROM events),
+    agg AS (SELECT CAST(event_id % 3 AS INTEGER) batch_id,
+        CAST(COUNT(*) AS BIGINT) n_rows, CAST(SUM(cents) AS BIGINT) sum_cents,
+        CAST(SUM((event_id * 31 + cents) % 1000000007) AS BIGINT) rhs
+      FROM base GROUP BY 1),
+    b AS (SELECT
+        MAX(CASE WHEN batch_id = 0 THEN n_rows END) n0,
+        MAX(CASE WHEN batch_id = 0 THEN sum_cents END) s0,
+        MAX(CASE WHEN batch_id = 0 THEN rhs END) r0,
+        MAX(CASE WHEN batch_id = 1 THEN n_rows END) n1,
+        MAX(CASE WHEN batch_id = 1 THEN sum_cents END) s1,
+        MAX(CASE WHEN batch_id = 1 THEN rhs END) r1,
+        MAX(CASE WHEN batch_id = 2 THEN n_rows END) n2,
+        MAX(CASE WHEN batch_id = 2 THEN sum_cents END) s2,
+        MAX(CASE WHEN batch_id = 2 THEN rhs END) r2
+      FROM agg),
+    c0 AS (SELECT *, md5(concat_ws(':', 'genesis', n0, r0)) h0 FROM b),
+    c1 AS (SELECT *, md5(concat_ws(':', h0, n1, r1)) h1 FROM c0),
+    c2 AS (SELECT *, md5(concat_ws(':', h1, n2, r2)) h2 FROM c1)
+    SELECT 0 batch_id, n0 n_rows, s0 sum_cents, h0 chain_md5 FROM c2
+    UNION ALL SELECT 1, n1, s1, h1 FROM c2
+    UNION ALL SELECT 2, n2, s2, h2 FROM c2
+    ORDER BY batch_id
+  """
+
+  val winIntervalCoverage: String = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) us FROM events),
+    l AS (SELECT user_id, us, lead(us) OVER (PARTITION BY user_id
+        ORDER BY us, event_id) nxt FROM e),
+    pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) n_events,
+        CAST(SUM(CASE WHEN nxt IS NOT NULL
+          THEN least(nxt - us, 600000000) ELSE 0 END) + 600000000
+          AS BIGINT) covered_us
+      FROM l GROUP BY 1)
+    SELECT CAST((covered_us // 1000000) // 3600 AS BIGINT) coverage_hours,
+      CAST(COUNT(*) AS BIGINT) n_users,
+      CAST(SUM(n_events) AS BIGINT) sum_events,
+      CAST(MIN(covered_us // 1000000) AS BIGINT) min_covered_s,
+      CAST(MAX(covered_us // 1000000) AS BIGINT) max_covered_s
+    FROM pu GROUP BY 1 ORDER BY 1
+  """
+
   val analyticCupedAdjustment: String = """
     WITH ev AS (SELECT user_id, epoch_us(ts) us FROM events
       WHERE event_type = 'purchase'),
