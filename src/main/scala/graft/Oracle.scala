@@ -2628,6 +2628,38 @@ object Oracle {
         cents FROM orders)
   """
 
+  val pipelineLdpRandomizedResponse: String = """
+    WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+          AS BIGINT) true_count,
+        CAST(SUM(CASE WHEN
+            CASE WHEN (c_custkey * 2654435761) % 100 < 75
+              THEN c_mktsegment = 'BUILDING'
+              ELSE (c_custkey * 40503) % 100 < 50 END
+          THEN 1 ELSE 0 END) AS BIGINT) reported_count
+      FROM customer)
+    SELECT n, true_count, reported_count,
+      ROUND(CAST(reported_count AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        reported_rate,
+      ROUND((CAST(reported_count AS DOUBLE) / CAST(n AS DOUBLE) - 0.125) /
+        0.75, 6) debiased_rate,
+      ROUND(CAST(true_count AS DOUBLE) / CAST(n AS DOUBLE), 6) true_rate,
+      ROUND(abs((CAST(reported_count AS DOUBLE) / CAST(n AS DOUBLE) - 0.125)
+        / 0.75 - CAST(true_count AS DOUBLE) / CAST(n AS DOUBLE)), 6) abs_err
+    FROM g
+  """
+
+  val filterPushdownIn: String = {
+    val keys = (1 to 40).map(i => (i * 37L) % 1500).mkString(", ")
+    s"""
+    SELECT CAST(COUNT(*) AS BIGINT) n,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) n_keys_hit,
+      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) sum_cents
+    FROM orders WHERE o_custkey IN ($keys)
+  """
+  }
+
   val textStyleSimilarity: String = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that")
     val vec = stop.map(s =>
