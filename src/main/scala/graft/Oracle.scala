@@ -2628,6 +2628,54 @@ object Oracle {
         cents FROM orders)
   """
 
+  val aggMultiMode: String = """
+    WITH counts AS (SELECT o_orderpriority priority,
+        CAST(l_quantity AS INTEGER) q, CAST(COUNT(*) AS BIGINT) c
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    mx AS (SELECT priority p2, MAX(c) mc FROM counts GROUP BY 1)
+    SELECT priority, CAST(MAX(mc) AS BIGINT) mode_count,
+      list_sort(list(q)) modes, CAST(COUNT(*) AS BIGINT) n_modes
+    FROM counts JOIN mx ON priority = p2 AND c = mc
+    GROUP BY 1 ORDER BY 1
+  """
+
+  val analyticSrmCheck: String = """
+    WITH g AS (SELECT CAST(user_id % 2 AS INTEGER) arm,
+        CAST(COUNT(*) AS BIGINT) n
+      FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) tn FROM g),
+    terms AS (SELECT arm, n,
+        ROUND(CAST(tn AS DOUBLE) / 2.0, 1) expected,
+        ROUND((n - CAST(tn AS DOUBLE) / 2.0) *
+          (n - CAST(tn AS DOUBLE) / 2.0) /
+          (CAST(tn AS DOUBLE) / 2.0), 6) chi2_term
+      FROM g, t),
+    tot AS (SELECT ROUND(SUM(chi2_term), 6) chi2_total FROM terms)
+    SELECT arm, n, expected, chi2_term, chi2_total,
+      chi2_total > 3.841 srm_flag
+    FROM terms, tot ORDER BY arm
+  """
+
+  val winRollingSlope: String = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, d, c,
+        CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) x
+      FROM daily),
+    w AS (SELECT event_type, d, c,
+        COUNT(*) OVER fr nw, SUM(x) OVER fr sx, SUM(c) OVER fr sy,
+        SUM(x * c) OVER fr sxy, SUM(x * x) OVER fr sxx
+      FROM b WINDOW fr AS (PARTITION BY event_type ORDER BY x
+        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, d, c,
+      ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) /
+          CAST(nw AS DOUBLE)) /
+        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+          CAST(nw AS DOUBLE)), 6) slope14
+    FROM w WHERE nw = 14 ORDER BY event_type, d
+  """
+
   val pipelineLdpRandomizedResponse: String = """
     WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) n,
         CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
