@@ -2628,6 +2628,27 @@ object Oracle {
         cents FROM orders)
   """
 
+  val fnStringPaddingTranslate: String = """
+    SELECT o_orderkey,
+      lpad(CAST(o_orderkey AS VARCHAR), 10, '0') padded_key,
+      translate(o_orderpriority, '12345', '#####') masked_priority,
+      concat('*', substr(o_orderstatus, 2, 100)) masked_status,
+      concat(o_orderstatus, '|', repeat('-', 5)) ruled
+    FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey
+  """
+
+  val aggBitXorParity: String = """
+    WITH b AS (SELECT o_orderpriority priority,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) cents
+      FROM orders)
+    SELECT priority, CAST(COUNT(*) AS BIGINT) n,
+      CAST(bit_xor(cents) AS BIGINT) xor_cents,
+      COUNT(*) % 2 = 0 even_count,
+      CAST(bit_and(cents) AS BIGINT) and_cents,
+      CAST(bit_or(cents) AS BIGINT) or_cents
+    FROM b GROUP BY 1 ORDER BY 1
+  """
+
   val aggMultiMode: String = """
     WITH counts AS (SELECT o_orderpriority priority,
         CAST(l_quantity AS INTEGER) q, CAST(COUNT(*) AS BIGINT) c
