@@ -2656,7 +2656,8 @@ object Oracle {
       GROUP BY 1, 2),
     mx AS (SELECT priority p2, MAX(c) mc FROM counts GROUP BY 1)
     SELECT priority, CAST(MAX(mc) AS BIGINT) mode_count,
-      list_sort(list(q)) modes, CAST(COUNT(*) AS BIGINT) n_modes
+      array_to_string(list_sort(list(q)), ',') modes,
+      CAST(COUNT(*) AS BIGINT) n_modes
     FROM counts JOIN mx ON priority = p2 AND c = mc
     GROUP BY 1 ORDER BY 1
   """

@@ -28,7 +28,9 @@ object Round13Ops29 {
     counts.join(broadcast(mx), $"priority" === $"p2" && $"c" === $"mc")
       .groupBy($"priority")
       .agg(max($"mc").as("mode_count"),
-        array_sort(collect_list($"q")).as("modes"),
+        // joined string, not ARRAY: oracle outputs stay atomic
+        // (ContractSpec's column-type hygiene pin)
+        array_join(array_sort(collect_list($"q")), ",").as("modes"),
         count(lit(1)).as("n_modes"))
       .orderBy($"priority")
   }

@@ -12,9 +12,10 @@ class Round13Spec29 extends AnyFunSuite with SparkFixture {
   test("multi mode: every listed mode has the max count, array sorted") {
     import spark.implicits._
     val rows = Round13Ops29.aggMultiMode(spark, sf)
-      .as[(String, Long, Seq[Int], Long)].collect()
+      .as[(String, Long, String, Long)].collect()
     assert(rows.length === 5)
-    rows.foreach { case (p, mc, modes, nm) =>
+    rows.foreach { case (p, mc, modesStr, nm) =>
+      val modes = modesStr.split(",").map(_.toInt).toSeq
       assert(modes.nonEmpty && modes.length === nm)
       assert(modes.sorted == modes, s"$p: modes not sorted")
       assert(mc > 0)
