@@ -2628,6 +2628,39 @@ object Oracle {
         cents FROM orders)
   """
 
+  private val markovTransCte = """
+    tr AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) c FROM (
+      SELECT event_type a,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) b
+      FROM events) WHERE b IS NOT NULL GROUP BY 1, 2)"""
+
+  lazy val tsMarkovEntropyRate: String = s"""
+    WITH $markovTransCte,
+    outs AS (SELECT a a2, CAST(SUM(c) AS BIGINT) outc FROM tr GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) n,
+        CAST(COUNT(DISTINCT a) AS BIGINT) k FROM tr),
+    terms AS (SELECT n, k, CAST(ROUND(
+        -((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / outc)), 9)
+        AS DECIMAL(28,9)) tm
+      FROM tr JOIN outs ON a = a2, tot)
+    SELECT n n_transitions, k n_states,
+      ROUND(CAST(SUM(tm) AS DOUBLE), 6) entropy_rate_bits,
+      ROUND(log2(CAST(k AS DOUBLE)), 6) max_entropy_bits
+    FROM terms GROUP BY 1, 2
+  """
+
+  lazy val mlMarkovNextEventAcc: String = s"""
+    WITH $markovTransCte,
+    pred AS (SELECT a, b predicted, c, CAST(SUM(c) OVER (PARTITION BY a)
+        AS BIGINT) out_total,
+        ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, b) rn
+      FROM tr)
+    SELECT a state, predicted, out_total, CAST(c AS BIGINT) best_count,
+      ROUND(CAST(c AS DOUBLE) / out_total, 6) in_sample_accuracy
+    FROM pred WHERE rn = 1 ORDER BY state
+  """
+
   val fnStringPaddingTranslate: String = """
     SELECT o_orderkey,
       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') padded_key,
