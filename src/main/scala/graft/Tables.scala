@@ -108,9 +108,13 @@ object Tables {
   private val cleanupRegistered =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  // Per-run-tagged dirs carry the Spark appId ("local-<ts>") in their
+  // name; persistent cross-run caches (graft_mat, graft_bucketed,
+  // graft_models) do not, and are deliberately excluded.
   private def taggedTmpDirs(): Array[java.io.File] =
     Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_r1"))
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&
+        f.getName.contains("_local-"))
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))

@@ -23,9 +23,11 @@ object Sources {
   }
 
   // per-session-unique path component: concurrent sessions on the same
-  // sfDir must not overwrite each other's files mid-read
+  // sfDir must not overwrite each other's files mid-read. Delegates to
+  // Tables.runTag so the dirs are registered with the shutdown hook +
+  // stale-dir startup sweep (round-13 advisory: these leaked before).
   private def tag(spark: SparkSession, sfDir: String): String =
-    sfDir.hashCode.toHexString + "_" + spark.sparkContext.applicationId
+    runTag(spark, sfDir)
 
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
