@@ -2661,6 +2661,60 @@ object Oracle {
     FROM pred WHERE rn = 1 ORDER BY state
   """
 
+  private val dailyRevCte = """
+    daily AS (SELECT CAST(o_orderdate AS DATE) d,
+      SUM(CAST(o_totalprice AS DECIMAL(12,2))) sv
+    FROM orders GROUP BY 1)"""
+
+  lazy val tsSaxSymbols: String = s"""
+    WITH $dailyRevCte,
+    idx AS (SELECT d, sv, ROW_NUMBER() OVER (ORDER BY d) - 1 i FROM daily),
+    segs AS (SELECT CAST(FLOOR(i / 7) AS BIGINT) seg,
+        CAST(COUNT(*) AS BIGINT) n_days, SUM(sv) ssum
+      FROM idx GROUP BY 1),
+    q AS (SELECT seg, n_days, CAST(ssum AS DOUBLE) / n_days paa,
+        NTILE(4) OVER (ORDER BY CAST(ssum AS DOUBLE) / n_days, seg) qt
+      FROM segs)
+    SELECT seg, n_days, ROUND(paa, 6) paa_value,
+      CASE qt WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c'
+        ELSE 'd' END symbol
+    FROM q ORDER BY seg
+  """
+
+  lazy val analyticCochranArmitage: String = """
+    WITH g AS (SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) w,
+        CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+          AS BIGINT) r
+      FROM orders GROUP BY 1),
+    s AS (SELECT CAST(SUM(n) AS BIGINT) nn, CAST(SUM(r) AS BIGINT) rr,
+        CAST(SUM(w * n) AS BIGINT) swn, CAST(SUM(w * r) AS BIGINT) swr,
+        CAST(SUM(w * w * n) AS BIGINT) sw2n FROM g)
+    SELECT nn n_total, rr n_success, swn sum_wn, swr sum_wr,
+      ROUND(CAST(rr AS DOUBLE) / nn, 6) pooled_rate,
+      ROUND(sqrt(CAST(nn AS DOUBLE)) *
+        (CAST(nn AS DOUBLE) * swr - CAST(rr AS DOUBLE) * swn) /
+        sqrt((CAST(rr AS DOUBLE) * (nn - rr)) *
+          (CAST(nn AS DOUBLE) * sw2n - CAST(swn AS DOUBLE) * swn)), 6)
+        z_trend
+    FROM s
+  """
+
+  lazy val tsTurningPoints: String = s"""
+    WITH $dailyRevCte,
+    w AS (SELECT sv, LAG(sv) OVER (ORDER BY d) pv,
+        LEAD(sv) OVER (ORDER BY d) nv FROM daily),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+          AND ((sv > pv AND sv > nv) OR (sv < pv AND sv < nv))
+          THEN 1 ELSE 0 END) AS BIGINT) t FROM w)
+    SELECT n n_days, t n_turning,
+      ROUND(CAST(2 * (n - 2) AS DOUBLE) / 3, 6) expected_turning,
+      ROUND((CAST(t AS DOUBLE) - CAST(2 * (n - 2) AS DOUBLE) / 3) /
+        sqrt(CAST(16 * n - 29 AS DOUBLE) / 90), 6) z_score
+    FROM c
+  """
+
   val fnStringPaddingTranslate: String = """
     SELECT o_orderkey,
       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') padded_key,
