@@ -2715,6 +2715,74 @@ object Oracle {
     FROM c
   """
 
+  lazy val textLcsRougel: String = """
+    WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ')[1:24] tk
+      FROM documents WHERE doc_id < 60),
+    t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+    p AS (SELECT x.doc_id da, y.doc_id dbk, x.tk a, y.tk b,
+        CAST(len(x.tk) AS BIGINT) na, CAST(len(y.tk) AS BIGINT) nb
+      FROM t2 x JOIN t2 y ON y.doc_id = x.doc_id + 1),
+    dp AS (
+      SELECT da, dbk, a, b, na, nb, CAST(2 AS BIGINT) dg,
+        list_transform(range(1, CAST(na + 1 AS INTEGER)), i ->
+          CASE WHEN i = 1 AND a[1] = b[1] THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END) prev,
+        list_transform(range(1, CAST(na + 1 AS INTEGER)),
+          i -> CAST(0 AS BIGINT)) pp
+      FROM p
+      UNION ALL
+      SELECT da, dbk, a, b, na, nb, dg + 1,
+        list_transform(range(1, CAST(na + 1 AS INTEGER)), i ->
+          CASE WHEN dg + 1 - i >= 1 AND dg + 1 - i <= nb THEN
+            CASE WHEN a[i] = b[dg + 1 - i] THEN
+              (CASE WHEN i > 1 THEN pp[i - 1]
+                ELSE CAST(0 AS BIGINT) END) + 1
+            ELSE greatest(
+              CASE WHEN i > 1 THEN prev[i - 1]
+                ELSE CAST(0 AS BIGINT) END,
+              prev[i])
+            END
+          ELSE CAST(0 AS BIGINT) END),
+        prev
+      FROM dp WHERE dg < na + nb)
+    SELECT da doc_a, dbk doc_b, na n_a, nb n_b,
+      CAST(prev[CAST(na AS INTEGER)] AS BIGINT) lcs_len,
+      ROUND(2.0 * prev[CAST(na AS INTEGER)] / (na + nb), 6) rouge_l_f1
+    FROM dp WHERE dg = na + nb ORDER BY doc_a
+  """
+
+  lazy val tsPageHinkley: String = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) c
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) t_cents,
+        CAST(COUNT(*) AS BIGINT) n FROM daily),
+    ph AS (SELECT d, c, t_cents, n,
+        n * SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW)
+          - ROW_NUMBER() OVER (ORDER BY d) * t_cents phv
+      FROM daily, tot),
+    r AS (SELECT d, c, t_cents, n, phv,
+        least(CAST(0 AS BIGINT), MIN(phv) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) runmin
+      FROM ph)
+    SELECT d, c day_cents, CAST(phv AS BIGINT) ph_stat,
+      CAST(phv - runmin AS BIGINT) excess,
+      CAST(CASE WHEN (phv - runmin) * 50 > t_cents * n
+        THEN 1 ELSE 0 END AS BIGINT) alarm
+    FROM r ORDER BY d
+  """
+
+  lazy val fnBaseConv: String = """
+    SELECT o_orderkey,
+      hex(o_orderkey) hex_key,
+      bin(o_orderkey) bin_key,
+      to_base(o_orderkey, 7) base7_key,
+      to_base(o_orderkey, 8) oct_key
+    FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey
+  """
+
   val fnStringPaddingTranslate: String = """
     SELECT o_orderkey,
       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') padded_key,
