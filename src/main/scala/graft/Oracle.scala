@@ -2774,6 +2774,86 @@ object Oracle {
     FROM r ORDER BY d
   """
 
+  // Exact-AdaBoost CTE chain shared by the two ml_adaboost_* oracles:
+  // integer weights (wrong ×(q−p), right ×p, renormalized by
+  // greatest(1, Σ div 1e9)) and 9dp-frozen DECIMAL vote coefficients,
+  // unrolled for 3 rounds exactly like the Spark side.
+  private val adaboostCte: String = {
+    def roundCte(t: Int): String = {
+      val prev = if (t == 1) "base" else s"b${t - 1}"
+      s"""e$t AS (SELECT CAST(SUM(w) AS BIGINT) q,
+        CAST(SUM(CASE WHEN h1 <> y THEN w ELSE 0 END) AS BIGINT) p1,
+        CAST(SUM(CASE WHEN h2 <> y THEN w ELSE 0 END) AS BIGINT) p2,
+        CAST(SUM(CASE WHEN h3 <> y THEN w ELSE 0 END) AS BIGINT) p3,
+        CAST(SUM(CASE WHEN h4 <> y THEN w ELSE 0 END) AS BIGINT) p4
+      FROM $prev),
+    s$t AS (SELECT q, least(p1, p2, p3, p4) p,
+        CASE WHEN p1 <= p2 AND p1 <= p3 AND p1 <= p4 THEN 1
+          WHEN p2 <= p3 AND p2 <= p4 THEN 2
+          WHEN p3 <= p4 THEN 3 ELSE 4 END kk
+      FROM e$t),
+    u$t AS (SELECT $prev.*, q, p, kk,
+        CASE kk WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3
+          ELSE h4 END ch,
+        CAST(ROUND(ln(CAST(q - p AS DOUBLE) / p), 9)
+          AS DECIMAL(22,9)) alpha
+      FROM $prev, s$t),
+    v$t AS (SELECT k, y, h1, h2, h3, h4,
+        CASE WHEN ch <> y THEN w * (q - p) ELSE w * p END wu,
+        CAST(vote + alpha * ch AS DECIMAL(24,9)) vote
+      FROM u$t),
+    d$t AS (SELECT greatest(CAST(1 AS BIGINT),
+        CAST(CAST(SUM(wu) AS BIGINT) // 1000000000 AS BIGINT)) d
+      FROM v$t),
+    b$t AS (SELECT k, y, h1, h2, h3, h4,
+        CAST(wu // d AS BIGINT) w, vote
+      FROM v$t, d$t)"""
+    }
+    s"""
+    WITH base AS (SELECT o_orderkey k,
+      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END y,
+      CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) > 150000
+        THEN 1 ELSE -1 END h1,
+      CASE WHEN CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) <= 2
+        THEN 1 ELSE -1 END h2,
+      CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE -1 END h3,
+      CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE -1 END h4,
+      CAST(1 AS BIGINT) w,
+      CAST(0 AS DECIMAL(24,9)) vote
+    FROM orders WHERE o_orderkey < 500),
+    ${roundCte(1)},
+    ${roundCte(2)},
+    ${roundCte(3)}"""
+  }
+
+  lazy val mlAdaboostStumps: String = s"""
+    $adaboostCte
+    SELECT CAST(1 AS BIGINT) boost_round, CAST(kk AS BIGINT) stump,
+      p err_num, q total_w,
+      ROUND(CAST(p AS DOUBLE) / q, 6) err_rate,
+      ROUND(ln(CAST(q - p AS DOUBLE) / p), 6) + 0 log_odds_factor FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(kk AS BIGINT), p, q,
+      ROUND(CAST(p AS DOUBLE) / q, 6),
+      ROUND(ln(CAST(q - p AS DOUBLE) / p), 6) + 0 FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(kk AS BIGINT), p, q,
+      ROUND(CAST(p AS DOUBLE) / q, 6),
+      ROUND(ln(CAST(q - p AS DOUBLE) / p), 6) + 0 FROM s3
+    ORDER BY boost_round
+  """
+
+  lazy val mlAdaboostVoteAcc: String = s"""
+    $adaboostCte
+    SELECT CAST(COUNT(*) AS BIGINT) n,
+      CAST(SUM(CASE WHEN (vote > 0 AND y = 1) OR (vote <= 0 AND y = -1)
+        THEN 1 ELSE 0 END) AS BIGINT) n_correct,
+      ROUND(CAST(SUM(CASE WHEN (vote > 0 AND y = 1)
+          OR (vote <= 0 AND y = -1) THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) accuracy
+    FROM b3
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
