@@ -2854,6 +2854,80 @@ object Oracle {
     FROM b3
   """
 
+  lazy val tsHurstExponent: String = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) c
+      FROM orders GROUP BY 1),
+    idx AS (SELECT d, c, ROW_NUMBER() OVER (ORDER BY d) - 1 i FROM daily),
+    cells AS (SELECT m, i // m b, c, i,
+        ROW_NUMBER() OVER (PARTITION BY m, i // m ORDER BY i) j,
+        SUM(c) OVER (PARTITION BY m, i // m ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+        COUNT(*) OVER (PARTITION BY m, i // m) cnt,
+        CAST(SUM(c) OVER (PARTITION BY m, i // m) AS BIGINT) t,
+        CAST(SUM(CAST(c AS DECIMAL(38,0)) * c)
+          OVER (PARTITION BY m, i // m) AS DECIMAL(38,0)) ssq
+      FROM idx, (VALUES (CAST(64 AS BIGINT)), (CAST(128 AS BIGINT)),
+        (CAST(256 AS BIGINT)), (CAST(512 AS BIGINT))) s(m)),
+    blocks AS (SELECT m, b,
+        CAST(MAX(m * cum - j * t) - MIN(m * cum - j * t) AS BIGINT) rnum,
+        CAST(MAX(ssq) * CAST(MAX(m) AS DECIMAL(38,0)) -
+          CAST(MAX(t) AS DECIMAL(38,0)) * MAX(t) AS DECIMAL(38,0)) s2
+      FROM cells WHERE cnt = m GROUP BY 1, 2),
+    rs AS (SELECT m, b, CAST(ROUND(CAST(rnum AS DOUBLE) /
+        sqrt(CAST(s2 AS DOUBLE)), 9) AS DECIMAL(22,9)) rs9 FROM blocks),
+    persize AS (SELECT m, CAST(COUNT(*) AS BIGINT) n_blocks,
+        CAST(SUM(rs9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) avg_rs
+      FROM rs GROUP BY 1),
+    py AS (SELECT m, n_blocks, avg_rs,
+        CAST(ROUND(log2(avg_rs), 9) AS DECIMAL(22,9)) y,
+        CAST(log2(CAST(m AS DOUBLE)) AS BIGINT) x
+      FROM persize),
+    slope AS (SELECT ROUND(
+        CAST(COUNT(*) * SUM(y * x) - SUM(x) * SUM(y) AS DOUBLE) /
+        CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 6) hurst
+      FROM py)
+    SELECT m block_size, n_blocks, ROUND(avg_rs, 6) avg_rs, hurst
+    FROM py, slope ORDER BY block_size
+  """
+
+  lazy val textBurrowsDelta: String = """
+    WITH toks AS (SELECT source,
+        unnest(regexp_extract_all(text, '[a-z0-9]+')) tok
+      FROM documents),
+    top20 AS (SELECT tok FROM (SELECT tok, COUNT(*) gc FROM toks
+      GROUP BY 1 ORDER BY gc DESC, tok LIMIT 20)),
+    totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) ns
+      FROM toks GROUP BY 1),
+    counts AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) c
+      FROM toks JOIN top20 USING (tok) GROUP BY 1, 2),
+    kc AS (SELECT CAST(COUNT(*) AS BIGINT) kk FROM totals),
+    grid AS (SELECT t.source, tt.tok,
+        CAST(ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) / t.ns, 9)
+          AS DECIMAL(12,9)) f
+      FROM totals t CROSS JOIN top20 tt
+      LEFT JOIN counts c ON c.source = t.source AND c.tok = tt.tok),
+    g2 AS (SELECT source, tok, kk,
+        CAST(f * CAST(kk AS DECIMAL(3,0)) -
+          SUM(f) OVER (PARTITION BY tok) AS DECIMAL(18,9)) dev
+      FROM grid, kc),
+    g3 AS (SELECT source, tok, kk, dev,
+        SUM(CAST(dev * dev AS DECIMAL(38,18)))
+          OVER (PARTITION BY tok) ssq
+      FROM g2),
+    z AS (SELECT source, tok,
+        CAST(ROUND(CAST(dev AS DOUBLE) * sqrt(CAST(kk AS DOUBLE)) /
+          sqrt(CAST(ssq AS DOUBLE)), 9) AS DECIMAL(22,9)) z
+      FROM g3)
+    SELECT a.source source_a, b.source source_b,
+      CAST(COUNT(*) AS BIGINT) n_tokens,
+      ROUND(CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(24,9)))
+        AS DOUBLE) / COUNT(*), 6) delta
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY source_a, source_b
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
