@@ -2928,6 +2928,85 @@ object Oracle {
     GROUP BY 1, 2 ORDER BY source_a, source_b
   """
 
+  lazy val tsPermutationEntropy: String = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) c
+      FROM orders GROUP BY 1),
+    tri AS (SELECT c, LEAD(c, 1) OVER (ORDER BY d) b,
+        LEAD(c, 2) OVER (ORDER BY d) cc FROM daily),
+    codes AS (SELECT CAST(
+        (CASE WHEN c < b THEN 4 ELSE 0 END) +
+        (CASE WHEN b < cc THEN 2 ELSE 0 END) +
+        (CASE WHEN c < cc THEN 1 ELSE 0 END) AS BIGINT) code
+      FROM tri WHERE cc IS NOT NULL),
+    cnts AS (SELECT code, CAST(COUNT(*) AS BIGINT) cnt
+      FROM codes GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) n FROM cnts),
+    wt AS (SELECT code, cnt,
+        ROUND(CAST(cnt AS DOUBLE) / n, 6) freq,
+        CAST(ROUND(-(CAST(cnt AS DOUBLE) / n) *
+          log2(CAST(cnt AS DOUBLE) / n), 9) AS DECIMAL(20,9)) tm
+      FROM cnts, tot),
+    h AS (SELECT ROUND(CAST(SUM(tm) AS DOUBLE), 6) entropy_bits,
+        ROUND(CAST(SUM(tm) AS DOUBLE) / log2(6.0), 6) norm_entropy
+      FROM wt)
+    SELECT code, cnt, freq, entropy_bits, norm_entropy
+    FROM wt, h ORDER BY code
+  """
+
+  lazy val analyticAnovaF: String = """
+    WITH x AS (SELECT o_orderpriority g,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) v
+      FROM orders),
+    per AS (SELECT g, CAST(COUNT(*) AS BIGINT) ng,
+        CAST(SUM(v) AS BIGINT) sg,
+        CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) qg
+      FROM x GROUP BY 1),
+    per2 AS (SELECT g, ng, sg, qg,
+        CAST(ROUND((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+          CAST(ng AS DOUBLE), 6) AS DECIMAL(38,6)) tg
+      FROM per),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) k, CAST(SUM(ng) AS BIGINT) n,
+        CAST(SUM(sg) AS BIGINT) s, CAST(SUM(qg) AS DECIMAL(38,0)) q,
+        CAST(SUM(tg) AS DECIMAL(38,6)) st FROM per2),
+    ss AS (SELECT k, n,
+        CAST(st AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+          CAST(n AS DOUBLE) ssb,
+        CAST(q AS DOUBLE) - CAST(st AS DOUBLE) ssw
+      FROM tot)
+    SELECT k k_groups, n n_total,
+      ROUND((ssb / CAST(k - 1 AS DOUBLE)) /
+        (ssw / CAST(n - k AS DOUBLE)), 6) f_stat,
+      ROUND(ssb / (ssb + ssw), 6) eta_sq
+    FROM ss
+  """
+
+  lazy val simBordaFusion: String = """
+    WITH probe AS (SELECT embedding::DOUBLE[] pe FROM embeddings
+      WHERE vec_id = 0),
+    scored AS (SELECT vec_id,
+        list_dot_product(embedding::DOUBLE[], pe) /
+          (sqrt(list_dot_product(embedding::DOUBLE[],
+            embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) cos,
+        list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) -
+          2.0 * list_dot_product(embedding::DOUBLE[], pe) +
+          list_dot_product(pe, pe) dist2
+      FROM embeddings, probe WHERE vec_id <> 0),
+    bycos AS (SELECT vec_id, CAST(21 - r AS BIGINT) pc FROM
+      (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) r
+       FROM scored) WHERE r <= 20),
+    byeuc AS (SELECT vec_id, CAST(21 - r AS BIGINT) pe2 FROM
+      (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY dist2 ASC, vec_id) r
+       FROM scored) WHERE r <= 20)
+    SELECT COALESCE(a.vec_id, b.vec_id) vec_id,
+      COALESCE(a.pc, 0) + COALESCE(b.pe2, 0) borda_score,
+      COALESCE(a.pc, 0) cosine_points,
+      COALESCE(b.pe2, 0) euclid_points
+    FROM bycos a FULL OUTER JOIN byeuc b ON a.vec_id = b.vec_id
+    ORDER BY borda_score DESC, vec_id LIMIT 10
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
