@@ -3007,6 +3007,47 @@ object Oracle {
     ORDER BY borda_score DESC, vec_id LIMIT 10
   """
 
+  lazy val mlMcnemarTest: String = """
+    WITH t AS (SELECT (o_orderstatus = 'F') y,
+        (month(o_orderdate) <= 6) pa,
+        (CAST(o_totalprice AS DECIMAL(12,2)) > 150000) pb
+      FROM orders WHERE o_orderkey < 2000),
+    r AS (SELECT (pa = y) ra, (pb = y) rb FROM t),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+          AS BIGINT) b,
+        CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+          AS BIGINT) c2
+      FROM r)
+    SELECT n, b a_only_right, c2 b_only_right,
+      ROUND(CAST((b - c2) * (b - c2) AS DOUBLE) /
+        CAST(b + c2 AS DOUBLE), 6) chi2,
+      ROUND(CAST((abs(b - c2) - 1) * (abs(b - c2) - 1) AS DOUBLE) /
+        CAST(b + c2 AS DOUBLE), 6) chi2_cc
+    FROM c
+  """
+
+  lazy val analyticKendallTau: String = """
+    WITH t AS (SELECT o_orderkey k,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) x,
+        CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) y
+      FROM orders WHERE o_orderkey < 300),
+    p AS (SELECT CAST(sign(a.x - b.x) AS BIGINT) sx,
+        CAST(sign(a.y - b.y) AS BIGINT) sy
+      FROM t a JOIN t b ON a.k < b.k),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) n0,
+        CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) cc,
+        CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) dd,
+        CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) n1,
+        CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) n2
+      FROM p)
+    SELECT n0 n_pairs, cc concordant, dd discordant,
+      n1 ties_x, n2 ties_y,
+      ROUND(CAST(cc - dd AS DOUBLE) /
+        sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 6) tau_b
+    FROM c
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
