@@ -3048,6 +3048,65 @@ object Oracle {
     FROM c
   """
 
+  lazy val mlBootstrapCiHash: String = """
+    WITH cells AS (SELECT o_orderkey k,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) v, b,
+        substr(md5(o_orderkey || '_' || b), 1, 1) h
+      FROM orders, range(1, 51) r(b) WHERE o_orderkey < 5000),
+    w AS (SELECT b, v, CASE WHEN h <= '5' THEN 0 WHEN h <= 'b' THEN 1
+        WHEN h <= 'e' THEN 2 ELSE 3 END w FROM cells),
+    reps AS (SELECT b, CAST(ROUND(CAST(SUM(w * v) AS DOUBLE) /
+        SUM(w), 6) AS DECIMAL(24,6)) m FROM w GROUP BY 1),
+    ranked AS (SELECT b, m, ROW_NUMBER() OVER (ORDER BY m, b) r
+      FROM reps),
+    bounds AS (SELECT CAST(COUNT(*) AS BIGINT) n_reps,
+        CAST(SUM(m) AS DECIMAL(38,6)) sm,
+        SUM(CASE WHEN r = 2 THEN m END) lo,
+        SUM(CASE WHEN r = 49 THEN m END) hi
+      FROM ranked)
+    SELECT n_reps,
+      ROUND(CAST(sm AS DOUBLE) / n_reps, 6) mean_of_means,
+      ROUND(CAST(lo AS DOUBLE), 6) ci_low,
+      ROUND(CAST(hi AS DOUBLE), 6) ci_high
+    FROM bounds
+  """
+
+  lazy val mlInteractionInfoGain: String = """
+    WITH base AS (SELECT substr(o_orderpriority, 1, 1) a,
+        CAST(o_custkey % 3 AS VARCHAR) bb, o_orderstatus l FROM orders),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM base),
+    hl AS (SELECT CAST(SUM(tm) AS DOUBLE) hl FROM (
+      SELECT CAST(ROUND(-(CAST(nc AS DOUBLE) / n) *
+          log2(CAST(nc AS DOUBLE) / ng), 9) AS DECIMAL(20,9)) tm
+      FROM (SELECT l, CAST(COUNT(*) AS BIGINT) nc,
+          CAST(SUM(COUNT(*)) OVER () AS BIGINT) ng
+        FROM base GROUP BY l), nn)),
+    hla AS (SELECT CAST(SUM(tm) AS DOUBLE) hla FROM (
+      SELECT CAST(ROUND(-(CAST(nc AS DOUBLE) / n) *
+          log2(CAST(nc AS DOUBLE) / ng), 9) AS DECIMAL(20,9)) tm
+      FROM (SELECT a, l, CAST(COUNT(*) AS BIGINT) nc,
+          CAST(SUM(COUNT(*)) OVER (PARTITION BY a) AS BIGINT) ng
+        FROM base GROUP BY a, l), nn)),
+    hlb AS (SELECT CAST(SUM(tm) AS DOUBLE) hlb FROM (
+      SELECT CAST(ROUND(-(CAST(nc AS DOUBLE) / n) *
+          log2(CAST(nc AS DOUBLE) / ng), 9) AS DECIMAL(20,9)) tm
+      FROM (SELECT bb, l, CAST(COUNT(*) AS BIGINT) nc,
+          CAST(SUM(COUNT(*)) OVER (PARTITION BY bb) AS BIGINT) ng
+        FROM base GROUP BY bb, l), nn)),
+    hlab AS (SELECT CAST(SUM(tm) AS DOUBLE) hlab FROM (
+      SELECT CAST(ROUND(-(CAST(nc AS DOUBLE) / n) *
+          log2(CAST(nc AS DOUBLE) / ng), 9) AS DECIMAL(20,9)) tm
+      FROM (SELECT a, bb, l, CAST(COUNT(*) AS BIGINT) nc,
+          CAST(SUM(COUNT(*)) OVER (PARTITION BY a, bb) AS BIGINT) ng
+        FROM base GROUP BY a, bb, l), nn))
+    SELECT ROUND(hl, 6) h_label,
+      ROUND(hl - hla, 6) ig_a,
+      ROUND(hl - hlb, 6) ig_b,
+      ROUND(hl - hlab, 6) ig_ab,
+      ROUND((hl - hlab) - (hl - hla) - (hl - hlb), 6) synergy
+    FROM hl, hla, hlb, hlab
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
