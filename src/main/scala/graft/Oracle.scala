@@ -3107,6 +3107,63 @@ object Oracle {
     FROM hl, hla, hlb, hlab
   """
 
+  lazy val graphBoruvkaRound: String = """
+    WITH e AS (SELECT l_partkey p, l_suppkey + 10000000 s,
+        CAST(MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) w
+      FROM lineitem GROUP BY 1, 2),
+    d AS (SELECT p AS node, s AS other, w FROM e
+      UNION ALL SELECT s, p, w FROM e),
+    pick AS (SELECT node, other, w FROM (
+        SELECT node, other, w,
+          ROW_NUMBER() OVER (PARTITION BY node ORDER BY w, other) rn
+        FROM d) WHERE rn = 1),
+    ch AS (SELECT DISTINCT least(node, other) lo,
+        greatest(node, other) hi, w FROM pick),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) n_chosen,
+        CAST(SUM(w) AS BIGINT) fw FROM ch),
+    nn AS (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) n_nodes FROM d),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) n_edges FROM e)
+    SELECT n_nodes, n_edges, n_chosen n_chosen_edges,
+      n_nodes - n_chosen n_components_after, fw forest_weight_cents
+    FROM nn, ne, c
+  """
+
+  lazy val tsHoltWintersAdditive: String = """
+    WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) d,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) c
+      FROM orders GROUP BY 1),
+    arr AS (SELECT list(c ORDER BY d) cs, CAST(COUNT(*) AS BIGINT) n
+      FROM daily),
+    init AS (SELECT cs, n,
+        CAST(list_sum(cs[1:7]) // 7 AS BIGINT) l,
+        CAST((list_sum(cs[8:14]) - list_sum(cs[1:7])) // 49 AS BIGINT) t,
+        list_transform(range(1, 8), j -> CAST(cs[j] -
+          (list_sum(cs[1:7]) // 7) AS BIGINT)) s,
+        CAST(7 AS BIGINT) i
+      FROM arr),
+    rec AS (SELECT cs, n, l, t, s, i FROM init
+      UNION ALL
+      SELECT cs, n,
+        CAST((cs[i + 1] - s[(i % 7) + 1] + 4 * (l + t)) // 5 AS BIGINT),
+        CAST(((((cs[i + 1] - s[(i % 7) + 1] + 4 * (l + t)) // 5) - l)
+          + 9 * t) // 10 AS BIGINT),
+        list_transform(range(1, 8), j -> CASE WHEN j = (i % 7) + 1
+          THEN CAST((cs[i + 1] -
+            ((cs[i + 1] - s[(i % 7) + 1] + 4 * (l + t)) // 5)
+            + 4 * s[j]) // 5 AS BIGINT)
+          ELSE s[j] END),
+        i + 1
+      FROM rec WHERE i < n),
+    fin AS (SELECT * FROM rec WHERE i = n)
+    SELECT CAST(h AS BIGINT) h,
+      CAST(l + h * t + s[CAST(((n + h - 1) % 7) + 1 AS INTEGER)]
+        AS BIGINT) forecast_cents,
+      l level_cents, t trend_cents
+    FROM fin, range(1, 8) r(h) ORDER BY h
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
