@@ -3164,6 +3164,66 @@ object Oracle {
     FROM fin, range(1, 8) r(h) ORDER BY h
   """
 
+  lazy val tsCrostonIntermittent: String = """
+    WITH grid AS (SELECT DISTINCT CAST(l_shipdate AS DATE) d
+      FROM lineitem),
+    demand AS (SELECT CAST(l_shipdate AS DATE) d,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) q
+      FROM lineitem WHERE l_partkey = 1 GROUP BY 1),
+    arr AS (SELECT list(COALESCE(q, 0) ORDER BY g.d) qs,
+        CAST(COUNT(*) AS BIGINT) n
+      FROM grid g LEFT JOIN demand USING (d)),
+    fin AS (SELECT n, list_reduce(
+        list_prepend({'z': CAST(0 AS BIGINT), 'p': CAST(0 AS BIGINT),
+          'last': CAST(0 AS BIGINT), 'cnt': CAST(0 AS BIGINT)},
+          list_transform(range(1, CAST(n + 1 AS INTEGER)),
+            i -> {'z': CAST(i AS BIGINT), 'p': CAST(0 AS BIGINT),
+              'last': CAST(0 AS BIGINT), 'cnt': CAST(0 AS BIGINT)})),
+        (st, ix) -> CASE
+          WHEN qs[CAST(ix.z AS INTEGER)] = 0 THEN st
+          WHEN st.cnt = 0 THEN {'z': qs[CAST(ix.z AS INTEGER)] * 1000000,
+            'p': ix.z * 1000000, 'last': ix.z, 'cnt': CAST(1 AS BIGINT)}
+          ELSE {'z': (qs[CAST(ix.z AS INTEGER)] * 1000000 + 4 * st.z) // 5,
+            'p': ((ix.z - st.last) * 1000000 + 4 * st.p) // 5,
+            'last': ix.z, 'cnt': st.cnt + 1}
+          END) f
+      FROM arr)
+    SELECT n n_days, CAST(f.cnt AS BIGINT) n_demand_days,
+      CAST(f.z AS BIGINT) size_smoothed_1e6,
+      CAST(f.p AS BIGINT) interval_smoothed_1e6,
+      ROUND(CAST(f.z AS DOUBLE) / f.p, 6) demand_rate
+    FROM fin
+  """
+
+  lazy val analyticWilcoxonSignedRank: String = """
+    WITH p AS (SELECT user_id, CAST(ts AS DATE) d,
+        CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT) v
+      FROM events WHERE event_type = 'purchase'),
+    d0 AS (SELECT MIN(d) d0 FROM p),
+    halves AS (SELECT user_id,
+        CAST(SUM(CASE WHEN d < d0 + 15 THEN v ELSE 0 END) AS BIGINT) pre,
+        CAST(SUM(CASE WHEN d >= d0 + 15 THEN v ELSE 0 END) AS BIGINT) post,
+        CAST(SUM(CASE WHEN d < d0 + 15 THEN 1 ELSE 0 END) AS BIGINT) npre,
+        CAST(SUM(CASE WHEN d >= d0 + 15 THEN 1 ELSE 0 END) AS BIGINT) npost
+      FROM p, d0 GROUP BY 1),
+    diffs AS (SELECT user_id, post - pre diff, abs(post - pre) ad
+      FROM halves WHERE npre > 0 AND npost > 0 AND post - pre <> 0),
+    pos AS (SELECT user_id, diff, ad,
+        ROW_NUMBER() OVER (ORDER BY ad, user_id) r FROM diffs),
+    rr AS (SELECT diff,
+        MIN(r) OVER (PARTITION BY ad) + MAX(r) OVER (PARTITION BY ad) rr
+      FROM pos),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) m,
+        CAST(SUM(CASE WHEN diff > 0 THEN rr ELSE 0 END) AS BIGINT) wp2,
+        CAST(SUM(CASE WHEN diff < 0 THEN rr ELSE 0 END) AS BIGINT) wm2
+      FROM rr)
+    SELECT m n_pairs, wp2 w_plus_x2, wm2 w_minus_x2,
+      ROUND((CAST(wp2 AS DOUBLE) / 2.0 -
+        CAST(m * (m + 1) AS DOUBLE) / 4.0) /
+        sqrt(CAST(m * (m + 1) * (2 * m + 1) AS DOUBLE) / 24.0), 6) z_score
+    FROM agg
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
