@@ -3224,6 +3224,91 @@ object Oracle {
     FROM agg
   """
 
+  // Exact-GBM CTE chain shared by the two ml_gbm_* oracles: integer
+  // cent residuals, truncating-division leaf means and lr=1/2 update,
+  // double split scores with the same operation order as the Spark
+  // side, 3 rounds unrolled.
+  private val gbmCuts: Seq[(Int, String)] = Seq(
+    1 -> "m <= 3", 2 -> "m <= 6", 3 -> "m <= 9",
+    4 -> "p <= 2", 5 -> "p <= 3", 6 -> "c <= 3")
+
+  private val gbmCte: String = {
+    def roundCte(t: Int): String = {
+      val prev = if (t == 1) "b0" else s"b${t - 1}"
+      val aggs = gbmCuts.map { case (i, cond) =>
+        s"""CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) nl$i,
+        CAST(SUM(CASE WHEN $cond THEN r ELSE 0 END) AS BIGINT) sl$i"""
+      }.mkString(",\n        ")
+      val branches = gbmCuts.map { case (i, _) =>
+        s"SELECT CAST($i AS BIGINT) cut, n, s, nl$i nl, sl$i sl FROM e$t"
+      }.mkString("\n      UNION ALL ")
+      val caseCut = gbmCuts.map { case (i, cond) =>
+        s"WHEN $i THEN ($cond)" }.mkString(" ")
+      s"""e$t AS (SELECT CAST(SUM(r) AS BIGINT) s,
+        CAST(COUNT(*) AS BIGINT) n,
+        $aggs
+      FROM $prev),
+    c$t AS ($branches),
+    sc$t AS (SELECT cut, n, s, nl, sl,
+        CASE WHEN nl = 0 OR nl = n THEN -1.0 ELSE
+          (CAST(n AS DOUBLE) * sl - CAST(nl AS DOUBLE) * s) *
+          (CAST(n AS DOUBLE) * sl - CAST(nl AS DOUBLE) * s) /
+          (CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE) *
+            CAST(n AS DOUBLE)) END score
+      FROM c$t),
+    p$t AS (SELECT cut, n, s, nl, sl, score FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, cut) rn
+        FROM sc$t) WHERE rn = 1),
+    b$t AS (SELECT k, m, p, c,
+        r - ((CASE WHEN (CASE cut $caseCut END)
+          THEN sl // nl ELSE (s - sl) // (n - nl) END) // 2) r
+      FROM $prev, p$t)"""
+    }
+    s"""
+    WITH t AS (SELECT o_orderkey k,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) y,
+      month(o_orderdate) m,
+      CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) p,
+      CAST(o_custkey % 7 AS INTEGER) c
+    FROM orders WHERE o_orderkey < 2000),
+    g AS (SELECT CAST(SUM(y) AS BIGINT) sy, CAST(COUNT(*) AS BIGINT) ny
+      FROM t),
+    b0 AS (SELECT k, m, p, c, y - (sy // ny) r FROM t, g),
+    ${roundCte(1)},
+    ${roundCte(2)},
+    ${roundCte(3)}"""
+  }
+
+  lazy val mlGbmStumpRounds: String = s"""
+    $gbmCte
+    SELECT CAST(1 AS BIGINT) boost_round, cut, nl n_left,
+      CAST(sl // nl AS BIGINT) pred_left_cents,
+      CAST((s - sl) // (n - nl) AS BIGINT) pred_right_cents,
+      ROUND(score / 1e12, 6) score_e12 FROM p1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), cut, nl, CAST(sl // nl AS BIGINT),
+      CAST((s - sl) // (n - nl) AS BIGINT),
+      ROUND(score / 1e12, 6) FROM p2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), cut, nl, CAST(sl // nl AS BIGINT),
+      CAST((s - sl) // (n - nl) AS BIGINT),
+      ROUND(score / 1e12, 6) FROM p3
+    ORDER BY boost_round
+  """
+
+  lazy val mlGbmResidualMse: String = s"""
+    $gbmCte,
+    s0 AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,0)) * r)
+        AS DECIMAL(38,0)) sse0, CAST(COUNT(*) AS BIGINT) n FROM b0),
+    s3 AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,0)) * r)
+        AS DECIMAL(38,0)) sse3 FROM b3)
+    SELECT n,
+      ROUND(sqrt(CAST(sse0 AS DOUBLE) / n), 2) rmse0_cents,
+      ROUND(sqrt(CAST(sse3 AS DOUBLE) / n), 2) rmse3_cents,
+      ROUND(CAST(sse3 AS DOUBLE) / CAST(sse0 AS DOUBLE), 6) sse_ratio
+    FROM s0, s3
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
