@@ -3309,6 +3309,50 @@ object Oracle {
     FROM s0, s3
   """
 
+  lazy val analyticCaptureRecapture: String = """
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) d FROM events),
+    d0 AS (SELECT MIN(d) d0 FROM e),
+    caps AS (SELECT user_id,
+        CAST(MAX(CASE WHEN d < d0 + 15 THEN 1 ELSE 0 END) AS BIGINT) w1,
+        CAST(MAX(CASE WHEN d >= d0 + 15 THEN 1 ELSE 0 END) AS BIGINT) w2
+      FROM e, d0 GROUP BY 1),
+    c AS (SELECT CAST(SUM(w1) AS BIGINT) n1, CAST(SUM(w2) AS BIGINT) n2,
+        CAST(SUM(w1 * w2) AS BIGINT) m,
+        CAST(COUNT(*) AS BIGINT) observed FROM caps)
+    SELECT n1, n2, m recaptured, observed,
+      ROUND(CAST(n1 AS DOUBLE) * n2 / m, 2) lincoln_petersen,
+      CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) chapman,
+      ROUND(CAST(observed AS DOUBLE) /
+        ((CAST(n1 AS DOUBLE) * n2) / m), 6) coverage
+    FROM c
+  """
+
+  lazy val pipelineCandidateKeyProfile: String = """
+    WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) d1,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) d2,
+        CAST(COUNT(DISTINCT (o_custkey, o_orderdate)) AS BIGINT) d3,
+        CAST(COUNT(DISTINCT (o_orderdate, o_orderpriority,
+          o_orderstatus)) AS BIGINT) d4
+      FROM orders)
+    SELECT 'o_orderkey' candidate_key, n, d1 n_distinct,
+      CAST(CASE WHEN d1 = n THEN 1 ELSE 0 END AS BIGINT) is_unique,
+      ROUND(1.0 - CAST(d1 AS DOUBLE) / n, 6) dup_ratio FROM c
+    UNION ALL
+    SELECT 'o_custkey', n, d2,
+      CAST(CASE WHEN d2 = n THEN 1 ELSE 0 END AS BIGINT),
+      ROUND(1.0 - CAST(d2 AS DOUBLE) / n, 6) FROM c
+    UNION ALL
+    SELECT 'o_custkey,o_orderdate', n, d3,
+      CAST(CASE WHEN d3 = n THEN 1 ELSE 0 END AS BIGINT),
+      ROUND(1.0 - CAST(d3 AS DOUBLE) / n, 6) FROM c
+    UNION ALL
+    SELECT 'o_orderdate,o_orderpriority,o_orderstatus', n, d4,
+      CAST(CASE WHEN d4 = n THEN 1 ELSE 0 END AS BIGINT),
+      ROUND(1.0 - CAST(d4 AS DOUBLE) / n, 6) FROM c
+    ORDER BY candidate_key
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
