@@ -3353,6 +3353,45 @@ object Oracle {
     ORDER BY candidate_key
   """
 
+  lazy val analyticSprtConversion: String = """
+    WITH daily AS (SELECT CAST(ts AS DATE) d,
+        CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) x
+      FROM events GROUP BY 1),
+    terms AS (SELECT d, n, x,
+        CAST(ROUND(CAST(x AS DOUBLE) * ln(0.25 / 0.15) +
+          CAST(n - x AS DOUBLE) * ln(0.75 / 0.85), 9)
+          AS DECIMAL(24,9)) tm
+      FROM daily),
+    walk AS (SELECT d, n, x, SUM(tm) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) llr
+      FROM terms)
+    SELECT d, n, x, ROUND(CAST(llr AS DOUBLE), 6) llr,
+      CASE WHEN CAST(llr AS DOUBLE) >= ln(19.0) THEN 'accept_h1'
+        WHEN CAST(llr AS DOUBLE) <= -ln(19.0) THEN 'accept_h0'
+        ELSE 'continue' END decision
+    FROM walk ORDER BY d
+  """
+
+  lazy val analyticRecencyDecayScore: String = """
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) d,
+        CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT) v
+      FROM events),
+    mx AS (SELECT MAX(d) dmax FROM e),
+    scored AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) n_events,
+        SUM(CAST(ROUND(CAST(v AS DOUBLE) *
+          exp((-(CAST(dmax - d AS DOUBLE) * ln(2.0))) / 7.0), 6)
+          AS DECIMAL(28,6))) s
+      FROM e, mx GROUP BY 1),
+    ranked AS (SELECT user_id, n_events, s,
+        ROW_NUMBER() OVER (ORDER BY s DESC, user_id) rk
+      FROM scored)
+    SELECT CAST(rk AS BIGINT) rank, user_id, n_events,
+      ROUND(CAST(s AS DOUBLE), 2) decay_score_cents
+    FROM ranked WHERE rk <= 20 ORDER BY rank
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
