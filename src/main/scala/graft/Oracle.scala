@@ -3239,26 +3239,38 @@ object Oracle {
         s"""CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) nl$i,
         CAST(SUM(CASE WHEN $cond THEN r ELSE 0 END) AS BIGINT) sl$i"""
       }.mkString(",\n        ")
-      val branches = gbmCuts.map { case (i, _) =>
-        s"SELECT CAST($i AS BIGINT) cut, n, s, nl$i nl, sl$i sl FROM e$t"
-      }.mkString("\n      UNION ALL ")
       val caseCut = gbmCuts.map { case (i, cond) =>
         s"WHEN $i THEN ($cond)" }.mkString(" ")
+      val ids = gbmCuts.map(_._1)
+      val scoreCols = ids.map { i =>
+        s"""CASE WHEN nl$i = 0 OR nl$i = n THEN -1.0 ELSE
+          (CAST(n AS DOUBLE) * sl$i - CAST(nl$i AS DOUBLE) * s) *
+          (CAST(n AS DOUBLE) * sl$i - CAST(nl$i AS DOUBLE) * s) /
+          (CAST(nl$i AS DOUBLE) * CAST(n - nl$i AS DOUBLE) *
+            CAST(n AS DOUBLE)) END sc$i"""
+      }.mkString(",\n        ")
+      val cutChain = ids.init.map { i =>
+        val beats = ids.filter(_ > i).map(j => s"sc$i >= sc$j")
+          .mkString(" AND ")
+        s"WHEN $beats THEN $i"
+      }.mkString(" ")
+      def ofCut(p: String) = ids.init.map { i =>
+        s"WHEN cut = $i THEN $p$i" }.mkString(" ") +
+        s" ELSE $p${ids.last}"
       s"""e$t AS (SELECT CAST(SUM(r) AS BIGINT) s,
         CAST(COUNT(*) AS BIGINT) n,
         $aggs
       FROM $prev),
-    c$t AS ($branches),
-    sc$t AS (SELECT cut, n, s, nl, sl,
-        CASE WHEN nl = 0 OR nl = n THEN -1.0 ELSE
-          (CAST(n AS DOUBLE) * sl - CAST(nl AS DOUBLE) * s) *
-          (CAST(n AS DOUBLE) * sl - CAST(nl AS DOUBLE) * s) /
-          (CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE) *
-            CAST(n AS DOUBLE)) END score
-      FROM c$t),
-    p$t AS (SELECT cut, n, s, nl, sl, score FROM (
-        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, cut) rn
-        FROM sc$t) WHERE rn = 1),
+    sc$t AS (SELECT *,
+        $scoreCols
+      FROM e$t),
+    k$t AS (SELECT *, CAST(CASE $cutChain
+        ELSE ${ids.last} END AS BIGINT) cut FROM sc$t),
+    p$t AS (SELECT cut, n, s,
+        CASE ${ofCut("nl")} END nl,
+        CASE ${ofCut("sl")} END sl,
+        CASE ${ofCut("sc")} END score
+      FROM k$t),
     b$t AS (SELECT k, m, p, c,
         r - ((CASE WHEN (CASE cut $caseCut END)
           THEN sl // nl ELSE (s - sl) // (n - nl) END) // 2) r
@@ -3390,6 +3402,49 @@ object Oracle {
     SELECT CAST(rk AS BIGINT) rank, user_id, n_events,
       ROUND(CAST(s AS DOUBLE), 2) decay_score_cents
     FROM ranked WHERE rk <= 20 ORDER BY rank
+  """
+
+  lazy val graphPseudoDiameter: String = s"""
+    WITH RECURSIVE $thinnedGraphCte,
+    adj AS (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und),
+    seed AS (SELECT min(node) s FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und)),
+    bfs1(node, d) AS (
+      SELECT s, 0 FROM seed
+      UNION ALL
+      SELECT adj.b, bfs1.d + 1 FROM bfs1 JOIN adj ON adj.a = bfs1.node
+      WHERE bfs1.d < 4),
+    d1 AS (SELECT node, CAST(MIN(d) AS BIGINT) dist FROM bfs1 GROUP BY 1),
+    far AS (SELECT node, dist ecc1 FROM d1
+      ORDER BY dist DESC, node LIMIT 1),
+    bfs2(node, d) AS (
+      SELECT node, 0 FROM far
+      UNION ALL
+      SELECT adj.b, bfs2.d + 1 FROM bfs2 JOIN adj ON adj.a = bfs2.node
+      WHERE bfs2.d < 4),
+    d2 AS (SELECT node, CAST(MIN(d) AS BIGINT) dist FROM bfs2 GROUP BY 1),
+    fin AS (SELECT node end_node, dist pseudo_diameter FROM d2
+      ORDER BY dist DESC, node LIMIT 1),
+    reach AS (SELECT CAST(COUNT(*) AS BIGINT) n_reached FROM d2)
+    SELECT seed.s start_node, far.node far_node,
+      CAST(far.ecc1 AS BIGINT) sweep1_ecc, fin.end_node,
+      CAST(fin.pseudo_diameter AS BIGINT) pseudo_diameter, n_reached
+    FROM seed, far, fin, reach
+  """
+
+  lazy val tsRollingPercentileBands: String = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) c
+      FROM orders GROUP BY 1),
+    wins AS (SELECT d, c, list_sort(list(c) OVER (ORDER BY d
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) win
+      FROM daily)
+    SELECT d, c day_cents,
+      win[1] p10_cents, win[4] p50_cents, win[7] p90_cents,
+      CAST(CASE WHEN c = win[7] OR c = win[1] THEN 1 ELSE 0 END
+        AS BIGINT) at_band_edge
+    FROM wins WHERE len(win) = 7 ORDER BY d
   """
 
   lazy val fnBaseConv: String = """

@@ -34,7 +34,12 @@ object Round13Ops41 {
   }
 
   /** One boosting round over residual column r: returns (chosen-split
-    * scalar frame, frame with updated residuals).
+    * scalar frame, frame with updated residuals). Everything happens
+    * on ONE single-row aggregate — the argmax is a CASE chain over
+    * six score columns, never a 6-way union re-executing the
+    * aggregate per candidate (the first version did exactly that,
+    * and the recomputation compounded across unrolled rounds to a
+    * 17 s op; this form benches at well under a second).
     */
   private def boostRound(df: DataFrame): (DataFrame, DataFrame) = {
     val aggCols = Seq(sum(col("r")).as("s"), count(lit(1)).as("n")) ++
@@ -42,24 +47,39 @@ object Round13Ops41 {
         sum(when(expr(cond), 1L).otherwise(0L)).as(s"nl$i"),
         sum(when(expr(cond), col("r")).otherwise(0L)).as(s"sl$i")) }
     val e = df.agg(aggCols.head, aggCols.tail: _*)
-    val cands = Cuts.map { case (i, _) =>
-      e.select(lit(i.toLong).as("cut"), col("n"), col("s"),
-        col(s"nl$i").as("nl"), col(s"sl$i").as("sl"))
-    }.reduce(_ union _)
-    val scored = cands.withColumn("score",
-      when(col("nl") === 0 || col("nl") === col("n"), lit(-1.0))
-        .otherwise {
-          val num = col("n").cast(DoubleType) * col("sl") -
-            col("nl").cast(DoubleType) * col("s")
-          num * num / (col("nl").cast(DoubleType) *
-            (col("n") - col("nl")).cast(DoubleType) *
-            col("n").cast(DoubleType))
-        })
-    val pick = scored.withColumn("rn", row_number().over(
-        Window.orderBy(col("score").desc, col("cut"))))
-      .filter(col("rn") === 1)
-      .select(col("cut"), col("n"), col("s"), col("nl"), col("sl"),
-        col("score"))
+    def scoreOf(i: Int): Column = {
+      val nl = col(s"nl$i"); val sl = col(s"sl$i")
+      when(nl === 0 || nl === col("n"), lit(-1.0)).otherwise {
+        val num = col("n").cast(DoubleType) * sl -
+          nl.cast(DoubleType) * col("s")
+        num * num / (nl.cast(DoubleType) *
+          (col("n") - nl).cast(DoubleType) * col("n").cast(DoubleType))
+      }
+    }
+    val scored = Cuts.foldLeft(e) { case (acc, (i, _)) =>
+      acc.withColumn(s"sc$i", scoreOf(i))
+    }
+    // argmax with ties to the smallest cut id, as a CASE chain: cut i
+    // wins iff its score >= every LATER candidate's (the same chain
+    // shape as ml_adaboost_stumps' argmin)
+    val ids = Cuts.map(_._1)
+    val cutCol = ids.init.foldLeft(when(lit(false), 0L)) { (acc, i) =>
+      acc.when(ids.filter(_ > i)
+        .map(j => col(s"sc$i") >= col(s"sc$j"))
+        .reduce(_ && _), i.toLong)
+    }.otherwise(ids.last.toLong)
+    def ofCut(prefix: String): Column =
+      ids.init.foldLeft(when(lit(false), lit(0L))) { (acc, i) =>
+        acc.when(col("cut") === i, col(s"$prefix$i"))
+      }.otherwise(col(s"$prefix${ids.last}"))
+    def scOfCut: Column =
+      ids.init.foldLeft(when(lit(false), lit(0.0))) { (acc, i) =>
+        acc.when(col("cut") === i, col(s"sc$i"))
+      }.otherwise(col(s"sc${ids.last}"))
+    val pick = scored.withColumn("cut", cutCol)
+      .select(col("cut"), col("n"), col("s"),
+        ofCut("nl").as("nl"), ofCut("sl").as("sl"),
+        scOfCut.as("score"))
     val condOfCut = expr("CASE cut " + Cuts.map { case (i, cond) =>
       s"WHEN $i THEN ($cond)" }.mkString(" ") + " END")
     val next = df.crossJoin(broadcast(pick))
