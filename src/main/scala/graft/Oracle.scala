@@ -3447,6 +3447,58 @@ object Oracle {
     FROM wins WHERE len(win) = 7 ORDER BY d
   """
 
+  lazy val pipelineFfdBinPacking: String = """
+    WITH items AS (SELECT event_type, CAST(ts AS DATE) d,
+        CAST(SUM(len(props) + 64) AS BIGINT) w
+      FROM events GROUP BY 1, 2),
+    arr AS (SELECT list(w ORDER BY w DESC) ws FROM items),
+    packed AS (SELECT ws,
+        list_reduce(
+          list_prepend(CAST([] AS BIGINT[]),
+            list_transform(ws, w -> [w])),
+          (bins, x) -> CASE
+            WHEN len(list_filter(range(1, len(bins) + 1),
+                j -> bins[j] + x[1] <= 262144)) > 0
+            THEN list_transform(range(1, len(bins) + 1), j ->
+              CASE WHEN j = list_filter(range(1, len(bins) + 1),
+                  jj -> bins[jj] + x[1] <= 262144)[1]
+                THEN bins[j] + x[1] ELSE bins[j] END)
+            ELSE list_append(bins, x[1]) END) bins
+      FROM arr)
+    SELECT CAST(len(ws) AS BIGINT) n_items,
+      CAST(list_sum(ws) AS BIGINT) total_bytes,
+      CAST(len(bins) AS BIGINT) n_bins,
+      CAST(list_max(bins) AS BIGINT) max_bin_bytes,
+      CAST((list_sum(ws) + 262143) // 262144 AS BIGINT) lower_bound_bins,
+      ROUND(CAST(list_sum(ws) AS DOUBLE) /
+        (CAST(len(bins) AS DOUBLE) * 262144), 6) avg_fill
+    FROM packed
+  """
+
+  lazy val analyticTopShareConcentration: String = """
+    WITH o AS (SELECT
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) c,
+        ROW_NUMBER() OVER (ORDER BY
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          DESC, o_orderkey) rn
+      FROM orders),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(c) AS BIGINT) t
+      FROM o),
+    s AS (SELECT MAX(n) n, MAX(t) total_cents,
+        CAST(SUM(CASE WHEN rn <= greatest(1, n // 100) THEN c ELSE 0
+          END) AS BIGINT) s1,
+        CAST(SUM(CASE WHEN rn <= greatest(1, n // 20) THEN c ELSE 0
+          END) AS BIGINT) s5,
+        CAST(SUM(CASE WHEN rn <= greatest(1, n // 10) THEN c ELSE 0
+          END) AS BIGINT) s10
+      FROM o, tot)
+    SELECT n, total_cents,
+      ROUND(CAST(s1 AS DOUBLE) / total_cents, 6) top1_share,
+      ROUND(CAST(s5 AS DOUBLE) / total_cents, 6) top5_share,
+      ROUND(CAST(s10 AS DOUBLE) / total_cents, 6) top10_share
+    FROM s
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
