@@ -3499,6 +3499,49 @@ object Oracle {
     FROM s
   """
 
+  lazy val tsSeasonalMannKendall: String = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) c
+      FROM orders GROUP BY 1),
+    sd AS (SELECT d, c,
+        (d - DATE '1970-01-01') % 7 season FROM daily),
+    pairs AS (SELECT a.season, CAST(sign(b.c - a.c) AS BIGINT) sg
+      FROM sd a JOIN sd b ON a.season = b.season AND a.d < b.d),
+    per AS (SELECT season, CAST(SUM(sg) AS BIGINT) sw
+      FROM pairs GROUP BY 1),
+    cnt AS (SELECT season, CAST(COUNT(*) AS BIGINT) nw
+      FROM sd GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_seasons,
+        CAST(SUM(sw) AS BIGINT) s_total,
+        CAST(SUM(nw * (nw - 1) * (2 * nw + 5)) AS BIGINT) var18
+      FROM per JOIN cnt USING (season))
+    SELECT n_seasons, s_total, var18 var_num_x18,
+      ROUND((CAST(s_total AS DOUBLE) -
+        sign(CAST(s_total AS DOUBLE))) /
+        sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) z_score
+    FROM tot
+  """
+
+  lazy val fnNameSimilarityProfile: String = """
+    WITH p AS (SELECT p_partkey k, p_name nm FROM part
+      WHERE p_partkey < 40),
+    pairs AS (SELECT x.k key_a, x.nm name_a, y.nm name_b
+      FROM p x JOIN p y ON y.k = x.k + 1)
+    SELECT key_a, name_a, name_b,
+      CAST(levenshtein(name_a, name_b) AS BIGINT) lev_dist,
+      ROUND(CAST(len(list_intersect(
+          list_distinct(string_split(name_a, '')),
+          list_distinct(string_split(name_b, '')))) AS DOUBLE) /
+        len(list_distinct(list_concat(
+          list_distinct(string_split(name_a, '')),
+          list_distinct(string_split(name_b, ''))))), 6) char_jaccard,
+      CAST(len(list_filter(
+          range(1, least(len(name_a), len(name_b)) + 1),
+          i -> name_a[1:i] = name_b[1:i])) AS BIGINT) lcp_len
+    FROM pairs ORDER BY key_a
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
