@@ -3542,6 +3542,48 @@ object Oracle {
     FROM pairs ORDER BY key_a
   """
 
+  lazy val pipelineSloBurnAlert: String = """
+    WITH hourly AS (SELECT date_trunc('hour', ts) h,
+        CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) e
+      FROM events GROUP BY 1),
+    win AS (SELECT h, n, e,
+        SUM(n) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND
+          CURRENT ROW) n6,
+        SUM(e) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND
+          CURRENT ROW) e6,
+        COUNT(*) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND
+          CURRENT ROW) nw
+      FROM hourly)
+    SELECT h, n, e,
+      ROUND(CAST(e AS DOUBLE) * 4.0 / n, 4) burn_1h,
+      ROUND(CAST(e6 AS DOUBLE) * 4.0 / n6, 4) burn_6h,
+      CAST(CASE WHEN CAST(e AS DOUBLE) * 4.0 / n > 1.0
+        AND CAST(e6 AS DOUBLE) * 4.0 / n6 > 1.0
+        THEN 1 ELSE 0 END AS BIGINT) page
+    FROM win WHERE nw = 6 ORDER BY h
+  """
+
+  lazy val fnHumanizeBytes: String = """
+    WITH t AS (SELECT event_type,
+        CAST(SUM(len(props) + 64) AS BIGINT) b
+      FROM events GROUP BY 1),
+    k AS (SELECT event_type, b,
+        CASE WHEN b >= 1073741824 THEN 3 WHEN b >= 1048576 THEN 2
+          WHEN b >= 1024 THEN 1 ELSE 0 END k
+      FROM t),
+    s AS (SELECT event_type, b,
+        CAST(b * 10 // (CASE k WHEN 0 THEN 1 WHEN 1 THEN 1024
+          WHEN 2 THEN 1048576 ELSE 1073741824 END) AS BIGINT) s10, k
+      FROM k)
+    SELECT event_type, b bytes,
+      CAST(s10 // 10 AS VARCHAR) || '.' ||
+        CAST(s10 % 10 AS VARCHAR) || ' ' ||
+        (['B','KiB','MiB','GiB'])[k + 1] human
+    FROM s ORDER BY event_type
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
