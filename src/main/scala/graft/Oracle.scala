@@ -3584,6 +3584,46 @@ object Oracle {
     FROM s ORDER BY event_type
   """
 
+  lazy val simSphericalAssignRound: String = """
+    WITH seeds AS (SELECT vec_id seed_id, embedding::DOUBLE[] se
+      FROM embeddings WHERE vec_id <= 4),
+    scored AS (SELECT e.vec_id, s.seed_id,
+        list_dot_product(e.embedding::DOUBLE[], s.se) /
+          (sqrt(list_dot_product(e.embedding::DOUBLE[],
+            e.embedding::DOUBLE[])) * sqrt(list_dot_product(s.se, s.se)))
+          cos
+      FROM embeddings e, seeds s WHERE e.vec_id > 4),
+    assigned AS (SELECT vec_id, seed_id, cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, seed_id) rn FROM scored) WHERE rn = 1)
+    SELECT seed_id, CAST(COUNT(*) AS BIGINT) n_assigned,
+      ROUND(CAST(SUM(CAST(ROUND(cos, 9) AS DECIMAL(20,9))) AS DOUBLE)
+        / COUNT(*), 6) avg_cos,
+      ROUND(MIN(cos), 6) min_cos,
+      ROUND(MAX(cos), 6) max_cos
+    FROM assigned GROUP BY 1 ORDER BY seed_id
+  """
+
+  lazy val mlUpliftTwoModel: String = """
+    WITH o AS (SELECT SUBSTR(o_orderpriority, 1, 1) segment,
+        CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) <= '7'
+          THEN 1 ELSE 0 END trt,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END y
+      FROM orders),
+    g AS (SELECT segment,
+        CAST(SUM(CASE WHEN trt = 1 THEN 1 ELSE 0 END) AS BIGINT) n_t,
+        CAST(SUM(CASE WHEN trt = 1 THEN y ELSE 0 END) AS BIGINT) y_t,
+        CAST(SUM(CASE WHEN trt = 0 THEN 1 ELSE 0 END) AS BIGINT) n_c,
+        CAST(SUM(CASE WHEN trt = 0 THEN y ELSE 0 END) AS BIGINT) y_c
+      FROM o GROUP BY 1)
+    SELECT segment, n_t, y_t, n_c, y_c,
+      ROUND(CAST(y_t AS DOUBLE) / n_t, 6) rate_treat,
+      ROUND(CAST(y_c AS DOUBLE) / n_c, 6) rate_control,
+      ROUND(CAST(y_t AS DOUBLE) / n_t -
+        CAST(y_c AS DOUBLE) / n_c, 6) uplift
+    FROM g ORDER BY segment
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
