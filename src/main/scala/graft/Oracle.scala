@@ -3624,6 +3624,44 @@ object Oracle {
     FROM g ORDER BY segment
   """
 
+  lazy val analyticLorenzAsymmetry: String = """
+    WITH o AS (SELECT
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) c
+      FROM orders),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(c) AS BIGINT) t
+      FROM o),
+    agg AS (SELECT MAX(n) n, MAX(t) total_cents,
+        CAST(SUM(CASE WHEN c * n < t THEN 1 ELSE 0 END) AS BIGINT) m,
+        CAST(SUM(CASE WHEN c * n < t THEN c ELSE 0 END) AS BIGINT) sb
+      FROM o, tot)
+    SELECT n, total_cents, m n_below_mean,
+      ROUND(CAST(m AS DOUBLE) / n, 6) f_mu,
+      ROUND(CAST(sb AS DOUBLE) / total_cents, 6) l_mu,
+      ROUND(CAST(m AS DOUBLE) / n +
+        CAST(sb AS DOUBLE) / total_cents, 6) asymmetry_s
+    FROM agg
+  """
+
+  lazy val graphRichClub: String = s"""
+    WITH $thinnedGraphCte,
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) dg FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      GROUP BY 1),
+    ks AS (SELECT CAST(k AS BIGINT) k FROM (VALUES (2), (4), (8),
+      (16)) t(k)),
+    nodesk AS (SELECT k, CAST(COUNT(*) AS BIGINT) n_k
+      FROM deg, ks WHERE dg > k GROUP BY 1),
+    edgesk AS (SELECT k, CAST(COUNT(*) AS BIGINT) e_k
+      FROM und JOIN deg du ON und.u = du.node
+        JOIN deg dv ON und.v = dv.node, ks
+      WHERE du.dg > k AND dv.dg > k GROUP BY 1)
+    SELECT k, n_k, COALESCE(e_k, 0) e_k,
+      CASE WHEN n_k < 2 THEN 0.0 ELSE
+        ROUND(2.0 * COALESCE(e_k, 0) /
+          CAST(n_k * (n_k - 1) AS DOUBLE), 6) END phi
+    FROM nodesk LEFT JOIN edgesk USING (k) ORDER BY k
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
