@@ -3662,6 +3662,52 @@ object Oracle {
     FROM nodesk LEFT JOIN edgesk USING (k) ORDER BY k
   """
 
+  lazy val mlConformalInterval: String = """
+    WITH o AS (SELECT SUBSTR(o_orderpriority, 1, 1) segment,
+        o_orderkey k,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) y,
+        CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <= '7'
+          THEN 1 ELSE 0 END cal
+      FROM orders),
+    means AS (SELECT segment, CAST(COUNT(*) AS BIGINT) n_cal,
+        CAST(SUM(y) // COUNT(*) AS BIGINT) mean_cents
+      FROM o WHERE cal = 1 GROUP BY 1),
+    wr AS (SELECT o.segment, o.k, o.cal, abs(o.y - m.mean_cents) r,
+        m.n_cal, m.mean_cents
+      FROM o JOIN means m ON o.segment = m.segment),
+    ranked AS (SELECT segment, r, n_cal,
+        ROW_NUMBER() OVER (PARTITION BY segment ORDER BY r, k) rn,
+        (9 * n_cal + 9) // 10 kq
+      FROM wr WHERE cal = 1),
+    q90 AS (SELECT segment, CAST(r AS BIGINT) q90_resid FROM ranked
+      WHERE rn = kq),
+    test AS (SELECT wr.segment, CAST(COUNT(*) AS BIGINT) n_test,
+        CAST(SUM(CASE WHEN wr.r <= q.q90_resid THEN 1 ELSE 0 END)
+          AS BIGINT) covered
+      FROM wr JOIN q90 q ON wr.segment = q.segment
+      WHERE wr.cal = 0 GROUP BY 1)
+    SELECT m.segment, m.n_cal, t.n_test, m.mean_cents, q.q90_resid,
+      ROUND(CAST(t.covered AS DOUBLE) / t.n_test, 6) coverage
+    FROM means m JOIN q90 q ON m.segment = q.segment
+      JOIN test t ON m.segment = t.segment
+    ORDER BY m.segment
+  """
+
+  lazy val textMattrDiversity: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ')[1:200] tk
+      FROM documents WHERE doc_id < 100),
+    n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) n FROM t
+      WHERE len(tk) >= 50),
+    s AS (SELECT doc_id, n,
+        CAST(list_sum(list_transform(range(1, CAST(n - 48 AS INTEGER)),
+          i -> len(list_distinct(tk[i:i+49])))) AS BIGINT) sd
+      FROM n)
+    SELECT doc_id, n n_tokens, n - 49 n_windows,
+      ROUND(CAST(sd AS DOUBLE) /
+        (CAST(n - 49 AS DOUBLE) * 50.0), 6) mattr
+    FROM s ORDER BY doc_id
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
