@@ -3708,6 +3708,55 @@ object Oracle {
     FROM s ORDER BY doc_id
   """
 
+  lazy val multimodalTileEntropy: String = """
+    WITH tiles AS (SELECT doc_id, ti,
+        substr(text, (ti - 1) * 64 + 1, 64) tile
+      FROM documents,
+        LATERAL unnest(range(1, CAST(least(8, len(text) // 64) + 1
+          AS INTEGER))) t(ti)
+      WHERE doc_id < 100 AND len(text) >= 64),
+    chars AS (SELECT doc_id, ti, ch, CAST(COUNT(*) AS BIGINT) c
+      FROM (SELECT doc_id, ti, unnest(string_split(tile, '')) ch
+        FROM tiles) GROUP BY 1, 2, 3),
+    pertile AS (SELECT doc_id, ti,
+        CAST(ROUND(CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / 64.0) *
+          log2(CAST(c AS DOUBLE) / 64.0), 9) AS DECIMAL(20,9)))
+          AS DOUBLE), 9) AS DECIMAL(20,9)) h9
+      FROM chars GROUP BY 1, 2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tiles,
+      ROUND(CAST(SUM(h9) AS DOUBLE) / COUNT(*), 6) avg_entropy,
+      ROUND(CAST(MAX(h9) AS DOUBLE), 6) max_entropy
+    FROM pertile GROUP BY 1 ORDER BY doc_id
+  """
+
+  lazy val tsRecordBreaks: String = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) d,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) c
+      FROM orders GROUP BY 1),
+    r AS (SELECT d, c,
+        MAX(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING) pmax,
+        MIN(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING) pmin,
+        ROW_NUMBER() OVER (ORDER BY d) i
+      FROM daily),
+    counts AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(CASE WHEN pmax IS NULL OR c > pmax THEN 1 ELSE 0 END)
+          AS BIGINT) highs,
+        CAST(SUM(CASE WHEN pmin IS NULL OR c < pmin THEN 1 ELSE 0 END)
+          AS BIGINT) lows
+      FROM r),
+    harm AS (SELECT SUM(CAST(ROUND(CAST(1 AS DOUBLE) / i, 12)
+        AS DECIMAL(20,12))) hn
+      FROM r)
+    SELECT n n_days, highs record_highs, lows record_lows,
+      ROUND(CAST(hn AS DOUBLE), 6) expected_iid,
+      ROUND(CAST(highs AS DOUBLE) / CAST(hn AS DOUBLE), 6) high_ratio,
+      ROUND(CAST(lows AS DOUBLE) / CAST(hn AS DOUBLE), 6) low_ratio
+    FROM counts, harm
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
