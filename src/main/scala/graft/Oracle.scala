@@ -3757,6 +3757,69 @@ object Oracle {
     FROM counts, harm
   """
 
+  lazy val analyticGiniDecomposition: String = """
+    WITH o AS (SELECT SUBSTR(o_orderpriority, 1, 1) g,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) c,
+        o_orderkey k
+      FROM orders),
+    ranked AS (SELECT g, c,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, k) i FROM o),
+    per AS (SELECT g, CAST(COUNT(*) AS BIGINT) ng,
+        CAST(SUM(c) AS BIGINT) sg,
+        CAST(SUM(CAST(i * 2 AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) iw2
+      FROM ranked GROUP BY 1),
+    per2 AS (SELECT g, ng, sg,
+        CAST(iw2 - CAST(ng + 1 AS DECIMAL(38,0)) * sg
+          AS DECIMAL(38,0)) gnum
+      FROM per),
+    tot AS (SELECT CAST(SUM(ng) AS BIGINT) n, CAST(SUM(sg) AS BIGINT) t
+      FROM per2),
+    g0 AS (SELECT
+        CAST(iw2 - CAST(n + 1 AS DECIMAL(38,0)) * t AS DOUBLE) /
+          (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) gini, n, t
+      FROM (SELECT CAST(SUM(CAST(i * 2 AS DECIMAL(38,0)) * c)
+          AS DECIMAL(38,0)) iw2, MAX(n) n, MAX(t) t
+        FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) i FROM o),
+          tot)),
+    pairs AS (SELECT CAST(SUM(CAST(abs(a.sg * b.ng - b.sg * a.ng)
+          AS DECIMAL(38,0))) AS DECIMAL(38,0)) bnum
+      FROM per2 a JOIN per2 b ON a.g < b.g),
+    wn AS (SELECT CAST(SUM(gnum) AS DECIMAL(38,0)) wnum FROM per2)
+    SELECT ROUND(gini, 6) gini_total,
+      ROUND(CAST(bnum AS DOUBLE) /
+        (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) gini_between,
+      ROUND(CAST(wnum AS DOUBLE) /
+        (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) gini_within,
+      ROUND(gini -
+        CAST(bnum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) -
+        CAST(wnum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)),
+        6) overlap_residual
+    FROM g0, pairs, wn
+  """
+
+  lazy val aggTukeySummary: String = """
+    WITH o AS (SELECT
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) c,
+        o_orderkey k
+      FROM orders),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) i FROM o),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM o),
+    q AS (SELECT MAX(n) n,
+        CAST(SUM(CASE WHEN i = (n + 3) // 4 THEN c END) AS BIGINT) q1,
+        CAST(SUM(CASE WHEN i = (n + 1) // 2 THEN c END) AS BIGINT) q2,
+        CAST(SUM(CASE WHEN i = (3 * n + 3) // 4 THEN c END)
+          AS BIGINT) q3
+      FROM r, nn),
+    fenced AS (SELECT CAST(SUM(CASE WHEN o.c * 2 > q.q3 * 5 - q.q1 * 3
+          THEN 1 ELSE 0 END) AS BIGINT) n_high_outliers
+      FROM o, q)
+    SELECT n, q1 q1_cents, q2 median_cents, q3 q3_cents,
+      q1 + q3 midhinge_x2_cents,
+      q1 + q2 * 2 + q3 trimean_x4_cents,
+      q3 - q1 iqr_cents, n_high_outliers
+    FROM q, fenced
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
