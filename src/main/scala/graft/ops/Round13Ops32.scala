@@ -33,14 +33,33 @@ object Round13Ops32 {
     */
   def tsSaxSymbols(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // calendar-bounded series: index by posexplode of the sorted
+    // collected array (the repo's window-free ranking shape) — an
+    // unpartitioned row_number would funnel the scan through one task
     val idx = daily(spark, sfDir)
-      .withColumn("i", row_number().over(Window.orderBy($"d")) - 1)
+      .agg(array_sort(collect_list(struct($"d", $"sv"))).as("s"))
+      .select(posexplode(expr("transform(s, x -> x.sv)"))
+        .as(Seq("i", "sv")))
     val segs = idx
       .groupBy(floor($"i" / 7).cast(LongType).as("seg"))
       .agg(count(lit(1)).as("n_days"), sum($"sv").as("ssum"))
       .withColumn("paa", $"ssum".cast(DoubleType) / $"n_days")
-    segs
-      .withColumn("qt", ntile(4).over(Window.orderBy($"paa", $"seg")))
+    // ntile(4) without a global window: rank the (paa, seg)-sorted
+    // segment array by position and apply ntile's exact fill rule
+    // (first K mod 4 tiles carry one extra row)
+    val ranked = segs
+      .agg(array_sort(collect_list(struct($"paa", $"seg", $"n_days",
+        $"ssum"))).as("q"))
+      .select(posexplode($"q").as(Seq("r0", "y")))
+      .select($"y.seg".as("seg"), $"y.n_days".as("n_days"),
+        $"y.paa".as("paa"), ($"r0" + 1).as("r"))
+    val k = ranked.agg(count(lit(1)).as("kk"))
+    ranked.crossJoin(broadcast(k))
+      .withColumn("qt", expr("""CASE
+        WHEN r <= (kk div 4 + 1) * (kk % 4)
+          THEN (r + (kk div 4 + 1) - 1) div (kk div 4 + 1)
+        ELSE (kk % 4) + (r - (kk div 4 + 1) * (kk % 4) + (kk div 4) - 1)
+          div (kk div 4) END"""))
       .select($"seg", $"n_days", round($"paa", 6).as("paa_value"),
         when($"qt" === 1, "a").when($"qt" === 2, "b")
           .when($"qt" === 3, "c").otherwise("d").as("symbol"))
@@ -83,14 +102,19 @@ object Round13Ops32 {
     */
   def tsTurningPoints(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"d")
-    val marked = daily(spark, sfDir)
-      .withColumn("pv", lag($"sv", 1).over(w))
-      .withColumn("nv", lead($"sv", 1).over(w))
-      .select(when($"pv".isNotNull && $"nv".isNotNull &&
-        (($"sv" > $"pv" && $"sv" > $"nv") ||
-          ($"sv" < $"pv" && $"sv" < $"nv")), 1L).otherwise(0L).as("tp"))
-    val c = marked.agg(count(lit(1)).as("n"), sum($"tp").as("t"))
+    // lag/lead on a calendar-bounded series as array neighbors —
+    // window-free (the prior unpartitioned Window was a plan-pin
+    // violation even at 2400 rows)
+    val c = daily(spark, sfDir)
+      .agg(array_sort(collect_list(struct($"d", $"sv"))).as("s"))
+      .select(expr("transform(s, x -> x.sv)").as("cs"))
+      .select(size($"cs").cast(LongType).as("n"),
+        expr("""CAST(size(filter(sequence(2, CAST(size(cs) - 1 AS INT)),
+          i -> (element_at(cs, i) > element_at(cs, i - 1) AND
+                element_at(cs, i) > element_at(cs, i + 1)) OR
+               (element_at(cs, i) < element_at(cs, i - 1) AND
+                element_at(cs, i) < element_at(cs, i + 1))))
+          AS BIGINT)""").as("t"))
     val e = (lit(2) * ($"n" - 2)).cast(DoubleType) / 3
     val v = (lit(16) * $"n" - 29).cast(DoubleType) / 90
     c.select($"n".as("n_days"), $"t".as("n_turning"),

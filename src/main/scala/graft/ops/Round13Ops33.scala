@@ -72,20 +72,39 @@ object Round13Ops33 {
     */
   def tsPageHinkley(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val daily = orders(spark, sfDir)
+    // window-free cumulative state: prefix sums and running minima
+    // are built as array folds over the calendar-bounded series (the
+    // plan pin bans the unpartitioned cumulative Window this used)
+    val arr = orders(spark, sfDir)
       .groupBy($"o_orderdate".cast(DateType).as("d"))
       .agg(sum((money($"o_totalprice") * 100).cast(LongType)).as("c"))
-    val tot = daily.agg(sum($"c").as("t_cents"), count(lit(1)).as("n"))
-    val w = Window.orderBy($"d")
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.crossJoin(broadcast(tot))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("ph", $"n" * sum($"c").over(cum) - $"rn" * $"t_cents")
-      .withColumn("runmin", least(lit(0L), min($"ph").over(cum)))
-      .select($"d", $"c".as("day_cents"), $"ph".as("ph_stat"),
-        ($"ph" - $"runmin").as("excess"),
-        when(($"ph" - $"runmin") * 50 > $"t_cents" * $"n", 1L)
-          .otherwise(0L).as("alarm"))
+      .agg(array_sort(collect_list(struct($"d", $"c"))).as("s"))
+      .select($"s", expr("transform(s, x -> x.c)").as("cs"))
+      .select($"s", $"cs",
+        expr("aggregate(cs, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("t_cents"),
+        size($"cs").cast(LongType).as("n"))
+      .withColumn("cums", expr("""aggregate(cs,
+        CAST(array() AS ARRAY<BIGINT>),
+        (acc, x) -> concat(acc, array(
+          IF(size(acc) = 0, CAST(0 AS BIGINT),
+             element_at(acc, size(acc))) + x)))"""))
+      .withColumn("phs", expr(
+        "transform(sequence(1, CAST(n AS INT)), i -> " +
+          "n * element_at(cums, i) - i * t_cents)"))
+      .withColumn("mins", expr("""aggregate(phs,
+        CAST(array() AS ARRAY<BIGINT>),
+        (acc, x) -> concat(acc, array(least(
+          IF(size(acc) = 0, CAST(0 AS BIGINT),
+             element_at(acc, size(acc))), x))))"""))
+    arr.select(posexplode($"s").as(Seq("p", "x")),
+        $"phs", $"mins", $"t_cents", $"n")
+      .select($"x.d".as("d"), $"x.c".as("day_cents"),
+        expr("element_at(phs, p + 1)").as("ph_stat"),
+        expr("element_at(phs, p + 1) - least(CAST(0 AS BIGINT), element_at(mins, p + 1))")
+          .as("excess"),
+        when(expr("(element_at(phs, p + 1) - least(CAST(0 AS BIGINT), element_at(mins, p + 1))) * 50")
+          > $"t_cents" * $"n", 1L).otherwise(0L).as("alarm"))
       .orderBy($"d")
   }
 

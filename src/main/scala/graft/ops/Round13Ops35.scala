@@ -25,10 +25,14 @@ object Round13Ops35 {
     */
   def tsHurstExponent(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // day index by posexplode of the sorted collected series — the
+    // window-free ranking shape (plan pin: no unpartitioned Window)
     val daily = orders(spark, sfDir)
       .groupBy($"o_orderdate".cast(DateType).as("d"))
       .agg(sum((money($"o_totalprice") * 100).cast(LongType)).as("c"))
-      .withColumn("i", row_number().over(Window.orderBy($"d")) - 1)
+      .agg(array_sort(collect_list(struct($"d", $"c"))).as("s"))
+      .select(posexplode(expr("transform(s, x -> x.c)"))
+        .as(Seq("i", "c")))
     val sizes = Seq(64L, 128L, 256L, 512L).toDF("m")
     val bw = Window.partitionBy($"m", $"b")
     val cells = daily.crossJoin(broadcast(sizes))

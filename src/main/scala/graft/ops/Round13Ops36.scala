@@ -22,16 +22,19 @@ object Round13Ops36 {
     */
   def tsPermutationEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"d")
+    // triples as array neighbors over the collected calendar series —
+    // no unpartitioned lead() windows (plan pin)
     val codes = orders(spark, sfDir)
       .groupBy($"o_orderdate".cast(DateType).as("d"))
       .agg(sum((money($"o_totalprice") * 100).cast(LongType)).as("c"))
-      .withColumn("b", lead($"c", 1).over(w))
-      .withColumn("cc", lead($"c", 2).over(w))
-      .filter($"cc".isNotNull)
-      .select((when($"c" < $"b", 4).otherwise(0) +
-        when($"b" < $"cc", 2).otherwise(0) +
-        when($"c" < $"cc", 1).otherwise(0)).cast(LongType).as("code"))
+      .agg(array_sort(collect_list(struct($"d", $"c"))).as("s"))
+      .select(expr("transform(s, x -> x.c)").as("cs"))
+      .select(explode(expr("""transform(
+        sequence(1, CAST(size(cs) - 2 AS INT)), i ->
+          CAST(IF(element_at(cs, i) < element_at(cs, i + 1), 4, 0) +
+               IF(element_at(cs, i + 1) < element_at(cs, i + 2), 2, 0) +
+               IF(element_at(cs, i) < element_at(cs, i + 2), 1, 0)
+            AS BIGINT))""")).as("code"))
     val cnts = codes.groupBy($"code").agg(count(lit(1)).as("cnt"))
     val tot = cnts.agg(sum($"cnt").as("n"))
     val withTerm = cnts.crossJoin(broadcast(tot))
@@ -102,14 +105,21 @@ object Round13Ops36 {
         (expr("graft_dot(embedding, embedding)") -
           lit(2.0) * expr("graft_dot(embedding, pe)") +
           expr("graft_dot(pe, pe)")).as("dist2"))
-    val byCos = scored
-      .withColumn("r", row_number().over(
-        Window.orderBy($"cos".desc, $"vec_id")))
-      .filter($"r" <= 20).select($"vec_id", (lit(21L) - $"r").as("pc"))
-    val byEuc = scored
-      .withColumn("r", row_number().over(
-        Window.orderBy($"dist2".asc, $"vec_id")))
-      .filter($"r" <= 20).select($"vec_id", (lit(21L) - $"r").as("pe2"))
+    // top-20 via TakeOrderedAndProject (orderBy+limit), ranks assigned
+    // by posexplode over the 20-row sorted collect — no global Window
+    def top20(df: DataFrame, key: org.apache.spark.sql.Column,
+        asc: Boolean, outCol: String): DataFrame = {
+      val lim = (if (asc) df.orderBy(key.asc, col("vec_id"))
+        else df.orderBy(key.desc, col("vec_id"))).limit(20)
+      val sortKey = if (asc) key else key * -1.0
+      lim.select(col("vec_id"), sortKey.as("sk"))
+        .agg(array_sort(collect_list(struct(col("sk"), col("vec_id"))))
+          .as("a"))
+        .select(posexplode($"a").as(Seq("p", "x")))
+        .select($"x.vec_id".as("vec_id"), (lit(20L) - $"p").as(outCol))
+    }
+    val byCos = top20(scored, $"cos", asc = false, "pc")
+    val byEuc = top20(scored, $"dist2", asc = true, "pe2")
     byCos.join(byEuc, Seq("vec_id"), "full_outer")
       .select($"vec_id",
         (coalesce($"pc", lit(0L)) + coalesce($"pe2", lit(0L)))

@@ -37,12 +37,14 @@ object Round13Ops38 {
       .agg(sum($"w").as("sw"), sum($"w" * $"v").as("swc"))
       .select($"b", round($"swc".cast(DoubleType) / $"sw", 6)
         .cast(DecimalType(24, 6)).as("m"))
-    val ranked = reps.withColumn("r", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy($"m", $"b")))
-    val bounds = ranked.agg(
-      sum(when($"r" === 2, $"m")).as("lo"),
-      sum(when($"r" === 49, $"m")).as("hi"),
-      count(lit(1)).as("n_reps"), sum($"m").as("sm"))
+    // order statistics of the 50 replicate means via a sorted collect
+    // (50 rows — no global ranking Window needed or allowed)
+    val ranked = reps
+      .agg(array_sort(collect_list(struct($"m", $"b"))).as("a"),
+        count(lit(1)).as("n_reps"), sum($"m").as("sm"))
+    val bounds = ranked.select($"n_reps", $"sm",
+      expr("element_at(a, 2).m").as("lo"),
+      expr("element_at(a, 49).m").as("hi"))
     bounds.select($"n_reps",
       round($"sm".cast(DoubleType) / $"n_reps", 6).as("mean_of_means"),
       round($"lo".cast(DoubleType), 6).as("ci_low"),
@@ -70,9 +72,13 @@ object Round13Ops38 {
       val gcols = if (label) keys :+ $"l" else keys
       val cellCols = if (keys.isEmpty && label) Seq($"l") else gcols
       val cells = base.groupBy(cellCols: _*).agg(count(lit(1)).as("nc"))
+      // for the unconditional entropy the "group" is everything: use
+      // the corpus total via a broadcast cross join, not a Window on
+      // a constant key (the optimizer folds that into an unpartitioned
+      // Window, which the plan pin bans)
       val grouped = if (keys.isEmpty)
-        cells.withColumn("ng", sum($"nc").over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        cells.crossJoin(broadcast(
+          base.agg(count(lit(1)).as("ng"))))
       else cells.withColumn("ng", sum($"nc").over(
         org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
       grouped

@@ -82,8 +82,20 @@ object Round13Ops40 {
       .select($"user_id", ($"post" - $"pre").as("diff"))
       .filter($"diff" =!= 0)
       .withColumn("ad", abs($"diff"))
-    val pos = halves.withColumn("r", row_number().over(
-      Window.orderBy($"ad", $"user_id")))
+    // global ranks without a global Window: value-range buckets count
+    // in parallel, bucket offsets come from a bounded bucket×bucket
+    // join, and each row's rank is offset + bucket-local rank (the
+    // aggExactGlobalMedian distributed-selection shape)
+    val bucketed = halves.withColumn("bkt",
+      expr("ad div 1048576"))
+    val bc = bucketed.groupBy($"bkt").agg(count(lit(1)).as("bn"))
+    val off = bc.as("a").join(bc.as("b"),
+        col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("n_before"))
+    val pos = bucketed.join(broadcast(off), "bkt")
+      .withColumn("r", $"n_before" + row_number().over(
+        Window.partitionBy($"bkt").orderBy($"ad", $"user_id")))
     val r2 = pos.withColumn("rr",
       min($"r").over(Window.partitionBy($"ad")) +
         max($"r").over(Window.partitionBy($"ad")))

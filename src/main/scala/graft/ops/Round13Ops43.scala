@@ -28,16 +28,31 @@ object Round13Ops43 {
         sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("x"))
     val la = log(lit(0.25) / 0.15)
     val lb = log(lit(0.75) / 0.85)
-    val terms = daily.withColumn("tm",
-      round($"x".cast(DoubleType) * la + ($"n" - $"x").cast(DoubleType) * lb, 9)
-        .cast(DecimalType(24, 9)))
-    val w = Window.orderBy($"d")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    terms.withColumn("llr", sum($"tm").over(w))
-      .select($"d", $"n", $"x",
-        round($"llr".cast(DoubleType), 6).as("llr"),
-        when($"llr".cast(DoubleType) >= log(lit(19.0)), "accept_h1")
-          .when($"llr".cast(DoubleType) <= -log(lit(19.0)), "accept_h0")
+    // the cumulative walk is an array fold in exact nano-units (the
+    // 9dp-frozen term ×1e9 is an integer-valued double < 2^53, so the
+    // BIGINT cast is lossless) — no unpartitioned cumulative Window
+    val terms = daily.withColumn("tm9",
+      // re-round after the 1e9 scale-up: the 9dp double is only the
+      // NEAREST double, so ×1e9 can land at 99999999.9999… and a bare
+      // truncating cast would lose an ulp
+      round(round($"x".cast(DoubleType) * la +
+        ($"n" - $"x").cast(DoubleType) * lb, 9) * 1e9, 0)
+        .cast(LongType))
+    val arr = terms
+      .agg(array_sort(collect_list(struct($"d", $"n", $"x", $"tm9")))
+        .as("s"))
+      .withColumn("cums", expr("""aggregate(
+        transform(s, t -> t.tm9), CAST(array() AS ARRAY<BIGINT>),
+        (acc, v) -> concat(acc, array(
+          IF(size(acc) = 0, CAST(0 AS BIGINT),
+             element_at(acc, size(acc))) + v)))"""))
+    arr.select(posexplode($"s").as(Seq("p", "t")), $"cums")
+      .select($"t.d".as("d"), $"t.n".as("n"), $"t.x".as("x"),
+        (expr("element_at(cums, p + 1)").cast(DoubleType) / 1e9)
+          .as("llrd"))
+      .select($"d", $"n", $"x", round($"llrd", 6).as("llr"),
+        when($"llrd" >= log(lit(19.0)), "accept_h1")
+          .when($"llrd" <= -log(lit(19.0)), "accept_h0")
           .otherwise("continue").as("decision"))
       .orderBy($"d")
   }
@@ -62,12 +77,15 @@ object Round13Ops43 {
         .cast(DecimalType(28, 6)))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"), sum($"tm").as("s"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"s".desc, $"user_id")))
-      .filter($"rk" <= 20)
-      .select($"rk".cast(LongType).as("rank"), $"user_id", $"n_events",
-        round($"s".cast(DoubleType), 2).as("decay_score_cents"))
+    // top-20 via TakeOrderedAndProject, then rank by posexplode of the
+    // 20-row sorted collect — no global ranking Window (plan pin)
+    scored.orderBy($"s".desc, $"user_id").limit(20)
+      .agg(array_sort(collect_list(struct(($"s" * -1).as("ns"),
+        $"user_id", $"n_events", $"s"))).as("a"))
+      .select(posexplode($"a").as(Seq("p", "x")))
+      .select(($"p" + 1).cast(LongType).as("rank"),
+        $"x.user_id".as("user_id"), $"x.n_events".as("n_events"),
+        round($"x.s".cast(DoubleType), 2).as("decay_score_cents"))
       .orderBy($"rank")
   }
 }

@@ -63,12 +63,17 @@ object Round13Ops44 {
     */
   def tsRollingPercentileBands(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val daily = orders(spark, sfDir)
+    // trailing 7-day windows as array slices over the collected
+    // calendar series — no unpartitioned rolling Window (plan pin)
+    val arr = orders(spark, sfDir)
       .groupBy($"o_orderdate".cast(DateType).as("d"))
       .agg(sum((money($"o_totalprice") * 100).cast(LongType)).as("c"))
-    val w = Window.orderBy($"d").rowsBetween(-6, Window.currentRow)
-    daily.withColumn("win", sort_array(collect_list($"c").over(w)))
-      .filter(size($"win") === 7)
+      .agg(array_sort(collect_list(struct($"d", $"c"))).as("s"))
+      .select($"s", expr("transform(s, x -> x.c)").as("cs"))
+    arr.select(posexplode($"s").as(Seq("p", "x")), $"cs")
+      .filter($"p" >= 6)
+      .select($"x.d".as("d"), $"x.c".as("c"),
+        sort_array(expr("slice(cs, p - 5, 7)")).as("win"))
       .select($"d", $"c".as("day_cents"),
         // type-1 discrete percentiles of a 7-element window:
         // ceil(0.1*7)=1st, ceil(0.5*7)=4th, ceil(0.9*7)=7th

@@ -62,13 +62,24 @@ object Round13Ops45 {
     */
   def analyticTopShareConcentration(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // descending global ranks via the bucket-offset selection shape
+    // (aggExactGlobalMedian): value-range buckets count in parallel,
+    // each row's rank = rows in higher buckets + bucket-local rank —
+    // no unpartitioned ranking Window
     val o = orders(spark, sfDir)
       .select((money($"o_totalprice") * 100).cast(LongType).as("c"),
         $"o_orderkey".as("k"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"c".desc, $"k")))
+      .withColumn("bkt", expr("c div 1048576"))
+    val bc = o.groupBy($"bkt").agg(count(lit(1)).as("bn"))
+    val off = bc.as("a").join(bc.as("b"),
+        col("b.bkt") > col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("n_above"))
+    val ranked = o.join(broadcast(off), "bkt")
+      .withColumn("rn", $"n_above" + row_number().over(
+        Window.partitionBy($"bkt").orderBy($"c".desc, $"k")))
     val tot = o.agg(count(lit(1)).as("n"), sum($"c").as("t"))
-    o.crossJoin(broadcast(tot))
+    ranked.crossJoin(broadcast(tot))
       .agg(max($"n").as("n"), max($"t").as("total_cents"),
         sum(when($"rn" <= greatest(lit(1L), expr("n div 100")), $"c")
           .otherwise(0L)).as("s1"),

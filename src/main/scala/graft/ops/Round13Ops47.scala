@@ -21,16 +21,22 @@ object Round13Ops47 {
     */
   def pipelineSloBurnAlert(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hourly = events(spark, sfDir)
+    // trailing 6-hour sums as array-slice folds over the collected
+    // hour grid (calendar-bounded) — no unpartitioned rolling Window
+    val arr = events(spark, sfDir)
       .groupBy(date_trunc("hour", $"ts").as("h"))
       .agg(count(lit(1)).as("n"),
         sum(when($"event_type" === "error", 1L).otherwise(0L)).as("e"))
-    val w6 = Window.orderBy($"h").rowsBetween(-5, Window.currentRow)
-    hourly
-      .withColumn("n6", sum($"n").over(w6))
-      .withColumn("e6", sum($"e").over(w6))
-      .withColumn("nw", count(lit(1)).over(w6))
-      .filter($"nw" === 6)
+      .agg(array_sort(collect_list(struct($"h", $"n", $"e"))).as("s"))
+      .select($"s", expr("transform(s, x -> x.n)").as("ns"),
+        expr("transform(s, x -> x.e)").as("es"))
+    arr.select(posexplode($"s").as(Seq("p", "x")), $"ns", $"es")
+      .filter($"p" >= 5)
+      .select($"x.h".as("h"), $"x.n".as("n"), $"x.e".as("e"),
+        expr("aggregate(slice(ns, p - 4, 6), CAST(0 AS BIGINT), (a, v) -> a + v)")
+          .as("n6"),
+        expr("aggregate(slice(es, p - 4, 6), CAST(0 AS BIGINT), (a, v) -> a + v)")
+          .as("e6"))
       .select($"h", $"n", $"e",
         round($"e".cast(DoubleType) * 4.0 / $"n", 4).as("burn_1h"),
         round($"e6".cast(DoubleType) * 4.0 / $"n6", 4).as("burn_6h"),

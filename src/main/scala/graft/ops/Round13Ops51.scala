@@ -57,20 +57,27 @@ object Round13Ops51 {
     */
   def tsRecordBreaks(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"d")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val daily = orders(spark, sfDir)
+    // prefix extremes as array folds over the collected calendar
+    // series; the harmonic index comes from posexplode — no
+    // unpartitioned Windows (plan pin)
+    val arr = orders(spark, sfDir)
       .groupBy($"o_orderdate".cast(DateType).as("d"))
       .agg(sum((money($"o_totalprice") * 100).cast(LongType)).as("c"))
-      .withColumn("pmax", max($"c").over(w))
-      .withColumn("pmin", min($"c").over(w))
-    val counts = daily.agg(count(lit(1)).as("n"),
-      sum(when($"pmax".isNull || $"c" > $"pmax", 1L).otherwise(0L))
-        .as("highs"),
-      sum(when($"pmin".isNull || $"c" < $"pmin", 1L).otherwise(0L))
-        .as("lows"))
-    val harm = daily
-      .withColumn("i", row_number().over(Window.orderBy($"d")))
+      .agg(array_sort(collect_list(struct($"d", $"c"))).as("s"))
+      .select(expr("transform(s, x -> x.c)").as("cs"))
+      .select($"cs", size($"cs").cast(LongType).as("n"))
+    val counts = arr.select($"n", $"cs",
+        expr("""CAST(1 + size(filter(
+          sequence(2, CAST(size(cs) AS INT)), i ->
+            element_at(cs, i) > array_max(slice(cs, 1, i - 1))))
+          AS BIGINT)""").as("highs"),
+        expr("""CAST(1 + size(filter(
+          sequence(2, CAST(size(cs) AS INT)), i ->
+            element_at(cs, i) < array_min(slice(cs, 1, i - 1))))
+          AS BIGINT)""").as("lows"))
+      .select($"n", $"highs", $"lows")
+    val harm = arr
+      .select(posexplode(expr("sequence(1, CAST(n AS INT))")).as(Seq("p", "i")))
       .select(round(lit(1.0) / $"i", 12).cast(DecimalType(20, 12))
         .as("hk"))
       .agg(sum($"hk").as("hn"))

@@ -11,6 +11,24 @@ import org.apache.spark.sql.types._
   */
 object Round13Ops52 {
 
+  /** Global ascending rank (ties broken by key) via the bucket-offset
+    * distributed-selection shape: value-range buckets count in
+    * parallel, each row's rank = rows in lower buckets + bucket-local
+    * rank. No unpartitioned ranking Window (plan pin).
+    */
+  private def globalAscRank(df: DataFrame): DataFrame = {
+    val b = df.withColumn("bkt", expr("c div 1048576"))
+    val bc = b.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+    val off = bc.as("a").join(bc.as("b"),
+        col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("n_before"))
+    b.join(broadcast(off), "bkt")
+      .withColumn("i", col("n_before") + row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("c"), col("k"))))
+      .drop("bkt", "n_before")
+  }
+
   /** Gini decomposition across priority classes: total inequality
     * splits into between-group (pairwise |μ_g−μ_h| masses, kept as
     * the exact integer cross-products |S_g·n_h − S_h·n_g|),
@@ -37,9 +55,8 @@ object Round13Ops52 {
         (($"ng" + 1).cast(DecimalType(38, 0)) * $"sg"))
         .cast(DecimalType(38, 0)))
     val tot = per.agg(sum($"ng").as("n"), sum($"sg").as("t"))
-    // total Gini from a global ranking
-    val g0 = o.withColumn("i", row_number().over(
-        Window.orderBy($"c", $"k")))
+    // total Gini from a global ranking (bucket-offset shape)
+    val g0 = globalAscRank(o)
       .crossJoin(broadcast(tot))
       .agg(sum((($"i" * 2).cast(DecimalType(38, 0)) * $"c")).as("iw2"),
         max($"n").as("n"), max($"t").as("t"))
@@ -81,10 +98,9 @@ object Round13Ops52 {
     */
   def aggTukeySummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val o = orders(spark, sfDir)
+    val o = globalAscRank(orders(spark, sfDir)
       .select((money($"o_totalprice") * 100).cast(LongType).as("c"),
-        $"o_orderkey".as("k"))
-      .withColumn("i", row_number().over(Window.orderBy($"c", $"k")))
+        $"o_orderkey".as("k")))
     val n = o.agg(count(lit(1)).as("n"))
     val q = o.crossJoin(broadcast(n))
       .agg(max($"n").as("n"),
