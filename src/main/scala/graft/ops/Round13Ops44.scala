@@ -29,8 +29,13 @@ object Round13Ops44 {
       for (_ <- 1 to 4) {
         val next = dist.join(adj, $"node" === $"src")
           .select($"dst".as("node"), ($"dist" + 1).as("dist"))
+        // truncate lineage each round: dist appears twice per round,
+        // so the unchecked plan doubles per hop and the SECOND sweep
+        // (seeded from the first's result) squares it — 18 s on the
+        // bench before this, sub-second after
         dist = dist.union(next)
           .groupBy($"node").agg(min($"dist").as("dist"))
+          .localCheckpoint(true)
       }
       dist
     }
