@@ -3820,6 +3820,34 @@ object Oracle {
     FROM q, fenced
   """
 
+  lazy val fnOrdinalSuffix: String = """
+    SELECT o_orderkey k, CAST(o_orderkey AS VARCHAR) || CASE
+        WHEN o_orderkey % 100 IN (11, 12, 13) THEN 'th'
+        WHEN o_orderkey % 10 = 1 THEN 'st'
+        WHEN o_orderkey % 10 = 2 THEN 'nd'
+        WHEN o_orderkey % 10 = 3 THEN 'rd'
+        ELSE 'th' END ordinal
+    FROM orders WHERE o_orderkey <= 40 AND o_orderkey >= 1
+    ORDER BY k
+  """
+
+  lazy val analyticCvByType: String = """
+    WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS BIGINT) s,
+        CAST(SUM(CAST(CAST(CAST("value" AS DECIMAL(12,2)) * 100
+          AS BIGINT) AS DECIMAL(38,0)) *
+          CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS DECIMAL(38,0)) q
+      FROM events GROUP BY 1)
+    SELECT event_type, n, CAST(s // n AS BIGINT) mean_cents,
+      ROUND(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) -
+        CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+        (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) cv
+    FROM g ORDER BY event_type
+  """
+
   lazy val fnBaseConv: String = """
     SELECT o_orderkey,
       hex(o_orderkey) hex_key,
