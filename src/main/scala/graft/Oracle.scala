@@ -8118,18 +8118,25 @@ object Oracle {
     FROM events GROUP BY event_type ORDER BY event_type
   """
 
-  // unnormalized HITS: every update is an integer sum, so three
-  // unrolled rounds are exact on both engines
+  // fixed-point HITS: each half-round renormalizes (score*1e6) //
+  // max(score) — integer floor division, identical truncation on both
+  // engines, magnitude bounded regardless of scale (engine comment)
   val graphHitsScores: String = """
     WITH e AS (SELECT DISTINCT o.o_custkey c, l.l_partkey p
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
     h0 AS (SELECT DISTINCT c, CAST(1 AS HUGEINT) h FROM e),
-    a1 AS (SELECT p, sum(h) a FROM e JOIN h0 USING (c) GROUP BY p),
-    h1 AS (SELECT c, sum(a) h FROM e JOIN a1 USING (p) GROUP BY c),
-    a2 AS (SELECT p, sum(h) a FROM e JOIN h1 USING (c) GROUP BY p),
-    h2 AS (SELECT c, sum(a) h FROM e JOIN a2 USING (p) GROUP BY c),
-    a3 AS (SELECT p, sum(h) a FROM e JOIN h2 USING (c) GROUP BY p),
-    h3 AS (SELECT c, sum(a) h FROM e JOIN a3 USING (p) GROUP BY c),
+    a1r AS (SELECT p, sum(h) a FROM e JOIN h0 USING (c) GROUP BY p),
+    a1 AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a1r) a FROM a1r),
+    h1r AS (SELECT c, sum(a) h FROM e JOIN a1 USING (p) GROUP BY c),
+    h1 AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h1r) h FROM h1r),
+    a2r AS (SELECT p, sum(h) a FROM e JOIN h1 USING (c) GROUP BY p),
+    a2 AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a2r) a FROM a2r),
+    h2r AS (SELECT c, sum(a) h FROM e JOIN a2 USING (p) GROUP BY c),
+    h2 AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h2r) h FROM h2r),
+    a3r AS (SELECT p, sum(h) a FROM e JOIN h2 USING (c) GROUP BY p),
+    a3 AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a3r) a FROM a3r),
+    h3r AS (SELECT c, sum(a) h FROM e JOIN a3 USING (p) GROUP BY c),
+    h3 AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h3r) h FROM h3r),
     hub AS (SELECT c node, 'hub' AS hits_role, CAST(h AS VARCHAR) score
             FROM h3 ORDER BY h DESC, c LIMIT 20),
     aut AS (SELECT p node, 'authority' AS hits_role, CAST(a AS VARCHAR) score

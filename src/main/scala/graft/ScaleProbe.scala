@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-probe timer (round-13 verdict task 1): times a named subset
+  * of the registered ops against an arbitrary sf directory and prints
+  * the FULL per-op map as one JSON line — unlike Bench, whose stdout
+  * contract is the fixed headline subset.
+  *
+  * Also serves verdict task 2 (cheap-query drift diagnosis): running
+  * 3 ops in a fresh JVM here vs late in a 632-op Bench sweep isolates
+  * shared-JVM accumulation from plan regressions.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> <op1,op2,...> [runs]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ops   = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val runs  = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "32g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => ops.isEmpty || ops.contains(k) }
+    // same warmup as Bench: scan each table once + one joined agg
+    try {
+      Tables.names.foreach(t => Tables(spark, sfDir, t).limit(1).count())
+      SparkEntry.entry(spark).count()
+    } catch { case _: Throwable => () }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val out = selected.map { case (name, fn) =>
+      val times = Seq.fill(runs) {
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
+          System.err.println(s"PROBE FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}"); -1L }
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val med = times.map(_._2).sorted.apply(times.size / 2)
+      val mn = times.map(_._2).min
+      System.err.println(s"  probe $name: med=${fmt(med)} min=${fmt(mn)} rows=${times.head._1}")
+      (name, med, mn, times.head._1)
+    }
+    val js = out.map { case (k, med, mn, rows) =>
+      s""""$k":{"med":${fmt(med)},"min":${fmt(mn)},"rows":$rows}""" }.mkString("{", ",", "}")
+    println(s"""{"sf":"$sfDir","runs":$runs,"ops":$js}""")
+    spark.stop()
+  }
+}

@@ -102,6 +102,7 @@ object Tables {
     */
   def runTag(spark: SparkSession, sfDir: String): String = {
     registerTmpCleanup(spark.sparkContext.applicationId)
+    touchHeartbeat(spark.sparkContext.applicationId)
     sfDir.hashCode.toHexString + "_" + spark.sparkContext.applicationId
   }
 
@@ -116,8 +117,12 @@ object Tables {
       .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&
         f.getName.contains("_local-"))
 
+  // never recurse THROUGH a directory symlink: /tmp is world-writable,
+  // and a link planted inside a graft dir must not let the sweep reach
+  // outside it (round-13 advisory). The link itself is still removed.
   private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(); ()
   }
 
@@ -125,10 +130,34 @@ object Tables {
     if (cleanupRegistered.compareAndSet(false, true)) {
       val staleMs = 6L * 3600 * 1000
       val now = System.currentTimeMillis()
+      // Staleness keys off an explicit heartbeat file, not the dir's
+      // own mtime: a directory mtime is frozen once its entries stop
+      // changing, so a >6h session still READING its per-run dirs
+      // would have been reaped mid-read by a newly started session
+      // (round-13 advisory). Every sweep touches the heartbeat of the
+      // dirs belonging to LIVE use (ours, via runTag on every call);
+      // dirs whose heartbeat (or, for pre-heartbeat dirs, mtime) is
+      // >6h old belong to crashed runs.
       taggedTmpDirs()
-        .filter(f => now - f.lastModified() > staleMs)
+        .filter { f =>
+          val hb = new java.io.File(f, "_heartbeat")
+          val ts = if (hb.exists()) hb.lastModified() else f.lastModified()
+          now - ts > staleMs
+        }
         .foreach(rmTree)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         taggedTmpDirs().filter(_.getName.endsWith("_" + appId)).foreach(rmTree)))
     }
+
+  /** Refresh the heartbeat of THIS application's tagged dirs. Called
+    * from runTag — i.e. on every tagged-path construction — so any
+    * dir the session still uses carries a fresh heartbeat even when
+    * its payload files are only being read (reads don't bump mtime).
+    */
+  private def touchHeartbeat(appId: String): Unit =
+    try taggedTmpDirs().filter(_.getName.endsWith("_" + appId)).foreach { f =>
+      val hb = new java.io.File(f, "_heartbeat")
+      hb.createNewFile()
+      hb.setLastModified(System.currentTimeMillis()); ()
+    } catch { case _: Throwable => () }
 }

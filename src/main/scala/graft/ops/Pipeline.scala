@@ -99,7 +99,9 @@ object Pipeline {
     * oracle (centroid choice is engine-specific by nature).
     *
     * Round 13: reads centroids + rn=1 assignments from the persisted
-    * v2 IVF artifact (Round12Ops.ivfIndexPath) — the assignment window
+    * v3 IVF artifact (Round12Ops.ivfIndexPath; v3 stores top-3
+    * assignments for the SemDeDup consumer — this probe still keeps
+    * only rn=1, the nearest cell) — the assignment window
     * runs once in the index build, not per query. sim_ann_index_persist
     * demonstrates the same probe explicitly; this op keeps the
     * original registered name for the inline-probe surface.

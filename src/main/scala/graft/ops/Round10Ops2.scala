@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.ml.fpm.FPGrowth
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.feature.PCA
@@ -47,33 +46,40 @@ object Round10Ops2 {
       .orderBy($"supplier")
   }
 
-  /** Frequent-itemset mining (FP-Growth) over order→brand baskets,
-    * truncated to itemset size ≤ 2 so the support counts stay exactly
-    * SQL-expressible (singletons = presence census, pairs = in-basket
-    * self-join). minSupport 1/64 is exactly representable in binary,
-    * so Spark's `ceil(minSupport·n)` min-count and the oracle's
-    * identical expression agree for any basket count < 2⁴⁶. Scale
-    * shape: FP-Growth is the parallel-FP-tree algorithm — baskets
-    * group-partitioned, conditional trees built per item partition —
-    * vs the naive per-basket pair explosion the oracle runs; both
-    * count the same sets.
+  /** Frequent-itemset census over order→brand baskets, itemset size
+    * ≤ 2: singletons = presence census, pairs = in-basket self-join,
+    * both exact counts. minSupport 1/64 is exactly representable in
+    * binary, so `ceil(minSupport·n)` agrees with the oracle's
+    * identical expression for any basket count < 2⁴⁶.
+    *
+    * Round 14: the MLlib FPGrowth fit this op originally wrapped was
+    * the board's #2 cost (4.1 s — an iterative multi-job parallel-
+    * FP-tree build, all of it spent deriving counts the ≤2-truncation
+    * then throws away). For bounded itemset size the exact SQL census
+    * IS the better algorithm at any scale: basket width is bounded
+    * (≤7 brands/order at every SF — TPC-H order fan-out), so the
+    * in-basket self-join's per-basket fan-out is a constant ≤ 21
+    * pairs, shuffled on basket id. FP-Growth earns its tree machinery
+    * only for unbounded itemset sizes, which this surface never asks
+    * for. Output verified identical to the FPGrowth form (same sets,
+    * same counts — both are exact) by the unchanged DuckDB oracle.
     */
   def mlFpmFrequentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val baskets = lineitem(spark, sfDir)
+    val b = lineitem(spark, sfDir)
       .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"p_brand")).as("items"))
-    val model = new FPGrowth()
-      .setItemsCol("items").setMinSupport(0.015625).setMinConfidence(0.5)
-      .fit(baskets)
-    model.freqItemsets
-      .filter(size($"items") <= 2)
-      .select(
-        element_at(sort_array($"items"), 1).as("item1"),
-        when(size($"items") === 2, element_at(sort_array($"items"), 2))
-          .as("item2"),
-        $"freq")
+      .select($"l_orderkey".as("o"), $"p_brand".as("i")).distinct()
+    // threshold rides a 1-row broadcast; ceil(double) matches the
+    // oracle bit-for-bit because 1/64 is a binary-exact literal
+    val th = b.agg(ceil(lit(0.015625) * countDistinct($"o")).as("t"))
+    val s1 = b.groupBy($"i").agg(count(lit(1)).as("freq"))
+      .select($"i".as("item1"), lit(null).cast(StringType).as("item2"), $"freq")
+    val s2 = b.as("a").join(b.as("c"), $"a.o" === $"c.o" && $"a.i" < $"c.i")
+      .groupBy($"a.i", $"c.i").agg(count(lit(1)).as("freq"))
+      .select($"a.i".as("item1"), $"c.i".as("item2"), $"freq")
+    s1.unionAll(s2).crossJoin(broadcast(th))
+      .filter($"freq" >= $"t")
+      .select($"item1", $"item2", $"freq")
       // Spark ASC is NULLS FIRST, DuckDB/ANSI is NULLS LAST — pin the
       // singleton (item2 NULL) rows to the oracle's placement
       .orderBy($"item1", $"item2".asc_nulls_last)

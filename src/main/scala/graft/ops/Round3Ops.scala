@@ -38,36 +38,46 @@ object Round3Ops {
       .select($"doc_id", $"lang",
         call_function("graft_shingles", $"text", lit(3)).as("sh"))
       .withColumn("sz", size($"sh"))
-    // Same fragment-replicate (1-Bucket-Theta) SHUFFLE shape as
-    // dedupNearJaccard: with only 5 languages a plain lang-equi join
-    // would run one cartesian per lang task (5-way parallelism,
-    // measured 14 s at sf0.1). Salting the replicate side across 32
-    // buckets and shuffle-partitioning BOTH sides on (lang, bucket)
-    // restores langs×32-way parallelism while keeping everything off
-    // the broadcast path — the round-9 variant broadcast the full
-    // sketch table, which grows linearly with the corpus and breaks
-    // the 100 TB contract (PlanSpec now pins no-BroadcastExchange on
-    // this plan). Shuffle volume is nBuckets × sketch bytes — linear
-    // with a tunable constant.
-    val nBuckets = 32
-    val b = sh.select($"doc_id".as("id_b"), $"lang".as("lang_b"),
-      $"sh".as("sh_b"), $"sz".as("sz_b"),
-      pmod($"doc_id", lit(nBuckets)).as("bkt_b"))
-    val a = sh.withColumn("bkt", explode(array((0 until nBuckets).map(lit): _*)))
-      .select($"doc_id".as("id_a"), $"lang", $"sh".as("sh_a"),
-        $"sz".as("sz_a"), $"bkt")
-    // The jaccard threshold lives INSIDE the join condition as pure
-    // integer math — jac >= 0.5 ⟺ 3·|A∩B| >= |A|+|B| — and is placed
-    // LAST so the cheap id/size conjuncts short-circuit first (a
-    // separate filter(jac >= t) gets pushed into the join as the FIRST
-    // conjunct, running the intersect kernel on every raw bucket
-    // collision: measured 4× slower). The exact jaccard value is then
-    // computed only for the surviving pairs.
-    a.join(b,
-        $"lang" === $"lang_b" && $"bkt" === $"bkt_b" && $"id_a" < $"id_b" &&
-        // j >= 0.5 forces 2*min >= max
-        $"sz_a" * 2 >= $"sz_b" && $"sz_b" * 2 >= $"sz_a" &&
-        LlmOps.isect($"sh_a", $"sh_b") * 3 >= $"sz_a" + $"sz_b")
+    // Round 14: EXACT prefix-filtering candidate generation (AllPairs /
+    // PPJoin prefix lemma, Bayardo et al. WWW'07) replaces the 32×
+    // fragment-replicate join — the round-13 board's single most
+    // expensive op (4.5 s, the 32× sketch fan-out dominated). The
+    // lemma: jac(A,B) ≥ t ⟹ the ⌊(1−t)·|x|⌋+1-prefixes of A and B
+    // under ONE global element order share an element; at t = 0.5 the
+    // prefix is the first ⌊sz/2⌋+1 hashes. Recall is exactly 1 (this
+    // is a theorem, not a sketch — unlike MinHash banding the output
+    // is byte-identical to the all-pairs join, which is why it can
+    // replace the theta join under an unchanged oracle), so the join
+    // explodes only HALF the shingle mass once instead of shipping
+    // every sketch 32×, and candidates equi-join on (lang, hash) —
+    // hash-partitionable at any scale. The global order here is hash
+    // order (the sketch array is already hash-sorted); production
+    // corpora with skewed phrase frequency would sort by ascending
+    // document frequency instead (rarest-first prefixes minimize
+    // candidate fan-out) at the cost of one df-count pass — on this
+    // corpus hashes ARE df-uniform, so the extra pass buys nothing.
+    // localCheckpoint: sh feeds the prefix explode AND both verify
+    // fetches; at cluster scale this is a persisted shuffle stage.
+    val shc = sh.localCheckpoint(true)
+    val pref = shc.select($"doc_id", $"lang", $"sz",
+      explode(expr("slice(sh, 1, sz DIV 2 + 1)")).as("tok"))
+    // size-ratio prune inside the candidate join (j ≥ 0.5 forces
+    // 2·min ≥ max); distinct collapses pairs sharing several prefix
+    // hashes BEFORE the verify fetch, so the intersect kernel runs
+    // once per candidate pair
+    val cand = pref.select($"doc_id".as("id_a"), $"lang", $"sz".as("sz_a"), $"tok")
+      .join(pref.select($"doc_id".as("id_b"), $"lang".as("lang_b"),
+          $"sz".as("sz_b"), $"tok".as("tok_b")),
+        $"tok" === $"tok_b" && $"lang" === $"lang_b" && $"id_a" < $"id_b" &&
+        $"sz_a" * 2 >= $"sz_b" && $"sz_b" * 2 >= $"sz_a")
+      .select($"id_a", $"id_b").distinct()
+    // verify tier: fetch both sketches by doc_id equi-join, exact
+    // integer threshold first (3·|A∩B| ≥ |A|+|B| ⟺ jac ≥ 0.5), exact
+    // jaccard only for survivors
+    cand
+      .join(shc.select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "id_a")
+      .join(shc.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "id_b")
+      .filter(LlmOps.isect($"sh_a", $"sh_b") * 3 >= $"sz_a" + $"sz_b")
       .withColumn("inter", LlmOps.isect($"sh_a", $"sh_b"))
       .select($"id_a", $"id_b",
         round($"inter".cast(DoubleType) / ($"sz_a" + $"sz_b" - $"inter"), 6)

@@ -97,13 +97,19 @@ object ScaleTechniques {
       // accumulation without bound across regenerations. An old-key
       // layout is derived from data that no longer exists, so any
       // reader still on it is already reading a stale derivation;
-      // deleting it is strictly better than keeping both.
+      // deleting it is strictly better than keeping both. The stem
+      // ALSO strips a trailing _vN artifact-version suffix (round-13
+      // advisory: bumping ivf_index_v1 -> v3 stranded the v1 dirs
+      // forever because the version rode inside the stem), so a
+      // version bump reaps the previous version's dirs the same way a
+      // fingerprint roll does.
       val stem = key.replaceAll("_[0-9a-f]{12}$", "")
+        .replaceAll("_v\\d+$", "")
       if (stem != key)
         Option(dest.getParentFile.listFiles()).foreach(_.foreach { f =>
           if (f.getName != key && !f.getName.contains(".tmp-") &&
             f.getName.matches(
-              java.util.regex.Pattern.quote(stem) + "_[0-9a-f]{12}"))
+              java.util.regex.Pattern.quote(stem) + "(_v\\d+)?_[0-9a-f]{12}"))
             rmTree(f)
         })
       dest.getPath
