@@ -7981,22 +7981,26 @@ object Oracle {
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
   """
 
-  // exact cosine, 9-dp-rounded rank key + neighbor-id tie-break,
-  // majority vote ties broken by (count desc, lang)
+  // exact cosine over the count-capped md5 holdout (P = ceil(n/256));
+  // 9-dp-rounded rank key + neighbor-id tie-break, majority vote ties
+  // broken by (count desc, lang); identical coin on both engines
   val mlKnnClassify: String = s"""
     WITH lab AS (SELECT e.vec_id, d.lang, e.embedding
       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
-    p AS (SELECT a.vec_id qid, b.vec_id nid, b.lang nlang,
+    cap AS (SELECT CAST(ceil(count(*) / 256.0) AS BIGINT) p FROM lab),
+    q AS (SELECT lab.* FROM lab, cap
+          WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % p = 0),
+    p AS (SELECT a.vec_id qid, a.lang qlang, b.vec_id nid, b.lang nlang,
         round($cosExpr, 9) c9
-      FROM lab a JOIN lab b ON a.vec_id <> b.vec_id),
-    r AS (SELECT qid, nlang, row_number() OVER
+      FROM q a JOIN lab b ON a.vec_id <> b.vec_id),
+    r AS (SELECT qid, qlang, nid, nlang, row_number() OVER
         (PARTITION BY qid ORDER BY c9 DESC, nid) rn FROM p),
-    v AS (SELECT qid, nlang, count(*) cnt FROM r WHERE rn <= 5
-          GROUP BY 1, 2),
-    w AS (SELECT qid, nlang pred, row_number() OVER
+    v AS (SELECT qid, qlang, nlang, count(*) cnt FROM r WHERE rn <= 5
+          GROUP BY 1, 2, 3),
+    w AS (SELECT qid, qlang, nlang pred, row_number() OVER
         (PARTITION BY qid ORDER BY cnt DESC, nlang) vr FROM v),
-    j AS (SELECT l.lang, w.pred FROM w JOIN lab l ON w.qid = l.vec_id
-          WHERE w.vr = 1)
+    j AS (SELECT qlang AS lang, pred FROM w WHERE vr = 1)
     SELECT lang, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
         AS n_correct,
@@ -9809,10 +9813,17 @@ object Oracle {
     FROM h GROUP BY 1 HAVING count(*) > 1 ORDER BY h
   """
 
-  // 0.1-wide bands on the 6-dp cosine; identical double floor math
+  // 0.1-wide bands on the 6-dp cosine over the count-capped md5
+  // id-sample (P = ceil(n/1500)); identical double floor math and
+  // identical coin on both engines
   val simCosineHistogram: String = s"""
-    WITH p AS (SELECT ROUND($cosExpr, 6) c6
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    WITH cap AS (SELECT CAST(ceil(count(*) / 1500.0) AS BIGINT) p
+                 FROM embeddings),
+    s AS (SELECT vec_id, embedding FROM embeddings, cap
+          WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % p = 0),
+    p AS (SELECT ROUND($cosExpr, 6) c6
+      FROM s a JOIN s b ON a.vec_id < b.vec_id)
     SELECT CAST(floor(c6 * 10) AS INTEGER) AS band,
       CAST(count(*) AS BIGINT) AS n_pairs
     FROM p GROUP BY 1 ORDER BY band
@@ -10200,5 +10211,38 @@ object Oracle {
     SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
     FROM bi JOIN top USING (a, b)
     GROUP BY 1 ORDER BY doc_id
+  """
+
+  // catalog statistics cross-check: the engine surfaces ANALYZE
+  // TABLE's stored rowCount/nullCount/min/max; a direct aggregation
+  // over the data must reproduce them exactly (ANALYZE's row count
+  // and integer min/max are exact, not sampled)
+  val scaleCboStats: String = """
+    SELECT 'customer' AS tbl, 'c_custkey' AS key_col,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(*) - count(c_custkey) AS BIGINT) AS n_nulls,
+      CAST(min(c_custkey) AS BIGINT) AS min_key,
+      CAST(max(c_custkey) AS BIGINT) AS max_key FROM customer
+    UNION ALL SELECT 'lineitem', 'l_orderkey', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(l_orderkey) AS BIGINT),
+      CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT)
+      FROM lineitem
+    UNION ALL SELECT 'nation', 'n_nationkey', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(n_nationkey) AS BIGINT),
+      CAST(min(n_nationkey) AS BIGINT), CAST(max(n_nationkey) AS BIGINT)
+      FROM nation
+    UNION ALL SELECT 'orders', 'o_orderkey', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(o_orderkey) AS BIGINT),
+      CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+      FROM orders
+    UNION ALL SELECT 'region', 'r_regionkey', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(r_regionkey) AS BIGINT),
+      CAST(min(r_regionkey) AS BIGINT), CAST(max(r_regionkey) AS BIGINT)
+      FROM region
+    UNION ALL SELECT 'supplier', 's_suppkey', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(s_suppkey) AS BIGINT),
+      CAST(min(s_suppkey) AS BIGINT), CAST(max(s_suppkey) AS BIGINT)
+      FROM supplier
+    ORDER BY tbl
   """
 }

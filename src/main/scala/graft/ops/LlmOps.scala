@@ -269,6 +269,15 @@ object LlmOps {
     * its local top-20 map-side and only G² × 20 candidate rows reach
     * the driver-side merge. The scale path for open-ended corpora is
     * the LSH-bucketed variant (sim_ann_lsh).
+    *
+    * QUADRATIC BY CONTRACT (round-14 scale probe: 85× time at 10×
+    * data — exactly the n² pair count): this op's declared output is
+    * the EXACT global top-20, the ground truth every ANN op's recall
+    * pin (LlmSpec, Round8Spec, Round12Spec) is measured against, so it
+    * cannot sample. At 100 TB a user runs sim_ann_lsh / sim_ann_ivf /
+    * sim_ann_pq (all linear probe shapes in this repo) and accepts
+    * their pinned recall; this baseline exists to CALIBRATE them on a
+    * slice.
     */
   def simCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

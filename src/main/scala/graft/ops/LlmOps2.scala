@@ -183,7 +183,12 @@ object LlmOps2 {
     * SRP-LSH operating point; see dedup_near_embedding_ann for the
     * sublinear approximate path) — spreads evenly across G² cells.
     * Result identity with the brute-force plan is asserted in
-    * Round5Spec.
+    * Round5Spec. QUADRATIC BY CONTRACT (round-14 scale probe: 62× at
+    * 10× data, tracking the n² dot-product count): this is the exact
+    * ground truth the ANN variant's recall pin (Round12Spec ≥ 0.8) is
+    * measured against, so it cannot sample or bucket; at open-ended
+    * scale a user runs dedup_near_embedding_ann / dedup_semantic_cluster
+    * and calibrates recall on a slice with this op.
     */
   def dedupNearEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

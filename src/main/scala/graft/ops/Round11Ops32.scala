@@ -78,16 +78,30 @@ object Round11Ops32 {
   }
 
   /** Pairwise-cosine histogram — the corpus-geometry audit before
-    * choosing any similarity threshold: all grid-join pairs (the
+    * choosing any similarity threshold: grid-join pairs (the
     * no-broadcast gridPairs shape) bucketed into 0.1-wide cosine
-    * bands by integer floor math on the 6-dp-rounded cosine. At
-    * open-ended scale the same histogram runs on a uniform id-sample;
-    * the plan shape is identical.
+    * bands by integer floor math on the 6-dp-rounded cosine.
+    *
+    * Round 14: the histogram runs on a COUNT-CAPPED uniform id sample
+    * — P = ceil(n/1500), keep ids whose md5-coin ≡ 0 (mod P) — so the
+    * pair volume is ~1500²/2 ≈ 1.1M at ANY corpus size. The 10×
+    * scale probe measured the previous all-pairs form at 78× for 10×
+    * data (quadratic by construction); a fixed-size uniform sample is
+    * the statistically right estimator for a distribution audit, and
+    * the cap makes the op linear (one count + one filtered scan)
+    * while P=1 at small SFs keeps it exhaustive there. The md5 coin
+    * is engine-portable, so the oracle draws the identical sample.
     */
   def simCosineHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = LlmOps.embeddingsWithNorm(spark, sfDir)
-    LlmOps.gridPairs(t, "vec_id", 8)
+    val cap = t.agg(ceil(count(lit(1)) / 1500.0).cast(LongType).as("p"))
+    val s = t.crossJoin(broadcast(cap))
+      .filter(pmod(expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"),
+        $"p") === 0)
+      .select($"vec_id", $"embedding", $"nrm")
+    LlmOps.gridPairs(s, "vec_id", 8)
       .withColumn("c6",
         round(LlmOps.dot($"embedding_a", $"embedding_b") /
           ($"nrm_a" * $"nrm_b"), 6))

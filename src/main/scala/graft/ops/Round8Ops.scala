@@ -86,7 +86,12 @@ object Round8Ops {
       .select($"vec_id", $"q", $"qn")
     // pair generation is the G×G grid SHUFFLE join (LlmOps.gridPairs)
     // — no corpus broadcast, and the top-50 is TakeOrderedAndProject
-    // so each cell keeps a local top-50 before the driver-side merge
+    // so each cell keeps a local top-50 before the driver-side merge.
+    // QUADRATIC BY CONTRACT (round-14 scale probe: 82× at 10× data):
+    // Round8Spec compares this top-50 pairwise against
+    // sim_cosine_topk's exact pairs (same pair universe required), so
+    // it cannot sample; it shares the exact-baseline role and the
+    // sim_ann_* family is the linear scale path.
     LlmOps.gridPairs(q, "vec_id", 8)
       .withColumn("q_dot", call_function("graft_dot", $"q_a", $"q_b"))
       .withColumn("q_cos", $"q_dot" / (sqrt($"qn_a") * sqrt($"qn_b")))

@@ -15,7 +15,17 @@ class Round11Spec11 extends AnyFunSuite with SparkFixture {
       .as[(String, Long, Long, Double)].collect()
     assert(rows.length === 5)
     val total = rows.map(_._2).sum
-    assert(total === Tables.embeddings(spark, sf).count())
+    // round 14: the op classifies a count-capped md5 holdout
+    // (P = ceil(n/256)); mirror the coin here so the spec pins the
+    // exact holdout size rather than assuming leave-one-out-over-all
+    val n = Tables.embeddings(spark, sf).count()
+    val p = math.ceil(n / 256.0).toLong
+    val expected = Tables.embeddings(spark, sf)
+      .filter(pmod(expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"),
+        lit(p)) === 0)
+      .count()
+    assert(total === expected)
     val acc = rows.map(_._3).sum.toDouble / total
     // synthetic embeddings cluster by language only weakly at
     // sf0.001 (measured 0.284); assert above the 0.2 chance floor
