@@ -186,9 +186,11 @@ object Bench {
     // stdout only — a stderr copy of the full map landed (head-truncated)
     // in the driver's tail window in round 2 and got in the parse's way;
     // the full per-query map lives in bench_full.json
+    // ASCII only: this line lands verbatim in the driver's captured
+    // tail and a multibyte dash renders as mojibake there
     println("NOTE: any executor stack traces above come from the " +
       "corrupt-file tolerance ops reading intentionally malformed " +
-      "inputs (source_ignore_corrupt, PERMISSIVE JSON parses) — " +
+      "inputs (source_ignore_corrupt, PERMISSIVE JSON parses) -- " +
       "rc=0 and no -1 seconds in the JSON line are the success signals.")
     println(line)
     spark.stop()

@@ -10245,4 +10245,68 @@ object Oracle {
       FROM supplier
     ORDER BY tbl
   """
+
+  // theta-method (theta=2) integer replay: rational OLS trend
+  // (num/den, all integers), alpha=1/2 SES as (s+z)//2 over the
+  // t-ordered theta-line numerators (// truncates toward zero exactly
+  // like Spark DIV), one double division at the end
+  val tsThetaForecast: String = """
+    WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) d,
+        CAST(sum(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) y
+      FROM events GROUP BY 1),
+    pts AS (SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d)
+        + 1 AS BIGINT) t, y FROM daily),
+    m AS (SELECT CAST(count(*) AS BIGINT) n,
+        CAST(sum(t) AS BIGINT) st, CAST(sum(y) AS BIGINT) sy,
+        CAST(sum(t * t) AS BIGINT) stt, CAST(sum(t * y) AS BIGINT) sty
+      FROM pts),
+    c AS (SELECT n, st, sy, n * sty - st * sy AS bnum,
+        n * stt - st * st AS bden,
+        n * (n * stt - st * st) AS den,
+        sy * (n * stt - st * st) - (n * sty - st * sy) * st AS c0
+      FROM m),
+    zs AS (SELECT t, 2 * y * den - (c0 + n * bnum * t) AS z
+      FROM pts, c),
+    rec AS (
+      SELECT CAST(1 AS BIGINT) i, (SELECT z FROM zs WHERE t = 1) s
+      UNION ALL
+      SELECT i + 1, (s + (SELECT z FROM zs WHERE t = rec.i + 1)) // 2
+      FROM rec WHERE i < (SELECT n FROM m)),
+    ses AS (SELECT s FROM rec WHERE i = (SELECT n FROM m))
+    SELECT h, round(CAST(s + c0 + n * bnum * (n + h) AS DOUBLE) /
+        (2.0 * CAST(den AS DOUBLE)), 6) AS forecast
+    FROM (SELECT unnest(range(1, 8)) AS h), ses, c
+    ORDER BY h
+  """
+
+  // rank-sum via value-domain histograms: 2U = 2*sum cx(v)*cy(w<v) +
+  // sum cx(v)*cy(v); exact pooled tie correction; the naive
+  // triangular join here mirrors the engine's bucket-offset shape
+  val analyticMannWhitneyU: String = """
+    WITH ev AS (SELECT event_type,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) v
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    h AS (SELECT v,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) cx,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS BIGINT) cy
+      FROM ev GROUP BY 1),
+    wb AS (SELECT CAST(sum(a.cx * b.cy) AS BIGINT) w_below
+           FROM h a JOIN h b ON b.v < a.v),
+    tt AS (SELECT CAST(sum(cx * cy) AS BIGINT) w_tie,
+        CAST(sum(cx) AS BIGINT) m, CAST(sum(cy) AS BIGINT) nn,
+        CAST(sum((cx + cy) * (cx + cy) * (cx + cy) - (cx + cy))
+          AS BIGINT) tcorr
+      FROM h)
+    SELECT m, nn AS n,
+      CAST(w_below * 2 + w_tie AS DOUBLE) / 2.0 AS u,
+      round((CAST(w_below * 2 + w_tie AS DOUBLE) / 2.0 -
+          CAST(m * nn AS DOUBLE) / 2.0) /
+        sqrt(CAST(m * nn AS DOUBLE) / 12.0 *
+          (CAST(m + nn + 1 AS DOUBLE) - CAST(tcorr AS DOUBLE) /
+            (CAST(m + nn AS DOUBLE) * CAST(m + nn - 1 AS DOUBLE)))), 6)
+        AS z
+    FROM wb, tt
+  """
 }

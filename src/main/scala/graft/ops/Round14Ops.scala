@@ -67,4 +67,107 @@ object Round14Ops {
       .toDF("tbl", "key_col", "n_rows", "n_nulls", "min_key", "max_key")
       .orderBy($"tbl")
   }
+
+  /** Theta-method 7-day forecast (θ = 2, Assimakopoulos & Nikolopoulos
+    * 2000) of daily revenue — the M3-winning baseline a metrics
+    * pipeline runs nightly. Exact integer math end to end: the OLS
+    * trend is kept RATIONAL (num_t / den with den = n·(n·Σt²−(Σt)²),
+    * all BIGINT), the θ=2 line's numerators z_t = 2·y_t·den − num_t
+    * fold through α=1/2 SES as s ← (s+z) div 2 (truncation toward
+    * zero — identical on both engines), and the single double
+    * division happens once at the end: ŷ(n+h) = (s + num_{n+h}) /
+    * (2·den), rounded 6dp. Magnitudes: |z| ≤ ~n²·Σ|y|·den-scale stays
+    * under 2⁶³ for daily revenue < ~10¹² cents — far past any real
+    * tenant. One groupBy(day) shuffle; the 30-row daily series folds
+    * in a single task (collect_list is calendar-bounded, the
+    * sanctioned window-free series shape).
+    */
+  def tsThetaForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum((money($"value") * 100).cast(LongType)).as("y"))
+    val d0 = daily.agg(min($"d").as("d0"))
+    val pts = daily.crossJoin(broadcast(d0))
+      .select((datediff($"d", $"d0") + 1).cast(LongType).as("t"), $"y")
+    val m = pts.agg(count(lit(1)).as("n"), sum($"t").as("st"),
+      sum($"y").as("sy"), sum($"t" * $"t").as("stt"),
+      sum($"t" * $"y").as("sty"))
+    // z_t numerators over the shared rational denominator den = n*bden
+    val z = pts.crossJoin(broadcast(m))
+      .select($"n", $"st", $"sy",
+        ($"n" * $"sty" - $"st" * $"sy").as("bnum"),
+        ($"n" * $"stt" - $"st" * $"st").as("bden"), $"t", $"y")
+      .select($"n", $"bnum", $"bden", ($"n" * $"bden").as("den"), $"t",
+        (lit(2) * $"y" * $"n" * $"bden" -
+          ($"sy" * $"bden" - $"bnum" * $"st" + $"n" * $"bnum" * $"t")).as("z"),
+        ($"sy" * $"bden" - $"bnum" * $"st").as("c0"))
+    // SES fold (alpha = 1/2) over the t-sorted z numerators
+    val folded = z.groupBy($"n", $"bnum", $"den", $"c0")
+      .agg(expr("array_sort(collect_list(struct(t, z)))").as("zs"))
+      .select($"n", $"bnum", $"den", $"c0",
+        expr("aggregate(slice(transform(zs, p -> p.z), 2, size(zs) - 1), " +
+          "transform(zs, p -> p.z)[0], (s, x) -> (s + x) DIV 2L)").as("ses"))
+    folded
+      .withColumn("h", explode(sequence(lit(1L), lit(7L))))
+      // num_{n+h} = c0 + n*bnum*(n+h); forecast = (ses + num)/(2 den)
+      .select($"h",
+        round(($"ses" + $"c0" + $"n" * $"bnum" * ($"n" + $"h"))
+          .cast(DoubleType) / (lit(2.0) * $"den".cast(DoubleType)), 6)
+          .as("forecast"))
+      .orderBy($"h")
+  }
+
+  /** Mann-Whitney U rank-sum test (purchase vs view event values) —
+    * the nonparametric A/B significance test, computed WITHOUT any
+    * global rank window: both samples reduce to value-domain
+    * histograms (distinct cent values, domain-bounded), 2U = 2·Σ
+    * cx(v)·cy(w<v) + Σ cx(v)·cy(v), and cy(w<v) comes from the
+    * ml_ks_test bucket-offset shape — a 128-wide bucket equi-join
+    * with the v-order check as residual plus a bucket×bucket offset
+    * join — so the pair work is nbuckets·128²/2, never domain²/2, and
+    * every join is hash-partitionable. The normal approximation
+    * applies the exact tie correction from the pooled tie counts. All
+    * counting is BIGINT; mean/variance/z are the only double ops,
+    * identical on both engines, rounded 6dp.
+    */
+  def analyticMannWhitneyU(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, sfDir)
+      .filter($"event_type".isin("purchase", "view"))
+      .select($"event_type", (money($"value") * 100).cast(LongType).as("v"))
+    val hist = ev.groupBy($"v")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("cx"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("cy"))
+      .withColumn("bkt", expr("v DIV 128"))
+    val btot = hist.groupBy($"bkt").agg(sum($"cy").as("bcy"))
+    val offs = btot.as("a")
+      .join(btot.as("b"), col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.bcy")), lit(0L)).as("cyoff"))
+    val cyin = hist.as("a")
+      .join(hist.as("b"),
+        col("a.bkt") === col("b.bkt") && col("b.v") < col("a.v"), "left")
+      .groupBy(col("a.v").as("v"), col("a.cx").as("cx"), col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.cy")), lit(0L)).as("cyin"))
+    val below = cyin.join(offs, "bkt")
+      .agg(sum($"cx" * ($"cyin" + $"cyoff")).as("w_below"))
+    val ties = hist.agg(sum($"cx" * $"cy").as("w_tie"),
+      sum($"cx").as("m"), sum($"cy").as("nn"),
+      // pooled tie correction: sum over values of (t^3 - t), t = cx+cy
+      sum(($"cx" + $"cy") * ($"cx" + $"cy") * ($"cx" + $"cy") -
+        ($"cx" + $"cy")).as("tcorr"))
+    below.crossJoin(broadcast(ties))
+      .select(
+        $"m", $"nn".as("n"),
+        (($"w_below" * 2 + $"w_tie").cast(DoubleType) / 2.0).as("u"),
+        round(
+          (($"w_below" * 2 + $"w_tie").cast(DoubleType) / 2.0 -
+            ($"m" * $"nn").cast(DoubleType) / 2.0) /
+          sqrt(($"m" * $"nn").cast(DoubleType) / 12.0 *
+            ((($"m" + $"nn" + 1)).cast(DoubleType) -
+              $"tcorr".cast(DoubleType) /
+                (($"m" + $"nn").cast(DoubleType) *
+                 ($"m" + $"nn" - 1).cast(DoubleType)))), 6).as("z"))
+  }
 }

@@ -317,6 +317,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "ml_gain_lift" -> "10-decile rollup triangular join",
       "ml_gini_split" -> "threshold grid (24 hours) x class rollup",
       "ml_ks_test" -> "value-domain bucket ECDF offsets triangular join",
+      "analytic_mann_whitney_u" -> "value-domain bucket offsets triangular join (ml_ks_test shape)",
       "ml_threshold_sweep" -> "score-bin rollup triangular join (fixed bin count)",
       "pipeline_cross_source_overlap" -> "source-pair grid (~20 sources, feed-count bounded)",
       "text_style_similarity" -> "source-profile pair grid (~20 sources)",

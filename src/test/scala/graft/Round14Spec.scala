@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Round14Ops
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 widening: CBO stats surface, theta forecast,
+  * Mann-Whitney U. */
+class Round14Spec extends AnyFunSuite with SparkFixture {
+
+  test("cbo stats: catalog row counts equal direct counts") {
+    import spark.implicits._
+    val rows = Round14Ops.scaleCboStats(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.length === 6)
+    rows.foreach { case (tbl, _, nRows, nNulls, minK, maxK) =>
+      assert(nRows === Tables(spark, sf, tbl).count(), s"$tbl row count")
+      assert(nNulls === 0L)
+      assert(minK === 0L, s"$tbl min key")
+      // lineitem's stats column (l_orderkey) is a FOREIGN key — its
+      // max is the orders key span, not the lineitem row count
+      if (tbl != "lineitem")
+        assert(maxK === nRows - 1, s"$tbl keys contiguous 0..n-1")
+    }
+  }
+
+  test("theta forecast: 7 horizons, finite, and continuous with the series scale") {
+    import spark.implicits._
+    val f = Round14Ops.tsThetaForecast(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(f.map(_._1).toSeq === (1L to 7L))
+    // daily revenue is positive and roughly stationary; the theta
+    // forecast must stay within an order of magnitude of the daily
+    // mean (catches sign/derivation errors without pinning values)
+    val dailyMean = Tables.events(spark, sf)
+      .groupBy(to_date($"ts")).agg(sum($"value").as("y"))
+      .agg(avg($"y")).as[Double].head()
+    f.foreach { case (h, v) =>
+      assert(v.isFinite && v > 0, s"h=$h forecast $v")
+      assert(v > dailyMean * 100 * 0.2 && v < dailyMean * 100 * 5,
+        s"h=$h forecast $v vs daily-mean cents ${dailyMean * 100}")
+    }
+  }
+
+  test("mann-whitney: U within [0, m*n] and z matches the brute-force pair count") {
+    import spark.implicits._
+    val Array((m, n, u, z)) = Round14Ops.analyticMannWhitneyU(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(u >= 0 && u <= m.toDouble * n, s"U=$u outside [0, ${m * n}]")
+    assert(z.isFinite)
+    // brute-force 2U on the same values (small at spec SF)
+    val ev = Tables.events(spark, sf)
+      .filter($"event_type".isin("purchase", "view"))
+      .select($"event_type", (Tables.money($"value") * 100).cast("long").as("v"))
+      .as[(String, Long)].collect()
+    val xs = ev.filter(_._1 == "purchase").map(_._2)
+    val ys = ev.filter(_._1 == "view").map(_._2)
+    var twoU = 0L
+    for (x <- xs; y <- ys) {
+      if (x > y) twoU += 2 else if (x == y) twoU += 1
+    }
+    assert(u === twoU / 2.0, s"bucketed U=$u vs brute-force ${twoU / 2.0}")
+  }
+}
