@@ -10309,4 +10309,64 @@ object Oracle {
         AS z
     FROM wb, tt
   """
+
+  // four exact integer cells; OR and Woolf log-CI are the only double
+  // math, same expression shape on both engines
+  val analyticOddsRatio: String = """
+    WITH cells AS (SELECT
+        CAST(sum(CASE WHEN event_type = 'purchase' AND hi THEN 1 ELSE 0 END) AS BIGINT) a,
+        CAST(sum(CASE WHEN event_type = 'purchase' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) b,
+        CAST(sum(CASE WHEN event_type = 'view' AND hi THEN 1 ELSE 0 END) AS BIGINT) c,
+        CAST(sum(CASE WHEN event_type = 'view' AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) d
+      FROM (SELECT event_type,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) >= 5000 hi
+        FROM events WHERE event_type IN ('purchase', 'view')))
+    SELECT a, b, c, d,
+      round(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6) AS odds_ratio,
+      round(exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)) -
+        1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6) AS ci_lo,
+      round(exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)) +
+        1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6) AS ci_hi
+    FROM cells
+  """
+
+  // int-scaled vectors, BIGINT centroid sums (order-free), sequential
+  // list_dot_product == Spark's aggregate-over-zip_with fold, argmax
+  // tie-broken by language — engine-identical predictions
+  val mlPermutationImportance: String = """
+    WITH lab AS (SELECT e.vec_id, d.lang,
+        list_transform(e.embedding::DOUBLE[],
+          x -> CAST(round(x * 10000000.0) AS BIGINT)) xi
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    nn AS (SELECT count(*) n FROM lab),
+    don AS (SELECT a.vec_id, a.lang, a.xi, b.xi xj
+      FROM lab a JOIN lab b
+        ON b.vec_id = (a.vec_id + 1) % (SELECT n FROM nn)),
+    cent AS (SELECT lang, i, CAST(sum(xi[i]) AS BIGINT) s
+      FROM lab, (SELECT unnest(range(1, 65)) i) ii GROUP BY 1, 2),
+    cl AS (SELECT lang, list(s ORDER BY i) c FROM cent GROUP BY 1),
+    clw AS (SELECT lang clang, c,
+        sqrt(list_dot_product(c::DOUBLE[], c::DOUBLE[])) nrm FROM cl),
+    var AS (SELECT vec_id, lang, v,
+        list_transform(range(0, 64), ii -> CASE
+          WHEN v > 0 AND ii // 16 = v - 1 THEN xj[CAST(ii + 1 AS INTEGER)]
+          ELSE xi[CAST(ii + 1 AS INTEGER)] END) xv
+      FROM don, (SELECT unnest(range(0, 5)) v) vv),
+    sc AS (SELECT vec_id, lang, v, clang,
+        list_dot_product(xv::DOUBLE[], c::DOUBLE[]) / nrm score
+      FROM var, clw),
+    pred AS (SELECT vec_id, lang, v, clang,
+        row_number() OVER (PARTITION BY v, vec_id
+          ORDER BY score DESC, clang) rn FROM sc),
+    acc AS (SELECT v, CAST(count(*) AS BIGINT) n,
+        CAST(sum(CASE WHEN clang = lang THEN 1 ELSE 0 END) AS BIGINT) nc
+      FROM pred WHERE rn = 1 GROUP BY 1),
+    base AS (SELECT CAST(nc AS DOUBLE) / n b FROM acc WHERE v = 0)
+    SELECT CASE WHEN v = 0 THEN 'base'
+        ELSE concat('block', CAST(v - 1 AS VARCHAR)) END AS variant,
+      n, nc AS n_correct,
+      round(CAST(nc AS DOUBLE) / n, 6) AS accuracy,
+      round(b - CAST(nc AS DOUBLE) / n, 6) AS importance
+    FROM acc, base ORDER BY variant
+  """
 }

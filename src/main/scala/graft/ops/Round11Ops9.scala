@@ -155,14 +155,19 @@ object Round11Ops9 {
   }
 
   /** Subsample stability band for the mean event value (m-out-of-n
-    * bootstrap, B = 32): replica b keeps rows whose md5(event_id:b)
-    * 24-bit draw falls below 2²³ (~half), each replica mean is exact
-    * integer cents over a count, and the band is explicit order
-    * statistics (2nd / 31st of 32) — fully deterministic error bars,
-    * no RNG state. Corpus cost: ONE pass over a 32× row explosion
-    * with map-side partial aggregation; shuffle is 32·|types| rows.
-    * The honest answer to "how stable is this metric" at scales where
-    * true resampling is unaffordable.
+    * bootstrap, B = 32): replica b keeps rows whose 24-bit md5 draw
+    * falls below 2²³ (~half), each replica mean is exact integer
+    * cents over a count, and the band is explicit order statistics
+    * (2nd / 31st of 32) — fully deterministic error bars, no RNG
+    * state. Corpus cost: ONE pass over a 32× row explosion with
+    * map-side partial aggregation; shuffle is 32·|types| rows.
+    *
+    * Round-14 A/B note: two "fewer md5 calls" rewrites (five 24-bit
+    * windows per digest via nested transform HOFs, with and without a
+    * pre-explode keep-list) both measured SLOWER (2.6 s and 4.8 s vs
+    * 2.4 s isolated) — the interpreted HOF evaluation costs more than
+    * the 3.2 M codegen'd md5 calls it saves. Kept as the simple
+    * exploded form deliberately.
     */
   def mlSubsampleCi(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

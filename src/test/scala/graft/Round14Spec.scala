@@ -42,6 +42,36 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("odds ratio: cells partition the filtered events and the CI brackets the OR") {
+    import spark.implicits._
+    val Array((a, b, c, d, or, lo, hi)) =
+      graft.ops.Round14Ops2.analyticOddsRatio(spark, sf)
+        .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    val total = Tables.events(spark, sf)
+      .filter($"event_type".isin("purchase", "view")).count()
+    assert(a + b + c + d === total, "2x2 cells must partition the events")
+    assert(lo < or && or < hi, s"CI [$lo, $hi] must bracket OR $or")
+    assert(lo > 0, "Woolf CI is positive by construction")
+  }
+
+  test("permutation importance: base row present, permuted accuracy <= base + noise") {
+    import spark.implicits._
+    val rows = graft.ops.Round14Ops2.mlPermutationImportance(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq ===
+      Seq("base", "block0", "block1", "block2", "block3"))
+    val base = rows.find(_._1 == "base").get
+    assert(base._5 === 0.0, "base importance is zero by definition")
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach { case (v, nr, nc, acc, imp) =>
+      assert(nr === n, s"$v classifies every vector")
+      assert(nc >= 0 && nc <= nr && acc >= 0 && acc <= 1)
+      // a permuted block can only help by chance; allow a small
+      // negative-importance noise band rather than pinning values
+      if (v != "base") assert(imp > -0.15, s"$v importance $imp")
+    }
+  }
+
   test("mann-whitney: U within [0, m*n] and z matches the brute-force pair count") {
     import spark.implicits._
     val Array((m, n, u, z)) = Round14Ops.analyticMannWhitneyU(spark, sf)
