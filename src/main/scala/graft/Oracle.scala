@@ -10330,6 +10330,22 @@ object Oracle {
     FROM cells
   """
 
+  // apriori L3: exact triple counts from the bounded-width in-basket
+  // self-join at the binary-exact 1/256 ceil threshold
+  val mlFpmFrequentTriples: String = """
+    WITH b AS (SELECT DISTINCT l_orderkey o, p_brand i
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+    th AS (SELECT CAST(ceil(0.00390625 * count(DISTINCT o)) AS BIGINT) t
+           FROM b),
+    s3 AS (SELECT a.i item1, c.i item2, e.i item3, count(*) freq
+           FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+                    JOIN b e ON a.o = e.o AND c.i < e.i
+           GROUP BY 1, 2, 3)
+    SELECT item1, item2, item3, CAST(freq AS BIGINT) AS freq
+    FROM s3, th WHERE freq >= t
+    ORDER BY item1, item2, item3
+  """
+
   // int-scaled vectors, BIGINT centroid sums (order-free), sequential
   // list_dot_product == Spark's aggregate-over-zip_with fold, argmax
   // tie-broken by language — engine-identical predictions

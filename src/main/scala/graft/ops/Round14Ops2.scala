@@ -40,6 +40,33 @@ object Round14Ops2 {
       round(exp(log(or) + lit(1.96) * se), 6).as("ci_hi"))
   }
 
+  /** Frequent 3-itemsets over order→brand baskets at 1/256 support
+    * (binary-exact; 1/64 — the pair tier's threshold — leaves the L3
+    * tier empty at every SF) — the apriori L3 tier. The
+    * in-basket triple self-join's per-basket fan-out is bounded by
+    * basket width (≤7 brands/order ⟹ ≤35 triples), shuffled on basket
+    * id, so the census is linear in baskets at any scale; counts are
+    * exact and the ceil threshold is binary-exact. Extends the
+    * pair census honestly where FP-Growth's tree machinery would
+    * still be overkill (bounded itemset size).
+    */
+  def mlFpmFrequentTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = lineitem(spark, sfDir)
+      .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("o"), $"p_brand".as("i")).distinct()
+    val th = b.agg(ceil(lit(0.00390625) * countDistinct($"o")).as("t"))
+    val s3 = b.as("a")
+      .join(b.as("c"), $"a.o" === $"c.o" && $"a.i" < $"c.i")
+      .join(b.as("e"), $"a.o" === $"e.o" && $"c.i" < $"e.i")
+      .groupBy($"a.i", $"c.i", $"e.i").agg(count(lit(1)).as("freq"))
+      .select($"a.i".as("item1"), $"c.i".as("item2"), $"e.i".as("item3"), $"freq")
+    s3.crossJoin(broadcast(th))
+      .filter($"freq" >= $"t")
+      .select($"item1", $"item2", $"item3", $"freq")
+      .orderBy($"item1", $"item2", $"item3")
+  }
+
   /** Deterministic permutation feature importance over the embedding
     * corpus, centroid-classifier target: accuracy is measured with
     * each 16-dim feature BLOCK replaced by the cyclic donor's
