@@ -10346,6 +10346,19 @@ object Oracle {
     ORDER BY item1, item2, item3
   """
 
+  // Misra-Gries no-false-negative guarantee makes the verified output
+  // exactly the true heavy hitters: a direct HAVING mirrors it
+  val aggMisraGriesTopk: String = """
+    WITH b AS (SELECT p_brand FROM lineitem
+               JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT count(*) nt FROM b)
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+      CAST(nt AS BIGINT) AS n_total
+    FROM b, n GROUP BY p_brand, nt
+    HAVING count(*) * 32 > nt
+    ORDER BY p_brand
+  """
+
   // int-scaled vectors, BIGINT centroid sums (order-free), sequential
   // list_dot_product == Spark's aggregate-over-zip_with fold, argmax
   // tie-broken by language — engine-identical predictions

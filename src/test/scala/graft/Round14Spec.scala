@@ -72,6 +72,37 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("misra-gries: eviction path keeps the guarantee on a skewed stream") {
+    import spark.implicits._
+    // 1 key with 50% of the mass + 1000 singleton tail keys, k = 8 —
+    // cardinality >> k forces constant eviction, the path the
+    // uniform-corpus op never exercises
+    val stream = (Seq.fill(1000)("heavy") ++ (0 until 1000).map(i => s"t$i"))
+    val ds = spark.createDataset(stream).repartition(8)
+    val mg = new graft.ops.Round14Ops3.MisraGries(8)
+    val cands = ds.select(mg.toColumn.name("c")).head()
+    // no-false-negative: any key above N/(k+1) = 2000/9 ≈ 222 must
+    // survive every reduce/merge order
+    assert(cands.contains("heavy"), s"heavy key evicted: $cands")
+    assert(cands.size <= 8, s"summary exceeded k: ${cands.size}")
+  }
+
+  test("misra-gries topk op: output equals the exact heavy-hitter census") {
+    import spark.implicits._
+    val rows = graft.ops.Round14Ops3.aggMisraGriesTopk(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val exact = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand").agg(count(lit(1)).as("n"))
+      .crossJoin(Tables.lineitem(spark, sf)
+        .join(Tables.part(spark, sf), $"l_partkey" === $"p_partkey")
+        .agg(count(lit(1)).as("nt")))
+      .filter($"n" * 32 > $"nt")
+      .select($"p_brand").as[String].collect().sorted
+    assert(rows.map(_._1).toSeq === exact.toSeq)
+    assert(rows.nonEmpty, "uniform brand distribution must still clear 1/32")
+  }
+
   test("mann-whitney: U within [0, m*n] and z matches the brute-force pair count") {
     import spark.implicits._
     val Array((m, n, u, z)) = Round14Ops.analyticMannWhitneyU(spark, sf)
