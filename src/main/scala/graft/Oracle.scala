@@ -10346,6 +10346,40 @@ object Oracle {
     ORDER BY item1, item2, item3
   """
 
+  // BH step-up in z-space against precomputed two-sided critical
+  // values (no erf on either engine); exact decimal moments feed the
+  // Welch z exactly as the engine side does
+  val analyticFdrBh: String = """
+    WITH mom AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT)) s,
+        sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) *
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT)) ss
+      FROM events GROUP BY 1),
+    m2 AS (SELECT event_type, n,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) m,
+        (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) -
+         CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) v
+      FROM mom),
+    p AS (SELECT a.event_type ta, b.event_type tb,
+        (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) z
+      FROM m2 a JOIN m2 b ON a.event_type < b.event_type),
+    r AS (SELECT ta, tb, z,
+        row_number() OVER (ORDER BY abs(z) DESC, ta, tb) rn FROM p),
+    c AS (SELECT ta, tb, z, rn,
+        list_extract([2.807034, 2.575829, 2.432379, 2.326348, 2.241403,
+                      2.170090, 2.108358, 2.053749, 2.004654, 1.959964],
+                     CAST(rn AS INTEGER)) crit
+      FROM r),
+    im AS (SELECT max(CASE WHEN abs(z) >= crit THEN rn ELSE 0 END) imax
+           FROM c)
+    SELECT ta AS type_a, tb AS type_b, round(z, 6) AS z,
+      CAST(rn AS BIGINT) AS bh_rank,
+      round(CAST(crit AS DOUBLE), 6) AS crit_z,
+      CAST(CASE WHEN rn <= imax THEN 1 ELSE 0 END AS BIGINT) AS reject
+    FROM c, im ORDER BY type_a, type_b
+  """
+
   // Misra-Gries no-false-negative guarantee makes the verified output
   // exactly the true heavy hitters: a direct HAVING mirrors it
   val aggMisraGriesTopk: String = """

@@ -51,6 +51,53 @@ object Round14Ops3 {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
+  /** Benjamini-Hochberg FDR control over the C(5,2) = 10 pairwise
+    * Welch z-tests between event-type mean values — the
+    * multiple-testing correction an experimentation pipeline applies
+    * before reading any per-pair "significant". No normal CDF is
+    * evaluated (libm erf differs between engines): the BH step-up rule
+    * p(i) ≤ α·i/m is applied in z-space against the 10 PRECOMPUTED
+    * two-sided critical values Φ⁻¹(1 − α·i/(2m)) at α = 0.05, embedded
+    * as shared literals. z comes from exact DECIMAL cent moments (the
+    * welch_ttest recipe); ranking the 10 tests is the window-free
+    * collect → array_sort → posexplode shape, and the step-up cut
+    * (reject ALL ranks ≤ the largest passing rank) is an array fold —
+    * the per-pair moments are the only corpus-scale work: one grouped
+    * pass. Output: per pair, z, BH rank, critical value, 0/1 reject.
+    */
+  def analyticFdrBh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val crit = "array(2.807034D, 2.575829D, 2.432379D, 2.326348D, " +
+      "2.241403D, 2.170090D, 2.108358D, 2.053749D, 2.004654D, 1.959964D)"
+    val mom = events(spark, sfDir)
+      .select($"event_type", (money($"value") * 100).cast(DecimalType(38, 0)).as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+        sum(($"c" * $"c").cast(DecimalType(38, 0))).as("ss"))
+      .select($"event_type", $"n",
+        ($"s".cast(DoubleType) / $"n".cast(DoubleType)).as("m"),
+        // unbiased sample variance from exact moments
+        (($"n".cast(DoubleType) * $"ss".cast(DoubleType) -
+          $"s".cast(DoubleType) * $"s".cast(DoubleType)) /
+          ($"n".cast(DoubleType) * ($"n" - 1).cast(DoubleType))).as("v"))
+    val pairs = mom.as("a").join(mom.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        ((col("a.m") - col("b.m")) /
+          sqrt(col("a.v") / col("a.n") + col("b.v") / col("b.n"))).as("z"))
+    pairs
+      .agg(expr("array_sort(collect_list(struct(-abs(z) AS na, ta, tb, z)))").as("arr"))
+      .withColumn("imax", expr(
+        s"array_max(transform(arr, (x, i) -> " +
+        s"IF(-x.na >= element_at($crit, i + 1), i + 1, 0)))"))
+      .select($"imax", posexplode($"arr").as(Seq("i0", "p")))
+      .select($"p.ta".as("type_a"), $"p.tb".as("type_b"),
+        round($"p.z", 6).as("z"), ($"i0" + 1).as("bh_rank"),
+        round(element_at(expr(crit), ($"i0" + 1).cast(IntegerType)), 6).as("crit_z"),
+        when($"i0" + 1 <= $"imax", 1L).otherwise(0L).as("reject"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Exact heavy hitters via Misra-Gries candidate generation
     * (k = 31): pass 1 folds the corpus into one O(k)-state mergeable
     * summary per partition (no groupBy over the full key domain —

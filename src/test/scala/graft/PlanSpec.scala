@@ -314,6 +314,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "analytic_top_share_concentration" -> "value-domain bucket offsets triangular join",
       "analytic_welch_ttest" -> "two segment aggregate rows cross-joined",
       "ml_effect_size" -> "event-type pair grid (5 types)",
+      "analytic_fdr_bh" -> "event-type pair grid (5 types) + 10-row BH fold",
       "ml_gain_lift" -> "10-decile rollup triangular join",
       "ml_gini_split" -> "threshold grid (24 hours) x class rollup",
       "ml_ks_test" -> "value-domain bucket ECDF offsets triangular join",
