@@ -9983,7 +9983,7 @@ object Oracle {
 
   // integer rect algebra; IoU >= 0.3 ⟺ 13·inter >= 3·areas
   val multimodalBboxIou: String = """
-    WITH boxes AS (SELECT event_id, CAST(ts AS DATE) d,
+    WITH boxes AS (SELECT event_id, CAST(ts AS DATE) d, user_id,
         CAST(event_id % 80 AS BIGINT) x,
         CAST((event_id * 7) % 80 AS BIGINT) y,
         CAST((event_id * 13) % 20 + 5 AS BIGINT) w,
@@ -9996,7 +9996,8 @@ object Oracle {
           iy,
         a.w * a.h area_a, b.w * b.h area_b
       FROM boxes a JOIN boxes b
-        ON a.d = b.d AND a.event_id < b.event_id),
+        ON a.d = b.d AND a.user_id = b.user_id
+          AND a.event_id < b.event_id),
     q AS (SELECT d, ix * iy inter, area_a + area_b areas FROM p)
     SELECT CASE WHEN inter = 0 THEN 'disjoint'
         WHEN inter * 13 >= areas * 3 THEN 'overlap_30plus'

@@ -106,6 +106,14 @@ object Round10Ops4 {
     * per-pair cost; both engines implement the same Wagner-Fischer
     * distance). Pairs at distance ≤ 25 survive. Block keys shuffle-
     * partition the corpus; nothing is broadcast.
+    *
+    * OUTPUT-BOUND at 10× (round-14 probe: 32× time, but the PAIR
+    * OUTPUT grew 74× — this word-soup corpus saturates the
+    * (lang, token, length) block keys, so block populations grow with
+    * the corpus and matching pairs quadratically). Time per output
+    * pair FELL 2×: the plan scales; the block-key cardinality is the
+    * knob (production blocking adds a content shingle to the key so
+    * blocks stay data-bounded).
     */
   def dedupBlockingEdit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

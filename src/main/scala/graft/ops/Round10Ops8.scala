@@ -19,6 +19,15 @@ object Round10Ops8 {
     * two, so x/r is an exact double multiply and both engines bucket
     * identically. Output is each part's neighbor count — pair volume
     * is density-bounded per cell at any corpus size.
+    *
+    * DENSITY-BOUND (round-14 10× probe: 79×): this synthetic plane
+    * has FIXED extent, so 10× points is 10× density and the true
+    * neighbor count per point — the op's own output — grows 10× with
+    * it; candidate work tracks Σ cell² = Θ(n·density), within the
+    * constant 9-cell factor of the true pair count, so the PLAN is
+    * optimal for the semantics. A real spatial corpus at 100 TB grows
+    * its extent (more cells), not its density, and this same plan is
+    * then linear.
     */
   def joinSpatialGrid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -104,22 +104,28 @@ object Round11Ops34 {
 
   /** Bounding-box IoU census — the detection-dedup primitive of a
     * vision pipeline, on deterministic synthetic boxes (hash-derived
-    * integer rects per error event). Pairs form within a (day)
-    * frame only — the natural blocking key — and IoU is pure integer
+    * integer rects per error event). Pairs form within a
+    * (day, user) FRAME only — the detection unit, and the blocking
+    * key that scales: round-14's 10× probe measured the previous
+    * per-DAY blocking at 22× (days are a FIXED 30, so per-day
+    * populations — and the pair count — grow quadratically with the
+    * corpus; frames grow WITH the corpus, keeping boxes-per-frame
+    * bounded and the census linear). IoU is pure integer
     * intersection/union algebra with ONE final division. Overlap
-    * bands count how crowded each day's detections are.
+    * bands count how crowded each frame's detections are.
     */
   def multimodalBboxIou(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val boxes = events(spark, sfDir)
       .filter($"event_type" === "error")
-      .select($"event_id", to_date($"ts").as("d"),
+      .select($"event_id", to_date($"ts").as("d"), $"user_id",
         pmod($"event_id", lit(80)).cast(LongType).as("x"),
         pmod($"event_id" * 7, lit(80)).cast(LongType).as("y"),
         (pmod($"event_id" * 13, lit(20)) + 5).cast(LongType).as("w"),
         (pmod($"event_id" * 29, lit(20)) + 5).cast(LongType).as("h"))
     val pairs = boxes.as("a").join(boxes.as("b"),
-        col("a.d") === col("b.d") && col("a.event_id") < col("b.event_id"))
+        col("a.d") === col("b.d") && col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id"))
       .select(col("a.d").as("d"),
         greatest(lit(0L),
           least(col("a.x") + col("a.w"), col("b.x") + col("b.w")) -

@@ -211,7 +211,12 @@ object Round12Ops {
     * the artifact self-joined on cell id. (v3 widened the artifact to
     * top-3 because top-2 recall measured 0.61 vs the 0.8 floor; the
     * rn filter below restates the intended cut explicitly rather than
-    * inheriting it from the artifact contents.)
+    * inheriting it from the artifact contents.) Round-14 10× probe:
+    * 10.7× — the 16 coarse cells are FIXED here, so cell populations
+    * (and Σ cell² pair work) grow with the corpus; production sizes
+    * nCent ∝ √n, which keeps per-cell population — and this plan —
+    * flat. 16 is kept at test scale so the recall pin's geometry
+    * stays comparable across SFs.
     */
   private[graft] def semanticPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
