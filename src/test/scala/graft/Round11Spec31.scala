@@ -52,16 +52,18 @@ class Round11Spec31 extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("bbox IoU: bands partition all same-day pairs") {
+  test("bbox IoU: bands partition all same-frame pairs") {
     import spark.implicits._
     val rows = Round11Ops34.multimodalBboxIou(spark, sf)
       .as[(String, Long)].collect()
     assert(rows.nonEmpty)
-    val perDay = Tables.events(spark, sf)
+    // round 14: the frame (blocking key) is (day, user) — per-DAY
+    // populations grow with the corpus and made the census quadratic
+    val perFrame = Tables.events(spark, sf)
       .filter($"event_type" === "error")
-      .groupBy(to_date($"ts")).count()
-      .as[(java.sql.Date, Long)].collect()
-    val expectedPairs = perDay.map { case (_, n) => n * (n - 1) / 2 }.sum
+      .groupBy(to_date($"ts"), $"user_id").count()
+      .select($"count").as[Long].collect()
+    val expectedPairs = perFrame.map(n => n * (n - 1) / 2).sum
     assert(rows.map(_._2).sum === expectedPairs)
     assert(rows.map(_._1).toSet.subsetOf(
       Set("disjoint", "overlap_30plus", "touch_under_30")))
