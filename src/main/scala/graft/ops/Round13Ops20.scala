@@ -28,7 +28,18 @@ object Round13Ops20 {
     val cents = spark.read.parquet(s"$path/centroids")
     val assigned = spark.read.parquet(s"$path/assign")
       .filter($"rn" === 1).drop("rn")
-    val probes = assigned.filter(pmod($"vec_id", lit(16)) === 5)
+    // COUNT-CAPPED probe set (round-14 scale probe: the original
+    // 1-in-16 FRACTION made probes grow with the corpus, so the
+    // nprobe=16 full-scan leg was n²/16 — 19.9× at 10× data; a fixed
+    // ~128-probe panel is what a serving-time tuning sweep actually
+    // uses, and the pairs leg becomes 128·n, linear). Same md5 coin
+    // as sim_cosine_histogram; deterministic at every scale.
+    val cap = assigned.agg(
+      ceil(count(lit(1)) / 128.0).cast(LongType).as("p"))
+    val probes = assigned.crossJoin(broadcast(cap))
+      .filter(pmod(expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"),
+        $"p") === 0)
       .select($"vec_id".as("qid"), $"embedding".as("pe"), $"nrm".as("pn"))
     // cell rank per (probe, cell): how many cells must be probed
     // before this cell is scanned

@@ -594,6 +594,16 @@ object Round8Ops {
     * adding a metric adds zero new shuffle structure. d² is compared
     * raw (monotone in d, no sqrt in the hot loop); sqrt + round only
     * on the 50 survivors.
+    *
+    * Round 14: pair generation moved onto the shared G×G grid SHUFFLE
+    * join (LlmOps.gridPairs) — the original `broadcast(corpus)` pair
+    * join was the one remaining corpus-sized forced broadcast in the
+    * sim family (the scale probe flagged it at 27.9× for 10× data,
+    * and at 100 TB it simply doesn't ship). Identical all-pairs
+    * semantics, identical output; the top-50 is TakeOrderedAndProject
+    * (per-cell top-k map-side). Like sim_cosine_topk this remains the
+    * QUADRATIC-BY-CONTRACT exact baseline; sim_ann_* are the linear
+    * path.
     */
   def simEuclideanTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -604,12 +614,9 @@ object Round8Ops {
     val t = embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".as("e"))
       .withColumn("n2", call_function("graft_dot", $"e", $"e"))
-    val a = t.repartition(col("vec_id"))
-      .select($"vec_id".as("id_a"), $"e".as("ea"), $"n2".as("na"))
-    val b = t.select($"vec_id".as("id_b"), $"e".as("eb"), $"n2".as("nb"))
-    a.join(broadcast(b), $"id_a" < $"id_b")
+    LlmOps.gridPairs(t, "vec_id", 8)
       .withColumn("d2",
-        $"na" + $"nb" - lit(2.0) * call_function("graft_dot", $"ea", $"eb"))
+        $"n2_a" + $"n2_b" - lit(2.0) * call_function("graft_dot", $"e_a", $"e_b"))
       .orderBy($"d2".asc, $"id_a", $"id_b")
       .limit(50)
       .select($"id_a", $"id_b", round(sqrt($"d2"), 6).as("l2_dist"))

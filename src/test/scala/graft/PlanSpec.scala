@@ -281,7 +281,6 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "sim_ann_ivf" -> "1 probe vs 16-row centroid table (limit nProbe cells)",
       "sim_ann_pq" -> "k-row codebook + 1 probe by literal vec_id filter",
       "sim_borda_fusion" -> "1 probe by literal vec_id filter; fused lists limit 20",
-      "sim_euclidean_topk" -> "literal vec_id slice pair join, limit 50",
       "sim_hamming_topk" -> "literal-filtered probe signature set broadcast",
       "sim_hybrid_rrf" -> "1 probe by literal vec_id filter; both lists limit k",
       "sim_knn_batch" -> "8 probes by literal vec_id filter",
