@@ -10266,12 +10266,18 @@ object Oracle {
         n * (n * stt - st * st) AS den,
         sy * (n * stt - st * st) - (n * sty - st * sy) * st AS c0
       FROM m),
-    zs AS (SELECT t, 2 * y * den - (c0 + n * bnum * t) AS z
+    zs AS (SELECT row_number() OVER (ORDER BY t) ri, t,
+        2 * y * den - (c0 + n * bnum * t) AS z
       FROM pts, c),
     rec AS (
-      SELECT CAST(1 AS BIGINT) i, (SELECT z FROM zs WHERE t = 1) s
+      -- recurse on the DENSE rank ri, not raw t: a day with zero
+      -- events would leave a gap in t and make the t-indexed lookup
+      -- return NULL (nulling every forecast) while the Spark side
+      -- folds the actual sorted t-list; ri == t on gap-free data so
+      -- current outputs are unchanged (round-14 ADVICE)
+      SELECT CAST(1 AS BIGINT) i, (SELECT z FROM zs WHERE ri = 1) s
       UNION ALL
-      SELECT i + 1, (s + (SELECT z FROM zs WHERE t = rec.i + 1)) // 2
+      SELECT i + 1, (s + (SELECT z FROM zs WHERE ri = rec.i + 1)) // 2
       FROM rec WHERE i < (SELECT n FROM m)),
     ses AS (SELECT s FROM rec WHERE i = (SELECT n FROM m))
     SELECT h, round(CAST(s + c0 + n * bnum * (n + h) AS DOUBLE) /

@@ -58,6 +58,20 @@ object ScaleGen {
     val nCust = 15000L; val nSupp = 1000L; val nPart = 20000L
     val nOrd = 150000L; val nEvt = 100000L; val nDoc = 5000L; val nVec = 2000L
 
+    // The key-offset bijectivity (and the documents pmod-donor inner
+    // join) silently breaks if the source dir's cardinalities differ
+    // from these constants — a wrong nDoc drops/misroutes documents
+    // instead of failing. Assert them against the actual tables before
+    // fanning out (round-14 ADVICE).
+    Seq("customer" -> nCust, "supplier" -> nSupp, "part" -> nPart,
+      "orders" -> nOrd, "events" -> nEvt, "documents" -> nDoc,
+      "embeddings" -> nVec).foreach { case (t, n) =>
+      val actual = Tables(spark, src, t).count()
+      require(actual == n, s"ScaleGen cardinality mismatch: $t has " +
+        s"$actual rows in $src but the generator assumes $n - key " +
+        "offsets would collide or misroute; fix the constants first")
+    }
+
     save(fanout(Tables.customer(spark, src)).select(
       ($"c_custkey" + $"copy" * nCust).as("c_custkey"),
       format_string("Customer#%09d", $"c_custkey" + $"copy" * nCust).as("c_name"),

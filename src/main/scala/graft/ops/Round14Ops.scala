@@ -24,11 +24,20 @@ object Round14Ops {
     keyCol.map { case (t, col) =>
       val name = s"graft_cbo_${key}_$t"
       synchronized {
-        if (!spark.catalog.tableExists(name)) {
-          spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
-            s"LOCATION '$sfDir/$t.parquet'")
+        // Gate the ANALYZE skip on the STATS being present, not on the
+        // table existing: if CREATE succeeded but ANALYZE failed or was
+        // interrupted, a tableExists gate would skip ANALYZE forever in
+        // this JVM and scaleCboStats would die on "no stats" until
+        // restart. Re-running ANALYZE on a half-initialized table is
+        // idempotent and cheap relative to that failure mode.
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
+          s"LOCATION '$sfDir/$t.parquet'")
+        val hasStats = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+          .stats.exists(s =>
+            s.rowCount.isDefined && s.colStats.get(col).exists(_.max.isDefined))
+        if (!hasStats)
           spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $col")
-        }
       }
       t -> name
     }
