@@ -51,18 +51,15 @@ object ScaleGen {
       println(s"  $name: written")
     }
 
-    // fixed dimensions
-    save(Tables.region(spark, src), "region", 1)
-    save(Tables.nation(spark, src), "nation", 1)
-
     val nCust = 15000L; val nSupp = 1000L; val nPart = 20000L
     val nOrd = 150000L; val nEvt = 100000L; val nDoc = 5000L; val nVec = 2000L
 
     // The key-offset bijectivity (and the documents pmod-donor inner
     // join) silently breaks if the source dir's cardinalities differ
     // from these constants — a wrong nDoc drops/misroutes documents
-    // instead of failing. Assert them against the actual tables before
-    // fanning out (round-14 ADVICE).
+    // instead of failing. Assert them against the actual tables BEFORE
+    // the first save(), so a mismatch cannot leave a partially written
+    // output directory behind (round-14/15 ADVICE).
     Seq("customer" -> nCust, "supplier" -> nSupp, "part" -> nPart,
       "orders" -> nOrd, "events" -> nEvt, "documents" -> nDoc,
       "embeddings" -> nVec).foreach { case (t, n) =>
@@ -71,6 +68,18 @@ object ScaleGen {
         s"$actual rows in $src but the generator assumes $n - key " +
         "offsets would collide or misroute; fix the constants first")
     }
+    // The events fan-out offsets user_id by copy*1500; a source dir
+    // whose user-id domain exceeds 1500 would silently collide user
+    // ids across copies (round-15 ADVICE).
+    val maxUid = Tables.events(spark, src)
+      .agg(max($"user_id")).head.getLong(0)
+    require(maxUid <= 1500L, s"ScaleGen user-id domain mismatch: " +
+      s"max(user_id)=$maxUid in $src exceeds the 1500 offset stride - " +
+      "copies would collide; raise the stride first")
+
+    // fixed dimensions
+    save(Tables.region(spark, src), "region", 1)
+    save(Tables.nation(spark, src), "nation", 1)
 
     save(fanout(Tables.customer(spark, src)).select(
       ($"c_custkey" + $"copy" * nCust).as("c_custkey"),

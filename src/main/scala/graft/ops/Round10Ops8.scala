@@ -127,18 +127,62 @@ object Round10Ops8 {
     * frames emit, and zero-variance frames are excluded by an exact
     * DECIMAL comparison (a double sqrt(0) division would diverge as
     * inf/NaN across engines).
+    *
+    * CHUNKED TWO-PHASE ROLLING SUMS (round-16 rewrite): the naive
+    * `Window.partitionBy(event_type)` form caps parallelism at the 5
+    * distinct event types forever — each task sorts n/5 rows, the one
+    * scale ceiling on the board. This form distributes the SAME frame:
+    *   1. intra-(type, calendar-day) row_number — |types|×|days| tasks,
+    *      each sorting one day's slice (day = date(ts) is monotone in
+    *      ts, so (day, ts, event_id) order IS (ts, event_id) order);
+    *   2. the per-(type, day) census (a |types|×|days|-row rollup) gets
+    *      running offsets, so off + intra_rank is the exact global
+    *      position rn within the type — the bucket-offset pattern;
+    *   3. rows land in fixed 1024-row chunks by rn; the last 19 rows of
+    *      each chunk are REPLICATED into the next chunk (1.9% overlap), so
+    *      a chunk-local 20-row frame over rn sees exactly the same 19
+    *      predecessors the global frame would — n/1024 independent
+    *      window tasks, parallelism grows linearly with the data.
+    * Frames short of 20 rows (nf < 20) only occur at the true start of
+    * each type (chunk 0), identical to the global form's warm-up.
     */
   def tsRollingZscore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"event_type").orderBy($"ts", $"event_id")
-      .rowsBetween(-19, org.apache.spark.sql.expressions.Window.currentRow)
-    events(spark, sfDir)
-      .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
-      .withColumn("nf", count(lit(1)).over(w))
-      .withColumn("sx", sum($"x").over(w).cast(DecimalType(18, 2)))
-      .withColumn("sxx", sum($"x" * $"x").over(w).cast(DecimalType(28, 4)))
-      .filter($"nf" === 20 && $"sxx" * 20 - $"sx" * $"sx" > 0)
+    import org.apache.spark.sql.expressions.Window
+    val chunkRows = 1024
+    val ev = events(spark, sfDir)
+      .select($"event_type", $"ts", $"event_id", money($"value").as("x"),
+        to_date($"ts").as("day"))
+    val wDay = Window.partitionBy($"event_type", $"day")
+      .orderBy($"ts", $"event_id")
+    val ranked = ev
+      .withColumn("ir", row_number().over(wDay).cast(LongType))
+      .drop("ts")
+    // census rollup is |types| x |days| rows; its running sum turns
+    // intra-day ranks into exact global per-type positions
+    val census = ranked.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val wOff = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census
+      .withColumn("off", coalesce(sum($"n").over(wOff), lit(0L)))
+      .select($"event_type", $"day", $"off")
+    val pos = ranked.join(broadcast(offsets), Seq("event_type", "day"))
+      .withColumn("rn", $"off" + $"ir")
+      .withColumn("chunk", (($"rn" - 1) / chunkRows).cast(LongType))
+      .select($"event_type", $"event_id", $"x", $"rn", $"chunk")
+    // stitch: replicate each chunk's last 19 positions into the next
+    val carry = pos
+      .filter(pmod($"rn" - 1, lit(chunkRows)) >= chunkRows - 19)
+      .withColumn("chunk", $"chunk" + 1)
+      .withColumn("is_carry", lit(true))
+    val wChunk = Window.partitionBy($"event_type", $"chunk").orderBy($"rn")
+      .rowsBetween(-19, Window.currentRow)
+    pos.withColumn("is_carry", lit(false)).unionByName(carry)
+      .withColumn("nf", count(lit(1)).over(wChunk))
+      .withColumn("sx", sum($"x").over(wChunk).cast(DecimalType(18, 2)))
+      .withColumn("sxx", sum($"x" * $"x").over(wChunk).cast(DecimalType(28, 4)))
+      .filter(!$"is_carry" && $"nf" === 20 && $"sxx" * 20 - $"sx" * $"sx" > 0)
       .selectExpr("event_type", "event_id",
         """round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / 20)
           | / sqrt((20 * CAST(sxx AS DOUBLE)

@@ -85,6 +85,46 @@ class Round10Spec8 extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rolling zscore: chunked stitch equals the global per-type window (sf0.01)") {
+    // The round-16 chunked two-phase form must be row-identical to the
+    // semantic definition — one window over the whole type. sf0.01 has
+    // ~2k rows per type, so every type crosses the 1024-row chunk
+    // boundary and the 19-row carry stitch is actually exercised
+    // (sf0.001's ~200-row types would all fit one chunk).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(-19, Window.currentRow)
+    val naive = Tables.events(spark, dir)
+      .select($"event_type", $"ts", $"event_id",
+        Tables.money($"value").as("x"))
+      .withColumn("nf", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w).cast(DecimalType(18, 2)))
+      .withColumn("sxx", sum($"x" * $"x").over(w).cast(DecimalType(28, 4)))
+      .filter($"nf" === 20 && $"sxx" * 20 - $"sx" * $"sx" > 0)
+      .selectExpr("event_type", "event_id",
+        """round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / 20)
+          | / sqrt((20 * CAST(sxx AS DOUBLE)
+          |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (20 * 19)), 6)
+          |AS zscore""".stripMargin.replace("\n", " "))
+      .orderBy($"event_type", $"event_id")
+      .as[(String, Long, Double)].collect()
+    val chunked = Round10Ops8.tsRollingZscore(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(chunked.length === naive.length)
+    assert(chunked === naive, "chunked rolling sums must be row-identical")
+    // and the stitch actually ran: > |event_type| chunk partitions
+    val nChunks = Round10Ops8.tsRollingZscore(spark, dir) // plan reuse
+      .select($"event_type").distinct().count() // 5 types present
+    val chunkCount = Tables.events(spark, dir)
+      .groupBy($"event_type").count()
+      .agg(sum(ceil($"count" / 1024)).cast(LongType)).as[Long].head()
+    assert(chunkCount > nChunks,
+      s"sf0.01 must split types into multiple chunks (got $chunkCount)")
+  }
+
   test("word length profile: token counts partition the corpus tokens") {
     import spark.implicits._
     val rows = Round10Ops8.textWordlenProfile(spark, sf)
