@@ -7487,15 +7487,18 @@ object Oracle {
     FROM cum, tot ORDER BY basket_size
   """
 
-  // B=32 deterministic half-subsamples; replica means exact cents →
-  // 9-dp lane; band = explicit 2nd/31st order statistics
+  // B=32 deterministic half-subsamples (ONE md5 digest per event; hex
+  // digit b <= '7' is replica b's p=1/2 coin, mirroring the Spark
+  // side's digit-coin scheme); replica means exact cents → 9-dp lane;
+  // band = explicit 2nd/31st order statistics
   val mlSubsampleCi: String = """
-    WITH reps AS (SELECT event_type, b,
-        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) c
-      FROM events, (SELECT unnest(range(32)) b)
-      WHERE CAST(concat('0x', substring(md5(
-          concat(CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))),
-          1, 6)) AS BIGINT) < 8388608),
+    WITH ev AS (SELECT event_type,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) c,
+        md5(CAST(event_id AS VARCHAR)) h
+      FROM events),
+    reps AS (SELECT event_type, b, c
+      FROM ev, (SELECT unnest(range(32)) b)
+      WHERE substring(h, CAST(b + 1 AS INT), 1) <= '7'),
     means AS (SELECT event_type, b,
         CAST(round(CAST(sum(c) AS DOUBLE) /
           (CAST(count(*) AS DOUBLE) * 100.0), 9) AS DECIMAL(28,9)) m

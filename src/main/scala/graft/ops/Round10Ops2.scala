@@ -92,18 +92,25 @@ object Round10Ops2 {
     * three leads, `stack` unpivots them to (lag, x, y) rows, and one
     * grouped aggregate computes the six exact DECIMAL moments per
     * (type, lag); the Pearson formula then runs once on doubles,
-    * identically on both engines, rounded at 6dp. The window is
-    * partitioned by event_type, so state is per-key at any scale.
+    * identically on both engines, rounded at 6dp. The lead window runs
+    * per 1024-row chunk with the NEXT chunk's first 3 rows replicated
+    * in (TwoPhase, round-16 low-card-window sweep) — the (x, x_{t+k})
+    * pair multiset is identical to the single per-type window's, and
+    * the exact-DECIMAL moment sums are order-free, so the output
+    * cannot move while parallelism grows with the data instead of
+    * stopping at the 5 event types.
     */
   def tsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ord = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-    val leads = events(spark, sfDir)
-      .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
-      .select($"event_type", $"x",
+    val chunkRows = 1024
+    val pos = TwoPhase.eventPositions(spark, sfDir, chunkRows)
+    val ord = Window.partitionBy($"event_type", $"chunk").orderBy($"rn")
+    val leads = TwoPhase.withCarries(pos, chunkRows, before = 0, after = 3)
+      .select($"event_type", $"is_carry", $"x",
         lead($"x", 1).over(ord).as("y1"),
         lead($"x", 2).over(ord).as("y2"),
         lead($"x", 3).over(ord).as("y3"))
+      .filter(!$"is_carry")
     val pairs = leads
       .selectExpr("event_type",
         "stack(3, 1, x, y1, 2, x, y2, 3, x, y3) AS (lag, x, y)")

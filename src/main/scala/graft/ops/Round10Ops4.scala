@@ -203,19 +203,41 @@ object Round10Ops4 {
     * sums (inside 38 digits on both engines for |Σx| < 10^16), k a
     * row number on the (ts, event_id) total order, per-type totals on
     * a broadcast join — never a global window.
+    *
+    * prefix and k are DISTRIBUTED two-phase prefix sums (round-16
+    * low-card-window sweep: an event_type-only window caps parallelism
+    * at the 5 types forever): intra-(type, calendar-day) running sums
+    * — day = date(ts) is monotone in ts, so the (day, ts, event_id)
+    * order IS the (ts, event_id) order — plus running day totals from
+    * the |types| x |days| census. DECIMAL addition is exact, so the
+    * stitched prefix equals the single-window prefix bit-for-bit.
     */
   private[ops] def cusumFrame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = events(spark, sfDir)
       .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
+      .withColumn("day", to_date($"ts"))
     val tot = ev.groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"x").cast(DecimalType(18, 2)).as("s"))
-    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-    ev.withColumn("prefix", sum($"x").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val wIn = Window.partitionBy($"event_type", $"day")
+      .orderBy($"ts", $"event_id")
+    val census = ev.groupBy($"event_type".as("c_et"), $"day".as("c_day"))
+      .agg(count(lit(1)).as("dn"),
+        sum($"x").cast(DecimalType(18, 2)).as("ds"))
+    val wOff = Window.partitionBy($"c_et").orderBy($"c_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census
+      .withColumn("koff", coalesce(sum($"dn").over(wOff), lit(0L)))
+      .withColumn("soff", coalesce(sum($"ds").over(wOff),
+        lit(0).cast(DecimalType(18, 2))))
+      .select($"c_et", $"c_day", $"koff", $"soff")
+    ev.join(broadcast(offsets),
+        $"event_type" === $"c_et" && $"day" === $"c_day")
+      .withColumn("prefix", ($"soff" + sum($"x").over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .cast(DecimalType(18, 2)))
-      .withColumn("k", row_number().over(w))
+      .withColumn("k", ($"koff" + row_number().over(wIn)).cast(IntegerType))
       .join(tot, "event_type")
       .withColumn("d", $"prefix" * $"n" - $"s" * $"k")
   }

@@ -53,20 +53,23 @@ object Round10Ops5 {
     * the exact-DECIMAL CUSUM statistic (ties → smallest k), i.e. the
     * point where the cumulative deviation from the global mean is
     * largest — the standard single-changepoint location estimator.
-    * Selection is a row_number over (|D| desc, k) PARTITIONED by type;
-    * every comparison is exact DECIMAL/integer, and the single
-    * division by n happens once per emitted row.
+    * Selection is an argmax AGGREGATE — max(struct(absd, -k, ...))
+    * compares |D| first, then -k, so ties go to the smallest k — which
+    * two-phases (partial max per task, final merge) instead of sorting
+    * each type's whole series under a 5-partition window (round-16
+    * low-card-window sweep). Every comparison is exact DECIMAL/
+    * integer; the single division by n happens once per emitted row.
     */
   def tsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cum = Round10Ops4.cusumFrame(spark, sfDir)
       .withColumn("absd", abs($"d"))
-    cum.withColumn("rk", row_number().over(
-        Window.partitionBy($"event_type").orderBy($"absd".desc, $"k")))
-      .filter($"rk" === 1)
-      .selectExpr("event_type", "CAST(n AS BIGINT) AS n",
-        "CAST(k AS BIGINT) AS k_star",
-        "round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS excursion")
+    cum.groupBy($"event_type")
+      .agg(max(struct($"absd", (-$"k").as("negk"),
+        $"d", $"n", $"k".as("kk"))).as("top"))
+      .selectExpr("event_type", "CAST(top.n AS BIGINT) AS n",
+        "CAST(top.kk AS BIGINT) AS k_star",
+        "round(CAST(top.d AS DOUBLE) / CAST(top.n AS DOUBLE), 6) AS excursion")
       .orderBy($"event_type")
   }
 

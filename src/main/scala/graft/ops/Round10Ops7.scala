@@ -115,19 +115,24 @@ object Round10Ops7 {
     * (a+b)/2 on doubles for even frames, the same interpolation on
     * both engines stated explicitly (DuckDB's native windowed median
     * has its own decimal typing, so the oracle mirrors this list
-    * logic rather than calling it). The window is partitioned by
-    * event_type; the first four rows of each partition emit partial
-    * frames of size 1–4 (rowsBetween(-4, current) clips at the
-    * partition head — the oracle mirrors this), every later row a
-    * full 5-row frame, so per-row cost is O(5 log 5) at any scale.
+    * logic rather than calling it). The first four rows of each type
+    * emit partial frames of size 1–4 (the frame clips at the true
+    * series head — the oracle mirrors this), every later row a full
+    * 5-row frame, so per-row cost is O(5 log 5) at any scale. The
+    * frame runs per 1024-row chunk with the previous chunk's last 4
+    * rows replicated in (TwoPhase, round-16 low-card-window sweep), so
+    * window parallelism grows with the data instead of stopping at the
+    * 5 event types.
     */
   def winRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val chunkRows = 1024
+    val pos = TwoPhase.eventPositions(spark, sfDir, chunkRows)
+    val w = Window.partitionBy($"event_type", $"chunk").orderBy($"rn")
       .rowsBetween(-4, Window.currentRow)
-    events(spark, sfDir)
-      .select($"event_type", $"ts", $"event_id", money($"value").as("x"))
+    TwoPhase.withCarries(pos, chunkRows, before = 4, after = 0)
       .withColumn("fr", sort_array(collect_list($"x").over(w)))
+      .filter(!$"is_carry")
       .selectExpr("event_type", "event_id",
         """round(CASE WHEN size(fr) % 2 = 1
           |  THEN CAST(element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT)) AS DOUBLE)

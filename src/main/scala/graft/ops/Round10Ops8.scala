@@ -150,35 +150,10 @@ object Round10Ops8 {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val chunkRows = 1024
-    val ev = events(spark, sfDir)
-      .select($"event_type", $"ts", $"event_id", money($"value").as("x"),
-        to_date($"ts").as("day"))
-    val wDay = Window.partitionBy($"event_type", $"day")
-      .orderBy($"ts", $"event_id")
-    val ranked = ev
-      .withColumn("ir", row_number().over(wDay).cast(LongType))
-      .drop("ts")
-    // census rollup is |types| x |days| rows; its running sum turns
-    // intra-day ranks into exact global per-type positions
-    val census = ranked.groupBy($"event_type", $"day")
-      .agg(count(lit(1)).as("n"))
-    val wOff = Window.partitionBy($"event_type").orderBy($"day")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = census
-      .withColumn("off", coalesce(sum($"n").over(wOff), lit(0L)))
-      .select($"event_type", $"day", $"off")
-    val pos = ranked.join(broadcast(offsets), Seq("event_type", "day"))
-      .withColumn("rn", $"off" + $"ir")
-      .withColumn("chunk", (($"rn" - 1) / chunkRows).cast(LongType))
-      .select($"event_type", $"event_id", $"x", $"rn", $"chunk")
-    // stitch: replicate each chunk's last 19 positions into the next
-    val carry = pos
-      .filter(pmod($"rn" - 1, lit(chunkRows)) >= chunkRows - 19)
-      .withColumn("chunk", $"chunk" + 1)
-      .withColumn("is_carry", lit(true))
+    val pos = TwoPhase.eventPositions(spark, sfDir, chunkRows)
     val wChunk = Window.partitionBy($"event_type", $"chunk").orderBy($"rn")
       .rowsBetween(-19, Window.currentRow)
-    pos.withColumn("is_carry", lit(false)).unionByName(carry)
+    TwoPhase.withCarries(pos, chunkRows, before = 19, after = 0)
       .withColumn("nf", count(lit(1)).over(wChunk))
       .withColumn("sx", sum($"x").over(wChunk).cast(DecimalType(18, 2)))
       .withColumn("sxx", sum($"x" * $"x").over(wChunk).cast(DecimalType(28, 4)))

@@ -89,19 +89,35 @@ object Round11Ops17 {
   }
 
   /** WebDataset-style training-shard manifest: documents pack into
-    * ~4 KiB shards per language in doc_id order (byte cursor on a
-    * lang-PARTITIONED window over the bounded doc list — a doc whose
+    * ~4 KiB shards per language in doc_id order (a doc whose byte
     * cursor starts in shard k belongs to shard k). Shard boundaries
     * are pure integer math, so the manifest an exabyte packer would
     * emit is byte-identical to this one.
+    *
+    * The byte cursor is a DISTRIBUTED prefix sum (round-16 low-card-
+    * window sweep: a lang-only window would cap parallelism at 5
+    * languages forever): docs bucket into fixed doc_id ranges, the
+    * cursor is the intra-bucket running sum plus the running total of
+    * the preceding buckets' byte counts — the census is |langs| x
+    * |buckets| rows, so its offset window is over a bounded rollup.
     */
   def multimodalShardManifest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-    documents(spark, sfDir)
+    val docs = documents(spark, sfDir)
       .select($"lang", $"doc_id", length($"text").cast(LongType).as("len"))
-      .withColumn("cum", sum($"len").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("b", expr("doc_id DIV 512"))
+    val wIn = Window.partitionBy($"lang", $"b").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val census = docs.groupBy($"lang".as("c_lang"), $"b".as("c_b"))
+      .agg(sum($"len").as("bl"))
+    val wOff = Window.partitionBy($"c_lang").orderBy($"c_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census
+      .withColumn("off", coalesce(sum($"bl").over(wOff), lit(0L)))
+      .select($"c_lang", $"c_b", $"off")
+    docs.join(broadcast(offsets),
+        $"lang" === $"c_lang" && $"b" === $"c_b")
+      .withColumn("cum", $"off" + sum($"len").over(wIn))
       .withColumn("shard", expr("CAST((cum - len) DIV 4096 AS BIGINT)"))
       .groupBy($"lang", $"shard")
       .agg(count(lit(1)).as("n_docs"), sum($"len").as("bytes"),

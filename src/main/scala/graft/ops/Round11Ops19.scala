@@ -127,17 +127,34 @@ object Round11Ops19 {
     * division-free (2·cumw ≥ totw). Price-tie membership is
     * order-stable (a tied run qualifies iff its LAST row does), so
     * the window needs no further tiebreak and the result is identical
-    * at any parallelism. Flag-partitioned windows only.
+    * at any parallelism. The cumulative weight is a two-phase
+    * bucket-offset prefix sum, so no task ever sorts more than one
+    * price band of one flag.
     */
   def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = lineitem(spark, sfDir)
       .select($"l_returnflag", $"l_extendedprice",
         $"l_quantity".cast(LongType).as("w"))
-    val cum = li.withColumn("cw",
-      sum($"w").over(Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // price-domain bucket ($512 bands, monotone in the sort key, so
+      // equal prices share a bucket): the cumulative weight is the
+      // intra-bucket running sum plus the running weight of the lower
+      // buckets — a (flag x ~200-bucket) census, never a 3-partition
+      // sort of the whole table (round-16 low-card-window sweep)
+      .withColumn("cb", expr("CAST(floor(l_extendedprice / 512.0) AS BIGINT)"))
+    val census = li.groupBy($"l_returnflag".as("c_rf"), $"cb".as("c_cb"))
+      .agg(sum($"w").as("bw"))
+    val wOff = Window.partitionBy($"c_rf").orderBy($"c_cb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census
+      .withColumn("woff", coalesce(sum($"bw").over(wOff), lit(0L)))
+      .select($"c_rf", $"c_cb", $"woff")
+    val cum = li
+      .join(broadcast(offsets), $"l_returnflag" === $"c_rf" && $"cb" === $"c_cb")
+      .withColumn("cw", $"woff" +
+        sum($"w").over(Window.partitionBy($"l_returnflag", $"cb")
+          .orderBy($"l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val tot = li.groupBy($"l_returnflag".as("rf"))
       .agg(sum($"w").as("totw"))
     cum.join(tot, $"l_returnflag" === $"rf")

@@ -86,20 +86,35 @@ object Round11Ops26 {
   }
 
   /** Trimmed mean — the robust location estimate: per return flag,
-    * drop the bottom and top decile by rank (flag-partitioned
-    * row_number against exact integer decile bounds) and average the
-    * core in exact DECIMAL with ONE division. The outlier-proof
+    * drop the bottom and top decile by rank (two-phase bucket-offset
+    * rank against exact integer decile bounds) and average the core
+    * in exact DECIMAL with ONE division. The outlier-proof
     * aggregate reporting pipelines use when means get dragged.
     */
   def aggTrimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = lineitem(spark, sfDir)
       .select($"l_returnflag", money($"l_extendedprice").as("m"))
+      // value-domain bucket (cents DIV 2^16 ≈ $655 bands): equal
+      // values share a bucket, so the global per-flag rank is the
+      // intra-bucket rank plus the running count of lower buckets —
+      // a (flag x ~200-bucket) census, never a 3-partition sort of
+      // the whole table (round-16 low-card-window sweep)
+      .withColumn("cb", expr("CAST(m * 100 AS BIGINT) DIV 65536"))
     // ties need no tiebreak: a tie run crossing a decile boundary
     // keeps the same COUNT of equal-valued rows whichever rows rank
     // first, so the kept-sum is order-stable (weighted-median logic)
-    val ranked = li.withColumn("rn", row_number().over(
-      Window.partitionBy($"l_returnflag").orderBy($"m")))
+    val census = li.groupBy($"l_returnflag".as("c_rf"), $"cb".as("c_cb"))
+      .agg(count(lit(1)).as("bn"))
+    val wOff = Window.partitionBy($"c_rf").orderBy($"c_cb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census
+      .withColumn("boff", coalesce(sum($"bn").over(wOff), lit(0L)))
+      .select($"c_rf", $"c_cb", $"boff")
+    val ranked = li
+      .join(broadcast(offsets), $"l_returnflag" === $"c_rf" && $"cb" === $"c_cb")
+      .withColumn("rn", $"boff" + row_number().over(
+        Window.partitionBy($"l_returnflag", $"cb").orderBy($"m")))
     val counts = li.groupBy($"l_returnflag".as("rf"))
       .agg(count(lit(1)).as("n"))
     ranked.join(counts, $"l_returnflag" === $"rf")

@@ -65,16 +65,22 @@ object Round11Ops9 {
     * is no float anywhere in the decision. Partition-edge frames
     * (size < 7) use the same lower-middle rule, documented and
     * mirrored by the oracle. The robust streaming-ish sibling of the
-    * global MAD screen (pipeline_anomaly_mad).
+    * global MAD screen (pipeline_anomaly_mad). The centered frame runs
+    * per 1024-row chunk with the 3-row borders replicated from BOTH
+    * neighboring chunks (TwoPhase, round-16 low-card-window sweep), so
+    * parallelism grows with the data instead of stopping at the 5
+    * event types.
     */
   def tsHampelFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val chunkRows = 1024
+    val pos = TwoPhase.eventPositions(spark, sfDir, chunkRows)
+    val w = Window.partitionBy($"event_type", $"chunk").orderBy($"rn")
       .rowsBetween(-3, 3)
-    val framed = events(spark, sfDir)
-      .select($"event_type", $"ts", $"event_id",
-        (money($"value") * 100).cast(LongType).as("c"))
+    val framed = TwoPhase.withCarries(pos, chunkRows, before = 3, after = 3)
+      .withColumn("c", ($"x" * 100).cast(LongType))
       .withColumn("fr", collect_list($"c").over(w))
+      .filter(!$"is_carry")
       .withColumn("med", expr("array_sort(fr)[(size(fr) + 1) DIV 2 - 1]"))
       .withColumn("devs", expr("transform(fr, x -> abs(x - med))"))
       .withColumn("mad", expr("array_sort(devs)[(size(devs) + 1) DIV 2 - 1]"))
@@ -155,30 +161,34 @@ object Round11Ops9 {
   }
 
   /** Subsample stability band for the mean event value (m-out-of-n
-    * bootstrap, B = 32): replica b keeps rows whose 24-bit md5 draw
-    * falls below 2²³ (~half), each replica mean is exact integer
-    * cents over a count, and the band is explicit order statistics
-    * (2nd / 31st of 32) — fully deterministic error bars, no RNG
-    * state. Corpus cost: ONE pass over a 32× row explosion with
-    * map-side partial aggregation; shuffle is 32·|types| rows.
+    * bootstrap, B = 32): replica b keeps rows whose 16-bit md5 draw
+    * falls below 2¹⁵ (exactly half in expectation), each replica mean
+    * is exact integer cents over a count, and the band is explicit
+    * order statistics (2nd / 31st of 32) — fully deterministic error
+    * bars, no RNG state. Corpus cost: ONE pass over a 32× row
+    * explosion with map-side partial aggregation; shuffle is
+    * 32·|types| rows.
     *
-    * Round-14 A/B note: two "fewer md5 calls" rewrites (five 24-bit
-    * windows per digest via nested transform HOFs, with and without a
-    * pre-explode keep-list) both measured SLOWER (2.6 s and 4.8 s vs
-    * 2.4 s isolated) — the interpreted HOF evaluation costs more than
-    * the 3.2 M codegen'd md5 calls it saves. Kept as the simple
-    * exploded form deliberately.
+    * Hash budget (round-16, verdict task 7): ONE md5 digest per EVENT
+    * — its 32 hex digits ARE the 32 replica coins (digit b ≤ '7' keeps
+    * the row: 8 of 16 hex values, exactly p = 1/2), so the per-replica
+    * test is a single computed-offset substring plus a one-char
+    * compare, all codegen'd. Measured A/B at sf0.1, local[32],
+    * min-of-3: 32-md5+conv form 2.28 s → 4-md5 16-bit-conv slicing
+    * 2.16 s → this digit-coin form 0.77 s — the conv() radix parse,
+    * not the md5, was the per-replica cost (and round-14's HOF
+    * transform rewrites were slower still, interpreted eval). A
+    * 64-conditional-sum no-explode variant measured 0.99 s — the
+    * explode is NOT the bottleneck once the coin is one char.
     */
   def mlSubsampleCi(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val reps = events(spark, sfDir)
       .select($"event_type", $"event_id", (money($"value") * 100)
         .cast(DecimalType(38, 0)).as("c"))
+      .withColumn("h", md5($"event_id".cast(StringType)))
       .withColumn("b", explode(sequence(lit(0), lit(31))))
-      .withColumn("draw", expr(
-        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', " +
-          "CAST(b AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
-      .filter($"draw" < 8388608L)
+      .filter(expr("substring(h, b + 1, 1) <= '7'"))
     val means = reps.groupBy($"event_type", $"b")
       .agg(round(sum($"c").cast(DoubleType) /
           (count(lit(1)).cast(DoubleType) * 100.0), 9)

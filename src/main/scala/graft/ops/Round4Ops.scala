@@ -209,21 +209,35 @@ object Round4Ops {
   }
 
   /** Token-budget shard packing — greedy sequential packing of docs
-    * into fixed-budget training shards, parallel per language stream:
+    * into fixed-budget training shards per language stream:
     * shard = floor(tokens-before-this-doc / budget) over the doc_id
-    * order. One window per lang partition; at 100 TB the lang key
-    * generalizes to any stream/shard prefix that bounds partition
-    * size.
+    * order. The token cursor is a DISTRIBUTED prefix sum (round-16
+    * low-card-window sweep: a lang-only window caps parallelism at 5
+    * languages forever): intra-bucket running sums over fixed doc_id
+    * ranges plus running bucket totals from the |langs| x |buckets|
+    * census — the same two-phase shape at any corpus size.
     */
   def pipelineTokenBudgetPack(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val budget = 8192
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    val docs = documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast(LongType).as("n_tokens"))
+      .withColumn("b", expr("doc_id DIV 512"))
+    val wIn = Window.partitionBy($"lang", $"b").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(spark, sfDir)
-      .select($"doc_id", $"lang", size(split($"text", " ")).cast(LongType).as("n_tokens"))
+    val census = docs.groupBy($"lang".as("c_lang"), $"b".as("c_b"))
+      .agg(sum($"n_tokens").as("bt"))
+    val wOff = Window.partitionBy($"c_lang").orderBy($"c_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census
+      .withColumn("off", coalesce(sum($"bt").over(wOff), lit(0L)))
+      .select($"c_lang", $"c_b", $"off")
+    docs.join(broadcast(offsets),
+        $"lang" === $"c_lang" && $"b" === $"c_b")
       .withColumn("shard",
-        floor((sum($"n_tokens").over(w) - $"n_tokens") / budget))
+        floor(($"off" + sum($"n_tokens").over(wIn) - $"n_tokens") / budget))
+      .select($"doc_id", $"lang", $"n_tokens", $"shard")
       .orderBy($"doc_id")
   }
 

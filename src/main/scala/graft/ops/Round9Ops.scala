@@ -28,8 +28,14 @@ object Round9Ops {
     val c = customer(spark, sfDir)
       .select($"c_custkey", $"c_mktsegment", money($"c_acctbal").as("bal"))
     val grand = c.agg(sum($"bal").as("grand"))
-    c.withColumn("seg_total",
-        sum($"bal").over(Window.partitionBy($"c_mktsegment")))
+    // segment totals as a 5-row broadcast rollup, not a window: a
+    // Window.partitionBy(c_mktsegment) would cap parallelism at the 5
+    // segments and SORT each n/5 slice for no reason (round-16
+    // low-card-window sweep); the rollup-join form is a two-phase
+    // aggregate plus a map-side join at any scale
+    val segTot = c.groupBy($"c_mktsegment".as("seg"))
+      .agg(sum($"bal").as("seg_total"))
+    c.join(broadcast(segTot), $"c_mktsegment" === $"seg")
       .crossJoin(broadcast(grand))
       .select($"c_custkey", $"c_mktsegment",
         $"bal".cast(DoubleType).as("acctbal"),

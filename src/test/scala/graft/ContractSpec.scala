@@ -89,6 +89,37 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("QUADRATIC BY CONTRACT set is pinned: 3 labeled exact baselines, each with a linear twin") {
+    // Three ops are deliberately O(n²): they are the EXACT ground truth
+    // that calibrates a recall-pinned linear-path twin, and they carry
+    // a "QUADRATIC BY CONTRACT" def-site label with the measured 10×
+    // probe ratio. This pin (round-16, verdict task 6) makes the set
+    // explicit: a new quadratic op must either add itself here WITH a
+    // linear twin and a def-site label, or get flagged by the scale
+    // probe with no contract to point at.
+    val quadratic = Map( // op -> (linear twin, def-site file)
+      "sim_cosine_topk" -> ("sim_ann_ivf", "ops/LlmOps.scala"),
+      "sim_embedding_quantize" -> ("sim_ann_pq", "ops/Round8Ops.scala"),
+      "dedup_near_embedding" -> ("dedup_near_embedding_ann", "ops/LlmOps2.scala"))
+    quadratic.foreach { case (q, (twin, _)) =>
+      assert(SparkEntry.queries.contains(q), s"quadratic op $q not registered")
+      assert(SparkEntry.queries.contains(twin),
+        s"quadratic op $q has no registered linear twin $twin")
+    }
+    // the def-site label set must be EXACTLY the pinned files: a label
+    // added elsewhere (new quadratic op) or removed (contract silently
+    // dropped) fails until this pin is updated in the same commit
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get("src/main/scala/graft")
+    val labeled = java.nio.file.Files.walk(base).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filter(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .contains("QUADRATIC BY CONTRACT"))
+      .map(p => base.relativize(p).toString).toSet
+    assert(labeled === quadratic.values.map(_._2).toSet,
+      s"QUADRATIC BY CONTRACT def-site labels drifted: $labeled")
+  }
+
   test("query names are snake_case and unique per contract") {
     val bad = SparkEntry.queries.keySet.filterNot(_.matches("[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-snake-case names: $bad")

@@ -249,6 +249,159 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"unpartitioned Window in: ${offenders.mkString(", ")}")
   }
 
+  test("NO per-row window partitions only by low-cardinality columns (full-board sweep)") {
+    // Round-16 (verdict task 2): the third class of scale-killer a
+    // green oracle can't catch — a Window partitioned ONLY by columns
+    // with single-digit distinct values (event_type has 5 values,
+    // o_orderstatus 3, lang 5, ...). Such a window caps parallelism at
+    // the key domain FOREVER: each task sorts n/|domain| rows no matter
+    // how many executors exist — the ts_rolling_zscore lesson (rewritten
+    // this round as chunked two-phase rolling sums, Round10Ops8). A
+    // window is an offender when
+    //   (a) every partitionSpec attribute is a known low-card column, AND
+    //   (b) its input is per-row over a raw table: the walk from the
+    //       window to the leaves crosses no Aggregate — calendar/bucket
+    //       rollups window over a domain-bounded aggregate and pass
+    //       structurally, because their INPUT is already tiny.
+    // Ops whose low-card per-row window is justified carry a named
+    // allowlist entry stating the bound.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lowCard = Set("event_type", "o_orderstatus", "o_orderpriority",
+      "l_returnflag", "l_linestatus", "lang", "c_mktsegment", "r_name")
+    def boundedInput(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true // rollup: bounded by its group-key domain
+      case _: GlobalLimit | _: LocalLimit => true
+      case j: Join => boundedInput(j.left) && boundedInput(j.right)
+      case u: Union => u.children.forall(boundedInput)
+      case other if other.children.size == 1 =>
+        boundedInput(other.children.head)
+      case _ => false // leaf relation (or an unhandled multi-child shape)
+    }
+    // The 14 ops this sweep flagged when first run (round 16): ten were
+    // REWRITTEN distributed (ts_rolling_zscore/win_rolling_median/
+    // ts_hampel_filter/ts_autocorr via TwoPhase chunk-carry;
+    // ts_cusum/ts_changepoint via the two-phase cusumFrame;
+    // agg_trimmed_mean/agg_weighted_median via value-bucket offsets;
+    // multimodal_shard_manifest/pipeline_token_budget_pack via doc_id-
+    // bucket offsets; win_ratio_to_report via a rollup join). The four
+    // below stay low-card BY JUSTIFIED EXCEPTION:
+    val allow: Map[String, String] = Map(
+      "sample_reservoir_hash" -> ("rank<=4 filter plans as WindowGroupLimit: " +
+        "each map task keeps a 4-row heap per type, so only k rows per " +
+        "(task, type) ever reach the window sort (pinned below)"),
+      "win_cume_dist" -> ("native percent_rank/cume_dist/ntile demo: these " +
+        "functions are whole-partition BY DEFINITION; the distributed " +
+        "exact-quantile twin on the board is agg_exact_global_median / " +
+        "win_top_percent (bucket-offset ranks)"),
+      "win_ntile_dist" -> ("native ntile/percent_rank/cume_dist demo over " +
+        "o_orderstatus — same whole-partition-by-definition exemption as " +
+        "win_cume_dist, same bucket-offset twins"),
+      "win_range_numeric" -> ("native RANGE BETWEEN numeric-offset frame " +
+        "demo: the value-band frame is what the op exists to exercise; " +
+        "the distributed band-rollup twin is analytic_pareto_abc's " +
+        "bucket-offset prefix sums"))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if allow.contains(name) => None
+      case (name, fn) =>
+        val df = try fn(spark, sf) catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"PlanSpec low-card window sweep: $name first construction " +
+              s"failed (${e.getClass.getSimpleName}: ${e.getMessage}) — retrying once")
+            fn(spark, sf)
+        }
+        val bad = df.queryExecution.optimizedPlan.collectWithSubqueries {
+          case w: Window if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.references.forall(a =>
+              lowCard.contains(a.name))) &&
+            !boundedInput(w.child) => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"per-row window partitioned only by low-card columns in: ${offenders.mkString(", ")}")
+  }
+
+  test("reservoir sample's rank<=4 pushes into a WindowGroupLimit (allowlist justification)") {
+    // sample_reservoir_hash is allowlisted in the low-card window sweep
+    // on the claim that InferWindowGroupLimit turns its row_number<=4
+    // filter into a map-side 4-row top-k per type. Pin the claim.
+    val p = plan(graft.ops.Round7Ops3.sampleReservoirHash(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"reservoir pick must plan as WindowGroupLimit:\n${p.take(2500)}")
+  }
+
+  /** Build-spine boundedness for the BNLJ sweep: walks ONLY through
+    * cardinality-preserving/reducing nodes from the build root
+    * (project / filter / sort / exchange / limit / grouping aggregate)
+    * toward a node that bounds the row count by construction. The
+    * round-14 version collected matching nodes ANYWHERE in the build
+    * subtree, so a corpus-sized build containing an unrelated 1-row
+    * aggregate (e.g. under the far side of a join) passed the guard —
+    * round-15 ADVICE. Anything not on the allowlisted spine (a scan, a
+    * join, a generate/expand, a union) fails CLOSED.
+    */
+  private def boundedBuild(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    p match {
+      // a grouping aggregate only ever REDUCES cardinality: bounded
+      // outright when grouping-free (≤1 row), else bounded iff its
+      // input is
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty || boundedBuild(a.child)
+      case l: GlobalLimitExec if l.limit <= 10000 => true
+      case t: TakeOrderedAndProjectExec if t.limit <= 10000 => true
+      case l: LocalTableScanExec if l.rows.size <= 10000 => true
+      case r: RangeExec if r.numElements <= BigInt(10000) => true
+      // a reused broadcast exchange refers to a subtree already
+      // validated where it was planned first
+      case _: ReusedExchangeExec => true
+      // a nested loop join of two bounded inputs is bounded (the
+      // scalar x scalar crosses the 1-row-aggregate pattern produces
+      // when a query attaches two independent totals)
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        boundedBuild(j.left) && boundedBuild(j.right)
+      // cardinality-preserving/reducing spine nodes: recurse
+      case n: ProjectExec          => boundedBuild(n.child)
+      case n: FilterExec           => boundedBuild(n.child)
+      case n: SortExec             => boundedBuild(n.child)
+      case n: LocalLimitExec       => boundedBuild(n.child)
+      case n: CoalesceExec         => boundedBuild(n.child)
+      case n: BroadcastExchangeExec => boundedBuild(n.child)
+      case n: ShuffleExchangeExec  => boundedBuild(n.child)
+      case _ => false
+    }
+  }
+
+  test("BNLJ bounded() rejects a corpus-sized build hiding a 1-row aggregate (negative)") {
+    // The exact shape the spine walk exists to catch: the build side is
+    // the RAW events table joined to a scalar aggregate — the old
+    // anywhere-in-subtree collect saw the grouping-free aggregate and
+    // called the corpus-sized build bounded.
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val poisoned = ev.select($"event_id", $"value")
+      .crossJoin(ev.agg(count(lit(1)).as("n_total")))   // bounded subtree INSIDE
+    val df = Tables.nation(spark, sf)
+      .crossJoin(broadcast(poisoned))                    // corpus-sized build
+    val builds = df.queryExecution.sparkPlan.collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+    }
+    assert(builds.nonEmpty, "fixture must plan a BNLJ")
+    // the corpus-sized poisoned build must FAIL the walk even though a
+    // 1-row aggregate exists somewhere inside it
+    assert(builds.exists(b => !boundedBuild(b)),
+      s"spine walk accepted a corpus-sized build:\n${builds.mkString("\n")}")
+  }
+
   test("NO query plans an unbounded BroadcastNestedLoopJoin (full-board sweep)") {
     // Round-14 (verdict task 7): the second class of scale-killer a
     // green oracle can't catch — a nested-loop join whose broadcast
@@ -323,22 +476,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "pipeline_cross_source_overlap" -> "source-pair grid (~20 sources, feed-count bounded)",
       "text_style_similarity" -> "source-profile pair grid (~20 sources)",
       "ts_decompose_additive" -> "calendar-day rollup band self-join (wall-clock bounded)",
-      "ts_rolling_corr" -> "calendar-day rollup band self-join (wall-clock bounded)")
-    def bounded(p: SparkPlan): Boolean = {
-      val nodes = p.collect {
-        case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
-        case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
-        case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
-        case l: GlobalLimitExec if l.limit <= 10000 => true
-        case t: TakeOrderedAndProjectExec if t.limit <= 10000 => true
-        case l: LocalTableScanExec if l.rows.size <= 10000 => true
-        case r: RangeExec if r.numElements <= BigInt(10000) => true
-        // a reused broadcast exchange refers to a subtree already
-        // validated where it was planned first
-        case _: ReusedExchangeExec => true
-      }
-      nodes.contains(true)
-    }
+      "ts_rolling_corr" -> "calendar-day rollup band self-join (wall-clock bounded)",
+      // --- round-16 additions: the build-spine walk (stricter than the
+      // round-14 anywhere-in-subtree collect) fails closed on these
+      // DOMAIN-bounded builds the old check passed structurally ---
+      "analytic_wilcoxon_signed_rank" -> "per-user |diff| bucket rollup (div 2^20, value-domain bounded) broadcast",
+      "ml_knn_classify" -> "md5 count-capped probe subset (pmod(draw, P)=0 with P=ceil(n/target): ~constant probes at any corpus size)",
+      "stream_watermark_late_data" -> "4-value pid rollup (least(3, floor(...)) key domain) broadcast")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if allow.contains(name) => None
       case (name, fn) =>
@@ -355,7 +499,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
               case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => j.left
               case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
             }
-            bounded(build)
+            boundedBuild(build)
         }
         if (bad.contains(false)) Some(name) else None
     }
