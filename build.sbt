@@ -36,6 +36,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in-sweep queries running 2-7x slower than isolated (SCALE.md). The
   // machine has 128 GiB; 24g keeps headroom for the driver harness.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The JVM default ReservedCodeCacheSize (240 MB) is NOT enough for a
+  // 640-query codegen sweep: every query compiles fresh generated
+  // classes, the code cache fills mid-sweep, the sweeper starts
+  // flushing hot methods, and whole-stage-codegen'd stages silently
+  // fall back to the interpreter — measured 20x per-record slowdown on
+  // IDENTICAL shuffle volumes (graph_hits_scores half-rounds: 37 s vs
+  // 1161 s of task time for the same 6M-record stage, eventlog-
+  // verified round 16), plus GC storms from interpreter allocation.
+  // This — not memory-pool contention — is the root cause of the
+  // in-sweep 2-7x slowdowns and the round-14 ts_* "spike": with 1g
+  // code cache graph_hits_scores runs 9.8 s flat at 10x across
+  // repeats; with the default it degrades 19 -> 54 -> 173 s run-over-
+  // run in one JVM. 1g is reserved address space, not committed RAM.
+  "-XX:ReservedCodeCacheSize=1g",
 )
 // forward the opt-in sweep flag to the FORKED test JVM so the
 // documented `sbt -Dgraft.sf01=true "testOnly graft.Sf01CrossCheckSpec"`

@@ -148,16 +148,22 @@ object Round13Ops4 {
 
   /** Batch ANN serving through the persisted IVF index — the
     * realistic retrieval shape (sim_ann_ivf probes ONE query; real
-    * serving joins a whole query batch against the artifact). The
-    * 1-in-16 vec_id slice plays the query batch; each probe ranks the
-    * 16 broadcast centroids (qid-partitioned window), keeps its
-    * nProbe=4 cells, and the candidate join is a plain shuffle
-    * equi-join on cell id — per-probe work is nProbe/16 of the
-    * corpus, batch-wide work is one join, no per-query loop. Top-3
-    * neighbors per probe via a qid-partitioned WindowGroupLimit.
-    * No oracle (centroid rule is engine-specific, same as
-    * sim_ann_ivf); Round13Spec4 pins recall vs an exact driver-side
-    * batch kNN and the artifact-scanning plan.
+    * serving joins a whole query batch against the artifact). A
+    * COUNT-CAPPED ~256-probe batch plays the query load (round-16
+    * full-board probe: the original 1-in-16 vec_id slice made the
+    * batch grow with the corpus, so batch × nProbe/16-of-corpus
+    * candidate work was n²/64 — the same trap the round-14 probe
+    * caught in sim_ivf_nprobe_sweep; a serving batch is a constant
+    * set by the client, not a corpus fraction, and the candidate leg
+    * becomes 256·n/4, linear). Same md5 coin as the nprobe sweep,
+    * deterministic at every scale. Each probe ranks the 16 broadcast
+    * centroids (qid-partitioned window), keeps its nProbe=4 cells,
+    * and the candidate join is a plain shuffle equi-join on cell id —
+    * batch-wide work is one join, no per-query loop. Top-3 neighbors
+    * per probe via a qid-partitioned WindowGroupLimit. No oracle
+    * (centroid rule is engine-specific, same as sim_ann_ivf);
+    * Round13Spec4 pins recall vs an exact driver-side batch kNN (same
+    * coin) and the artifact-scanning plan.
     */
   def simAnnIndexBatchProbe(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -167,7 +173,12 @@ object Round13Ops4 {
     val cents = spark.read.parquet(s"$path/centroids")
     val assigned = spark.read.parquet(s"$path/assign")
       .filter($"rn" === 1).drop("rn")
-    val probes = assigned.filter(pmod($"vec_id", lit(16)) === 3)
+    val cap = assigned.agg(
+      ceil(count(lit(1)) / 256.0).cast(LongType).as("p"))
+    val probes = assigned.crossJoin(broadcast(cap))
+      .filter(pmod(expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"),
+        $"p") === 0)
       .select($"vec_id".as("qid"), $"embedding".as("pe"), $"nrm".as("pn"))
     val probeCells = probes.crossJoin(broadcast(cents))
       .withColumn("cos_c", LlmOps.dot($"pe", $"ce") / ($"pn" * $"cn"))

@@ -257,6 +257,12 @@ object Round4Ops {
     * and containment pairs with |A| << |B| have arbitrarily low
     * jaccard (A ⊂ B with |A| = 0.1|B| => jac ≈ 0.1 => certain miss),
     * so exactness demands the full lang-blocked compare.
+    *
+    * OUTPUT-BOUND at probe scale (round-16 full-board probe, fresh
+    * JVM min-of-3): 18.9× time at 10× data against 53× output pairs
+    * (1.80 M → 95.0 M rows) — time per emitted pair FELL 0.31 →
+    * 0.11 µs; the pair count is a property of this word-soup corpus
+    * at t ≥ 0.9, same as dedup_near_jaccard / dedup_ngram_jaccard.
     */
   def textContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -602,8 +602,9 @@ object Round8Ops {
     * and at 100 TB it simply doesn't ship). Identical all-pairs
     * semantics, identical output; the top-50 is TakeOrderedAndProject
     * (per-cell top-k map-side). Like sim_cosine_topk this remains the
-    * QUADRATIC-BY-CONTRACT exact baseline; sim_ann_* are the linear
-    * path.
+    * QUADRATIC BY CONTRACT exact baseline (round-16 full-board probe:
+    * ~19x at 10x data, pair universe shared with the cosine twin);
+    * sim_ann_lsh / sim_ann_ivf are the linear path.
     */
   def simEuclideanTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -89,8 +89,8 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
-  test("QUADRATIC BY CONTRACT set is pinned: 3 labeled exact baselines, each with a linear twin") {
-    // Three ops are deliberately O(n²): they are the EXACT ground truth
+  test("QUADRATIC BY CONTRACT set is pinned: 4 labeled exact baselines, each with a linear twin") {
+    // Four ops are deliberately O(n²): they are the EXACT ground truth
     // that calibrates a recall-pinned linear-path twin, and they carry
     // a "QUADRATIC BY CONTRACT" def-site label with the measured 10×
     // probe ratio. This pin (round-16, verdict task 6) makes the set
@@ -100,6 +100,7 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     val quadratic = Map( // op -> (linear twin, def-site file)
       "sim_cosine_topk" -> ("sim_ann_ivf", "ops/LlmOps.scala"),
       "sim_embedding_quantize" -> ("sim_ann_pq", "ops/Round8Ops.scala"),
+      "sim_euclidean_topk" -> ("sim_ann_lsh", "ops/Round8Ops.scala"),
       "dedup_near_embedding" -> ("dedup_near_embedding_ann", "ops/LlmOps2.scala"))
     quadratic.foreach { case (q, (twin, _)) =>
       assert(SparkEntry.queries.contains(q), s"quadratic op $q not registered")
