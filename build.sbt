@@ -50,7 +50,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // repeats; with the default it degrades 19 -> 54 -> 173 s run-over-
   // run in one JVM. 1g is reserved address space, not committed RAM.
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++
+  // diagnostics: pin the initial heap (G1 uncommits and regrows the
+  // heap between benchmark runs, which showed up as bimodal 2-6x GC
+  // storms on the corpus-sort ops) and/or swap the collector
+  sys.env.get("SPARK_GRAFT_XMS").map(m => s"-Xms$m").toSeq ++
+  sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
 // forward the opt-in sweep flag to the FORKED test JVM so the
 // documented `sbt -Dgraft.sf01=true "testOnly graft.Sf01CrossCheckSpec"`
 // works (Test/fork does not inherit sbt-JVM system properties)

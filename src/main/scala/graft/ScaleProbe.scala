@@ -28,6 +28,26 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => ops.isEmpty || ops.contains(k) }
+    // Per-op spill + GC attribution, same volatile-label listener as
+    // Bench (round-15 verdict task 4: spill_mb has never read nonzero,
+    // so the probe must carry it to observe the FIRST spill as the
+    // dataset outgrows the unified memory pool at 30x / small heaps).
+    val spillBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val gcMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    @volatile var currentQuery = ""
+    def acc(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+        k: String, v: Long): Unit =
+      m.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(v)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val q = currentQuery
+        val m = te.taskMetrics
+        if (q.nonEmpty && m != null) {
+          acc(spillBytes, q, m.memoryBytesSpilled + m.diskBytesSpilled)
+          acc(gcMs, q, m.jvmGCTime)
+        }
+      }
+    })
     // same warmup as Bench: scan each table once + one joined agg
     try {
       Tables.names.foreach(t => Tables(spark, sfDir, t).limit(1).count())
@@ -35,7 +55,10 @@ object ScaleProbe {
     } catch { case _: Throwable => () }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def lk(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+        k: String): Long = Option(m.get(k)).map(_.get).getOrElse(0L)
     val out = selected.map { case (name, fn) =>
+      currentQuery = name
       val times = Seq.fill(runs) {
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
@@ -44,13 +67,17 @@ object ScaleProbe {
       }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      Thread.sleep(20) // grace for trailing async task-end events
       val med = times.map(_._2).sorted.apply(times.size / 2)
       val mn = times.map(_._2).min
-      System.err.println(s"  probe $name: med=${fmt(med)} min=${fmt(mn)} rows=${times.head._1}")
-      (name, med, mn, times.head._1)
+      val sp = lk(spillBytes, name) / 1048576.0
+      System.err.println(s"  probe $name: med=${fmt(med)} min=${fmt(mn)} rows=${times.head._1}" +
+        s" spill_mb=${fmt(sp)} gc_ms=${lk(gcMs, name)}")
+      (name, med, mn, times.head._1, sp, lk(gcMs, name))
     }
-    val js = out.map { case (k, med, mn, rows) =>
-      s""""$k":{"med":${fmt(med)},"min":${fmt(mn)},"rows":$rows}""" }.mkString("{", ",", "}")
+    currentQuery = ""
+    val js = out.map { case (k, med, mn, rows, sp, gc) =>
+      s""""$k":{"med":${fmt(med)},"min":${fmt(mn)},"rows":$rows,"spill_mb":${fmt(sp)},"gc_ms":$gc}""" }.mkString("{", ",", "}")
     println(s"""{"sf":"$sfDir","runs":$runs,"ops":$js}""")
     spark.stop()
   }
