@@ -66,15 +66,24 @@ object Round11Ops {
     * ≤ C(25,2) rows at ANY corpus size — projecting onto the bounded
     * side is what keeps a bipartite projection feasible at 100 TB
     * (the supplier-side projection would be O(|S|²)).
+    *
+    * Round 16: the DISTINCT + supplier-keyed self-join became the
+    * collect_set co-occurrence shape (the analytic_basket_lift
+    * rewrite): one supplier-keyed aggregate builds each supplier's
+    * sorted brand set and the in-set pairs are generated inline —
+    * no corpus-sized sort or join remains. Byte-identical output.
     */
   def graphBipartiteProject(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bp = lineitem(spark, sfDir)
+    lineitem(spark, sfDir)
       .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
-      .select($"l_suppkey".as("s"), $"p_brand".as("b")).distinct()
-    bp.as("x").join(bp.as("y"),
-        $"x.s" === $"y.s" && $"x.b" < $"y.b")
-      .groupBy($"x.b".as("brand_a"), $"y.b".as("brand_b"))
+      .groupBy($"l_suppkey")
+      .agg(array_sort(collect_set($"p_brand")).as("bs"))
+      .select(explode(expr(
+        "flatten(transform(bs, (x, i) -> " +
+          "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"
+      )).as("p"))
+      .groupBy($"p.a".as("brand_a"), $"p.b".as("brand_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy($"brand_a", $"brand_b")
   }

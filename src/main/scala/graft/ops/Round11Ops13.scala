@@ -73,20 +73,25 @@ object Round11Ops13 {
 
   /** Skip-gram pair mining (window ≤ 2, unordered, i<j): the
     * co-occurrence pair stream word-embedding training consumes.
-    * Positions come from posexplode; the pair join is keyed on
-    * doc_id — co-partitioned, bounded fan-out (≤2 context slots per
-    * center token) — so the shuffle is corpus-linear, never
-    * quadratic. Top-30 by (count desc, center, context) is a total
-    * order.
+    * Each center token pairs with its next ≤2 tokens, generated
+    * INLINE from the per-document token array (round 16: this
+    * replaces a posexplode + doc_id-keyed self-join that sorted two
+    * corpus-sized token streams per run — the pair stream never
+    * needs a join, the context window is a slice of the same array;
+    * byte-identical output). Map-side pair generation + one
+    * vocabulary-keyed aggregate: corpus-linear, never quadratic.
+    * Top-30 by (count desc, center, context) is a total order.
     */
   def textSkipgramPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = documents(spark, sfDir)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "term")))
-    val pairs = toks.as("a").join(toks.as("b"),
-        $"a.doc_id" === $"b.doc_id" &&
-        $"b.pos" > $"a.pos" && $"b.pos" <= $"a.pos" + 2)
-      .select($"a.term".as("center"), $"b.term".as("context"))
+    val pairs = documents(spark, sfDir)
+      .select(split($"text", " ").as("tk"))
+      .select(explode(expr(
+        "flatten(transform(tk, (x, i) -> " +
+          "transform(slice(tk, i + 2, 2), y -> " +
+            "struct(x AS center, y AS context))))"
+      )).as("p"))
+      .select($"p.center".as("center"), $"p.context".as("context"))
     pairs.groupBy($"center", $"context")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"center", $"context")

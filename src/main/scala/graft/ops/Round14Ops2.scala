@@ -49,18 +49,32 @@ object Round14Ops2 {
     * exact and the ceil threshold is binary-exact. Extends the
     * pair census honestly where FP-Growth's tree machinery would
     * still be overkill (bounded itemset size).
+    *
+    * Round 16: the DOUBLE corpus self-join (two corpus-sized sort
+    * sides per run — the worst instance of the shape the
+    * analytic_basket_lift rewrite removed) became the collect_set
+    * co-occurrence form: one order-keyed aggregate, then the ≤35
+    * in-basket triples generated inline from the sorted array.
+    * Byte-identical output at sf0.01 and sf0.1.
     */
   def mlFpmFrequentTriples(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val b = lineitem(spark, sfDir)
+    val sets = lineitem(spark, sfDir)
       .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("o"), $"p_brand".as("i")).distinct()
-    val th = b.agg(ceil(lit(0.00390625) * countDistinct($"o")).as("t"))
-    val s3 = b.as("a")
-      .join(b.as("c"), $"a.o" === $"c.o" && $"a.i" < $"c.i")
-      .join(b.as("e"), $"a.o" === $"e.o" && $"c.i" < $"e.i")
-      .groupBy($"a.i", $"c.i", $"e.i").agg(count(lit(1)).as("freq"))
-      .select($"a.i".as("item1"), $"c.i".as("item2"), $"e.i".as("item3"), $"freq")
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"p_brand")).as("bs"))
+    val th = sets.agg(ceil(lit(0.00390625) * count(lit(1))).as("t"))
+    // 0-based outer index i, then j within the post-i tail, then the
+    // post-(i, j) tail — 1-based slice starts i + 2 and i + j + 3
+    val s3 = sets
+      .select(explode(expr(
+        "flatten(transform(bs, (x, i) -> flatten(" +
+          "transform(slice(bs, i + 2, size(bs)), (y, j) -> " +
+            "transform(slice(bs, i + j + 3, size(bs)), z -> " +
+              "struct(x AS a, y AS b, z AS c))))))"
+      )).as("p"))
+      .groupBy($"p.a".as("item1"), $"p.b".as("item2"), $"p.c".as("item3"))
+      .agg(count(lit(1)).as("freq"))
     s3.crossJoin(broadcast(th))
       .filter($"freq" >= $"t")
       .select($"item1", $"item2", $"item3", $"freq")
