@@ -110,11 +110,13 @@ object Bench {
     val spillBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     val gcMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     @volatile var currentQuery = ""
+    val taskEnds = new java.util.concurrent.atomic.AtomicLong
     def acc(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
         k: String, v: Long): Unit =
       m.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(v)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskEnds.incrementAndGet()
         val q = currentQuery
         val m = te.taskMetrics
         if (q.nonEmpty && m != null) {
@@ -123,14 +125,34 @@ object Bench {
         }
       }
     })
-    val wallT0 = System.nanoTime()
-    val results: Map[String, (Double, Double)] = selected.map { case (name, fn) =>
-      currentQuery = name
-      val times = Seq.fill(runs) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+    // Drain the async listener bus before relabeling currentQuery: a
+    // fixed grace sleep under-waits exactly when attribution matters
+    // most (GC/spill delays task-end delivery). Poll for a 40 ms quiet
+    // window, capped at 500 ms so a stalled bus can't hang the sweep.
+    def drainBus(): Unit = {
+      val deadline = System.nanoTime() + 500000000L
+      var last = taskEnds.get(); Thread.sleep(40)
+      while (taskEnds.get() != last && System.nanoTime() < deadline) {
+        last = taskEnds.get(); Thread.sleep(40)
+      }
+    }
+    // Predecessor mins from the last committed/driver bench_full.json:
+    // the self-defense pass compares against them (round-16 verdict
+    // task 1b). Jackson rides Spark's classpath; absence of the file or
+    // the field degrades to spread-only flagging, never a failure.
+    val prevMin: Map[String, Double] = try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(new java.io.File("bench_full.json"))
+      val qm = root.get("queries_min")
+      if (qm == null) Map.empty
+      else {
+        val it = qm.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+    def clearLeaks(): Unit = {
       // Drop blocks the finished query leaked into the shared JVM —
       // localCheckpoint(true) (pagerank / connected-components cut
       // their iteration lineage this way) pins its materialized RDD
@@ -144,8 +166,47 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      Thread.sleep(20) // grace for trailing async task-end events
+      drainBus()
+    }
+    val wallT0 = System.nanoTime()
+    val sweep: Seq[(String, (Double, Double))] = selected.map { case (name, fn) =>
+      currentQuery = name
+      val times = Seq.fill(runs) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      clearLeaks()
       name -> (times(times.size / 2), times.head)
+    }
+    // Self-defending re-measure (round-16 lesson: BENCH_r16's board
+    // total doubled on 16 contiguously-swept ops that run sub-1.3 s
+    // fresh-JVM — host contention windows land on whatever happens to
+    // be running and are indistinguishable from regressions in a
+    // single pass). An op whose median/min spread exceeds 2.5x was
+    // measured under load; an op whose min exceeds 3x its bench_full
+    // predecessor min either regressed or was contended for ALL its
+    // runs. Both get ONE more timed run at end-of-sweep — by then the
+    // contention window has usually passed — and the extra observation
+    // folds into the min column (min-of-N is the least-contended
+    // reading; more N is strictly better). Both readings are recorded
+    // in bench_full.json's `rerun` map so the adjudication is visible.
+    // Capped at 40 ops (worst excess first) to bound sweep time.
+    val flagged = sweep.filter { case (name, (med, mn)) =>
+      (mn > 0.05 && med / mn > 2.5) ||
+        prevMin.get(name).exists(p => p > 0.25 && mn > 3 * p)
+    }.sortBy { case (_, (med, mn)) => -(med - mn) }.take(40).map(_._1)
+    val fnByName = selected.toMap
+    val rerun: Map[String, Double] = flagged.map { name =>
+      currentQuery = name
+      val t0 = System.nanoTime()
+      try { fnByName(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val t = (System.nanoTime() - t0) / 1e9
+      clearLeaks()
+      name -> t
+    }.toMap
+    val results: Map[String, (Double, Double)] = sweep.map { case (name, (med, mn)) =>
+      name -> (med, rerun.get(name).filter(_ > 0).fold(mn)(math.min(mn, _)))
     }.toMap
     currentQuery = ""
     val wallS = (System.nanoTime() - wallT0) / 1e9
@@ -162,12 +223,14 @@ object Bench {
       .mkString("{", ",", "}")
     val loadJson =
       s"""{"sys_load_avg_start":${fmt(loadStart)},"sys_load_avg_end":${fmt(loadEnd)},""" +
-      s""""cpus":$cpus,"runs_per_query":$runs,"wall_s":${fmt(wallS)},"total_min_s":${fmt(totalMin)}}"""
+      s""""cpus":$cpus,"runs_per_query":$runs,"n_rerun":${rerun.size},""" +
+      s""""wall_s":${fmt(wallS)},"total_min_s":${fmt(totalMin)}}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"load":$loadJson,"sf":"$sfDir"}"""
     // spill/GC maps ride bench_full.json only (diagnostics, not the
     // driver stdout contract); spill in MB (1dp), GC in whole ms,
-    // summed across the query's runs
+    // TOTALS summed across the query's runs (named _total so nobody
+    // compares them to a single run's median)
     def lk(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
         k: String): Long = Option(m.get(k)).map(_.get).getOrElse(0L)
     val fullSpill = results.toSeq.sortBy(-_._2._1)
@@ -175,8 +238,14 @@ object Bench {
       .mkString("{", ",", "}")
     val fullGc = results.toSeq.sortBy(-_._2._1)
       .map { case (k, _) => s""""$k":${lk(gcMs, k)}""" }.mkString("{", ",", "}")
+    // rerun map records sweep-min alongside the end-of-sweep reading
+    // (queries_min already carries the fold-in of the better of the two)
+    val rerunJson = rerun.toSeq.sortBy(_._1).map { case (k, t) =>
+      val sweepMin = sweep.find(_._1 == k).map(_._2._2).getOrElse(-1.0)
+      s"\"$k\":{\"sweep_min\":${fmt(sweepMin)},\"rerun\":${fmt(t)}}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"queries_min":$fullMin,"spill_mb":$fullSpill,"gc_ms":$fullGc,"load":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"queries_min":$fullMin,"rerun":$rerunJson,"spill_mb_total":$fullSpill,"gc_ms_total":$fullGc,"load":$loadJson,"sf":"$sfDir"}"""
     // full sweeps only: a selective CLI run (iteration aid) must not
     // clobber the committed full-sweep snapshot
     if (args.isEmpty) try {

@@ -35,11 +35,13 @@ object ScaleProbe {
     val spillBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     val gcMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     @volatile var currentQuery = ""
+    val taskEnds = new java.util.concurrent.atomic.AtomicLong
     def acc(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
         k: String, v: Long): Unit =
       m.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(v)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskEnds.incrementAndGet()
         val q = currentQuery
         val m = te.taskMetrics
         if (q.nonEmpty && m != null) {
@@ -48,6 +50,18 @@ object ScaleProbe {
         }
       }
     })
+    // Drain the async listener bus before relabeling currentQuery: a
+    // fixed grace sleep under-waits exactly when it matters (heavy GC /
+    // spill delays task-end delivery), crediting trailing events to the
+    // next op. Poll until no task-end arrives for a 40 ms quiet window
+    // (500 ms cap so a stalled bus can't hang the probe).
+    def drainBus(): Unit = {
+      val deadline = System.nanoTime() + 500000000L
+      var last = taskEnds.get(); Thread.sleep(40)
+      while (taskEnds.get() != last && System.nanoTime() < deadline) {
+        last = taskEnds.get(); Thread.sleep(40)
+      }
+    }
     // same warmup as Bench: scan each table once + one joined agg
     try {
       Tables.names.foreach(t => Tables(spark, sfDir, t).limit(1).count())
@@ -67,17 +81,19 @@ object ScaleProbe {
       }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      Thread.sleep(20) // grace for trailing async task-end events
+      drainBus()
       val med = times.map(_._2).sorted.apply(times.size / 2)
       val mn = times.map(_._2).min
+      // spill/GC are TOTALS across all `runs` repetitions of the op —
+      // named _total so nobody divides them by a single run's median
       val sp = lk(spillBytes, name) / 1048576.0
       System.err.println(s"  probe $name: med=${fmt(med)} min=${fmt(mn)} rows=${times.head._1}" +
-        s" spill_mb=${fmt(sp)} gc_ms=${lk(gcMs, name)}")
+        s" spill_mb_total=${fmt(sp)} gc_ms_total=${lk(gcMs, name)}")
       (name, med, mn, times.head._1, sp, lk(gcMs, name))
     }
     currentQuery = ""
     val js = out.map { case (k, med, mn, rows, sp, gc) =>
-      s""""$k":{"med":${fmt(med)},"min":${fmt(mn)},"rows":$rows,"spill_mb":${fmt(sp)},"gc_ms":$gc}""" }.mkString("{", ",", "}")
+      s""""$k":{"med":${fmt(med)},"min":${fmt(mn)},"rows":$rows,"spill_mb_total":${fmt(sp)},"gc_ms_total":$gc}""" }.mkString("{", ",", "}")
     println(s"""{"sf":"$sfDir","runs":$runs,"ops":$js}""")
     spark.stop()
   }
