@@ -156,8 +156,10 @@ object Round13Ops4 {
     * caught in sim_ivf_nprobe_sweep; a serving batch is a constant
     * set by the client, not a corpus fraction, and the candidate leg
     * becomes 256·n/4, linear). Same md5 coin as the nprobe sweep,
-    * deterministic at every scale. Each probe ranks the 16 broadcast
-    * centroids (qid-partitioned window), keeps its nProbe=4 cells,
+    * deterministic at every scale. Each probe ranks the ceil(√n)
+    * broadcast centroids (qid-partitioned window), keeps its
+    * nProbe = max(4, ceil(√nCent)) cells (scanned fraction shrinks
+    * as n^(-1/4) with the v4 √n-cell index),
     * and the candidate join is a plain shuffle equi-join on cell id —
     * batch-wide work is one join, no per-query loop. Top-3 neighbors
     * per probe via a qid-partitioned WindowGroupLimit. No oracle
@@ -180,11 +182,12 @@ object Round13Ops4 {
         "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"),
         $"p") === 0)
       .select($"vec_id".as("qid"), $"embedding".as("pe"), $"nrm".as("pn"))
+    val nProbe = Round12Ops.nProbeFor(cents)
     val probeCells = probes.crossJoin(broadcast(cents))
       .withColumn("cos_c", LlmOps.dot($"pe", $"ce") / ($"pn" * $"cn"))
       .withColumn("cr", row_number().over(
         Window.partitionBy($"qid").orderBy($"cos_c".desc, $"cid")))
-      .filter($"cr" <= 4)
+      .filter($"cr" <= nProbe)
       .select($"qid", $"cid", $"pe", $"pn")
     probeCells.join(assigned, Seq("cid"))
       .filter($"vec_id" =!= $"qid")

@@ -98,18 +98,22 @@ object ScaleTechniques {
       // layout is derived from data that no longer exists, so any
       // reader still on it is already reading a stale derivation;
       // deleting it is strictly better than keeping both. The stem
-      // ALSO strips a trailing _vN artifact-version suffix (round-13
-      // advisory: bumping ivf_index_v1 -> v3 stranded the v1 dirs
-      // forever because the version rode inside the stem), so a
-      // version bump reaps the previous version's dirs the same way a
-      // fingerprint roll does.
-      val stem = key.replaceAll("_[0-9a-f]{12}$", "")
-        .replaceAll("_v\\d+$", "")
+      // strips the fingerprint suffix AND any _vN artifact-version
+      // segment WHEREVER it sits in the key (round-13 advisory:
+      // bumping ivf_index_v1 -> v3 stranded the v1 dirs; the round-13
+      // trailing-only _vN$ strip never fired for keys shaped
+      // name_vN_<datasetKey> because the version rides mid-key —
+      // round-17 normalizes both sides instead of pattern-matching
+      // one), so a version bump reaps the previous version's dirs the
+      // same way a fingerprint roll does.
+      def stemOf(n: String): String = n.replaceAll("_[0-9a-f]{12}$", "")
+        .replaceAll("_v\\d+(_|$)", "$1")
+      val stem = stemOf(key)
       if (stem != key)
         Option(dest.getParentFile.listFiles()).foreach(_.foreach { f =>
           if (f.getName != key && !f.getName.contains(".tmp-") &&
-            f.getName.matches(
-              java.util.regex.Pattern.quote(stem) + "(_v\\d+)?_[0-9a-f]{12}"))
+            f.getName.matches(".*_[0-9a-f]{12}$") &&
+            stemOf(f.getName) == stem)
             rmTree(f)
         })
       dest.getPath

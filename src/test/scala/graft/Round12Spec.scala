@@ -16,7 +16,7 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
     val df = Round12Ops.simAnnIndexPersist(spark, sf)
     df.collect() // finalize AQE so the executed plan is the real one
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ivf_index_v3"),
+    assert(plan.contains("ivf_index_v4"),
       s"probe should scan the persisted index artifact:\n${plan.take(2000)}")
     assert(!plan.contains("Window"),
       s"assignment window must run only in the index build, not the probe:\n${plan.take(2000)}")
@@ -85,7 +85,7 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
       assert(minKeeper(removed) === kept,
         s"doc $removed kept $kept but min partner is ${minKeeper(removed)}")
     }
-    // plan shape: pairs come from two scans of the persisted rn<=3
+    // plan shape: pairs come from two scans of the persisted rn<=4
     // assignments self-joined on cell id — no inline assignment
     // window, and no broadcast HINT anywhere (a size-based AQE
     // broadcast at test scale is fine; a hinted one would pin a
@@ -95,7 +95,7 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
       s"no broadcast hint expected in the semantic-cluster plan:\n${logical.take(2000)}")
     df.collect()
     val physical = df.queryExecution.executedPlan.toString
-    assert(physical.contains("ivf_index_v3"),
+    assert(physical.contains("ivf_index_v4"),
       s"pair generator should scan the persisted index artifact:\n${physical.take(2000)}")
     assert(!physical.contains("Window"),
       s"assignment window must run only in the index build:\n${physical.take(2000)}")

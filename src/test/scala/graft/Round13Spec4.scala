@@ -84,7 +84,7 @@ class Round13Spec4 extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.45, s"batch-probe recall@3 $recall below floor")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ivf_index_v3"),
+    assert(plan.contains("ivf_index_v4"),
       s"batch probe should scan the persisted index:\n${plan.take(1500)}")
   }
 
