@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   */
 object Round13Ops20 {
 
-  /** Recall@10 and scan cost vs nprobe ∈ {1,2,4,16} through the
+  /** Recall@10 and scan cost vs nprobe ∈ {1,2,4,nCent} through the
     * persisted IVF index — THE serving knob: more probed cells buys
     * recall with linearly more scanned candidates. One candidate pass
     * (probes × corpus, cell rank attached from the tiny centroid
-    * table), then per-nprobe ranks over the SAME pairs; at nprobe=16
-    * every cell is probed, so recall is exactly 1.0 by construction —
+    * table), then per-nprobe ranks over the SAME pairs; the panel's
+    * last entry is the v4 index's full cell count (read from the tiny
+    * centroids file — was the fixed 16 before round 17's √n sizing),
+    * so every cell is probed and recall is exactly 1.0 by construction —
     * pinned in Round13Spec20 along with monotonicity, which makes
     * this op self-verifying despite having no SQL oracle (the
     * centroid choice is engine-specific, same reason as sim_ann_ivf).
@@ -59,8 +61,10 @@ object Round13Ops20 {
         Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
       .filter($"xr" <= 10)
       .select($"qid", $"vec_id")
+    val nCent = cents.count().toInt // tiny parquet footer read
+    val panel = Seq(1, 2, 4).filter(_ < nCent) :+ nCent
     val swept = pairs
-      .withColumn("nprobe", explode(array(Seq(1, 2, 4, 16).map(lit): _*)))
+      .withColumn("nprobe", explode(array(panel.map(lit): _*)))
       .filter($"cr" <= $"nprobe")
       .withColumn("rk", row_number().over(
         Window.partitionBy($"qid", $"nprobe").orderBy($"cos".desc, $"vec_id")))

@@ -763,6 +763,50 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "selection re-rank must stay partitioned by quantile target")
   }
 
+  test("win_rolling_median: exactly the three planned hash exchanges, no extra shuffle") {
+    // The TwoPhase rewrite budgets THREE hash exchanges on corpus- or
+    // census-sized data: (1) the (event_type, day) intra-day rank,
+    // (2) the |types|x|days|-row census offset window, (3) the
+    // (event_type, chunk) frame window after the carry union. The
+    // offsets join back as a broadcast, so a fourth hashpartitioning
+    // would mean the rewrite accidentally re-shuffled the corpus
+    // (round-16 verdict task 6: confirm the rewrite's cost is the
+    // carry constant, not a second exchange). Final output sort adds
+    // range partitioning, not hash.
+    val p = plan(graft.ops.Round10Ops7.winRollingMedian(spark, sf))
+    val hashEx = """Exchange hashpartitioning""".r.findAllIn(p).size
+    assert(hashEx <= 3,
+      s"rolling median must shuffle exactly 3x (day-rank, census, chunk); " +
+        s"saw $hashEx hashpartitioning entries:\n" + p.take(2500))
+    assert(p.contains("BroadcastHashJoin"),
+      s"census offsets must join back as a broadcast:\n${p.take(2500)}")
+  }
+
+  test("ts_sma_crossover: windows run over the daily rollup, one corpus shuffle") {
+    // Cost model: ONE corpus-sized hash exchange (the per-(type, day)
+    // revenue rollup); every window after it runs over the
+    // |types|x|days|-row daily table. A second corpus-sized exchange
+    // (or a window whose input is the raw events) would be the
+    // accidental-regression shape this pin exists to catch.
+    val df = graft.ops.Round11Ops9.tsSmaCrossover(spark, sf)
+    val p = plan(df)
+    val hashEx = """Exchange hashpartitioning""".r.findAllIn(p).size
+    assert(hashEx <= 2,
+      s"sma crossover budgets the rollup exchange (+1 window repartition " +
+        s"of the 150-row daily table); saw $hashEx:\n" + p.take(2500))
+    // every window's input must be the aggregated daily table — a
+    // window whose subtree has no Aggregate is running over raw events
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: LWindow => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window must consume the daily rollup, not raw events:\n$w")
+    }
+  }
+
   test("cache-reuse: both band branches read the InMemory rollup, not lineitem") {
     // the op's point: the corpus-sized aggregate materializes ONCE;
     // each consumer scans the |nations|-sized cached relation
