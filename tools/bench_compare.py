@@ -87,6 +87,8 @@ def main():
 
     changed = changed_ops_since(a.since) if a.since else None
 
+    steal = new.get("steal_pct_by_op", {})
+    rerun = new.get("rerun", {})
     regress, improve, contended = [], [], []
     for k in sorted(set(om) & set(nm)):
         o, n = om[k], nm[k]
@@ -110,8 +112,13 @@ def main():
         for row in sorted(rows, key=lambda t: -t[-1]):
             k = row[0]
             tag = ""
-            if mark is not None and changed is not None:
-                tag = "  [file changed]" if changed.get(k) else "  [UNCHANGED file]"
+            if mark is not None:
+                if changed is not None:
+                    tag = "  [file changed]" if changed.get(k) else "  [UNCHANGED file]"
+                if k in steal:
+                    tag += f"  [steal {steal[k]:.0f}%]"
+                if k in rerun:
+                    tag += f"  [rerun {rerun[k].get('rerun', -1):.2f}s]"
             if len(row) == 4:
                 print(f"  {k:45s} {row[1]:8.3f} -> {row[2]:8.3f}  "
                       f"{row[3]:5.2f}x{tag}")
