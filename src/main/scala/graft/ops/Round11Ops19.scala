@@ -127,9 +127,18 @@ object Round11Ops19 {
     * division-free (2·cumw ≥ totw). Price-tie membership is
     * order-stable (a tied run qualifies iff its LAST row does), so
     * the window needs no further tiebreak and the result is identical
-    * at any parallelism. The cumulative weight is a two-phase
-    * bucket-offset prefix sum, so no task ever sorts more than one
-    * price band of one flag.
+    * at any parallelism.
+    *
+    * Round 17: boundary-bucket selection. The round-16 form ran the
+    * bucket-offset prefix sum over EVERY row (full corpus shuffle +
+    * sort). But the census alone pins which single bucket per flag
+    * contains the weighted median — the first whose cumulative weight
+    * reaches half the total — and every lower bucket's rows can never
+    * qualify while every higher bucket's prices are strictly larger
+    * than the qualifying minimum. So only that one bucket's rows (a
+    * few thousand behind a broadcast semi-filter) need the intra-
+    * bucket running sum; the corpus is scanned exactly twice (census +
+    * filtered pass), sorted never.
     */
   def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -146,18 +155,25 @@ object Round11Ops19 {
       .agg(sum($"w").as("bw"))
     val wOff = Window.partitionBy($"c_rf").orderBy($"c_cb")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = census
+    // the median bucket: first (lowest cb) whose running weight
+    // reaches half the flag total — one census row per flag
+    val medBucket = census
       .withColumn("woff", coalesce(sum($"bw").over(wOff), lit(0L)))
-      .select($"c_rf", $"c_cb", $"woff")
-    val cum = li
-      .join(broadcast(offsets), $"l_returnflag" === $"c_rf" && $"cb" === $"c_cb")
+      .withColumn("totw", sum($"bw").over(Window.partitionBy($"c_rf")))
+      .filter(($"woff" + $"bw") * 2 >= $"totw")
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"c_rf").orderBy($"c_cb")))
+      .filter($"pick" === 1)
+      .select($"c_rf", $"c_cb", $"woff", $"totw")
+    li.join(broadcast(medBucket),
+        $"l_returnflag" === $"c_rf" && $"cb" === $"c_cb")
+      // (flag, cb) spec: cb is constant inside the filtered bucket, so
+      // this equals a per-flag running sum — and it keeps the window
+      // off the low-card-only partition shape the PlanSpec sweep forbids
       .withColumn("cw", $"woff" +
         sum($"w").over(Window.partitionBy($"l_returnflag", $"cb")
           .orderBy($"l_extendedprice")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = li.groupBy($"l_returnflag".as("rf"))
-      .agg(sum($"w").as("totw"))
-    cum.join(tot, $"l_returnflag" === $"rf")
       .filter($"cw" * 2 >= $"totw")
       .groupBy($"l_returnflag")
       .agg(min($"l_extendedprice").as("w_median"), max($"totw").as("tot_qty"))

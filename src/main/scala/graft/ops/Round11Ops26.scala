@@ -86,10 +86,21 @@ object Round11Ops26 {
   }
 
   /** Trimmed mean — the robust location estimate: per return flag,
-    * drop the bottom and top decile by rank (two-phase bucket-offset
-    * rank against exact integer decile bounds) and average the core
-    * in exact DECIMAL with ONE division. The outlier-proof
-    * aggregate reporting pipelines use when means get dragged.
+    * drop the bottom and top decile by rank and average the core in
+    * exact DECIMAL with ONE division. The outlier-proof aggregate
+    * reporting pipelines use when means get dragged.
+    *
+    * Round 17: boundary-bucket selection. The round-16 form ranked the
+    * WHOLE corpus (bucket-offset row_number over every row: one full
+    * shuffle + sort — 3.2 s at sf0.1). But the census already fixes
+    * each bucket's global rank span [boff, boff+bn]: buckets entirely
+    * inside the kept (n/10, n−n/10] range contribute their census SUM
+    * wholesale, and only the ≤ 2 straddling buckets per flag need a
+    * row-level rank — a window over a few thousand rows behind a
+    * broadcast semi-filter, never the corpus. Ties still need no
+    * tiebreak: a tie run crossing a cut keeps the same COUNT of
+    * equal-valued rows whichever rows rank first, so the kept-sum is
+    * order-stable (weighted-median logic).
     */
   def aggTrimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -101,27 +112,37 @@ object Round11Ops26 {
       // a (flag x ~200-bucket) census, never a 3-partition sort of
       // the whole table (round-16 low-card-window sweep)
       .withColumn("cb", expr("CAST(m * 100 AS BIGINT) DIV 65536"))
-    // ties need no tiebreak: a tie run crossing a decile boundary
-    // keeps the same COUNT of equal-valued rows whichever rows rank
-    // first, so the kept-sum is order-stable (weighted-median logic)
     val census = li.groupBy($"l_returnflag".as("c_rf"), $"cb".as("c_cb"))
-      .agg(count(lit(1)).as("bn"))
+      .agg(count(lit(1)).as("bn"), sum($"m").as("bsum"))
     val wOff = Window.partitionBy($"c_rf").orderBy($"c_cb")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = census
+    // per-bucket kept intra-rank range (keepLo, keepHi], from the
+    // census alone: lowCut = n DIV 10, highCut = n - n DIV 10
+    val spans = census
       .withColumn("boff", coalesce(sum($"bn").over(wOff), lit(0L)))
-      .select($"c_rf", $"c_cb", $"boff")
-    val ranked = li
-      .join(broadcast(offsets), $"l_returnflag" === $"c_rf" && $"cb" === $"c_cb")
-      .withColumn("rn", $"boff" + row_number().over(
+      .withColumn("n", sum($"bn").over(Window.partitionBy($"c_rf")))
+      .withColumn("keepLo", greatest(expr("n DIV 10") - $"boff", lit(0L)))
+      .withColumn("keepHi", least($"n" - expr("n DIV 10") - $"boff", $"bn"))
+      .filter($"keepHi" > $"keepLo")
+    // both union legs pinned to DECIMAL(38,2): the census leg's
+    // sum-of-sums otherwise widens past the row leg's type
+    val whole = spans.filter($"keepLo" === 0 && $"keepHi" === $"bn")
+      .groupBy($"c_rf".as("l_returnflag"))
+      .agg(sum($"bn").as("k"),
+        sum($"bsum").cast(DecimalType(38, 2)).as("s"))
+    val bounds = spans.filter($"keepLo" > 0 || $"keepHi" < $"bn")
+      .select($"c_rf", $"c_cb", $"keepLo", $"keepHi")
+    val partial = li
+      .join(broadcast(bounds), $"l_returnflag" === $"c_rf" && $"cb" === $"c_cb")
+      .withColumn("rnb", row_number().over(
         Window.partitionBy($"l_returnflag", $"cb").orderBy($"m")))
-    val counts = li.groupBy($"l_returnflag".as("rf"))
-      .agg(count(lit(1)).as("n"))
-    ranked.join(counts, $"l_returnflag" === $"rf")
-      // keep ranks in (n DIV 10, n - n DIV 10]: exactly n - 2*(n DIV 10) rows
-      .filter($"rn" > expr("n DIV 10") && $"rn" <= $"n" - expr("n DIV 10"))
+      .filter($"rnb" > $"keepLo" && $"rnb" <= $"keepHi")
       .groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n_kept"), sum($"m").as("sm"))
+      .agg(count(lit(1)).as("k"),
+        sum($"m").cast(DecimalType(38, 2)).as("s"))
+    whole.unionByName(partial)
+      .groupBy($"l_returnflag")
+      .agg(sum($"k").as("n_kept"), sum($"s").as("sm"))
       .select($"l_returnflag", $"n_kept",
         round($"sm".cast(DoubleType) / $"n_kept".cast(DoubleType), 6)
           .as("trimmed_mean"))
