@@ -1,16 +1,114 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Pure measurement policy for Bench, factored out so the fold/flag/
+  * budget arithmetic is unit-testable without running a sweep
+  * (BenchMathSpec). Bench feeds plain numbers; nothing here touches
+  * Spark.
+  */
+object BenchMath {
+
+  /** (median, min) over the SUCCESSFUL runs of one op. Failed runs are
+    * recorded as -1 by the sweep and excluded here — the round-17 code
+    * timed the failure path itself, so a fast-throwing op read as a
+    * fast op; (-1, -1) when every run failed keeps the failure visible
+    * in the JSON line (the driver's success signal is "no -1
+    * seconds"). Even counts report the upper median (the convention
+    * every prior round's numbers used).
+    */
+  def medMin(times: Seq[Double]): (Double, Double) = {
+    val ok = times.filter(_ >= 0).sorted
+    if (ok.isEmpty) (-1.0, -1.0) else (ok(ok.size / 2), ok.head)
+  }
+
+  /** CPU-steal% observed around the run that produced the min. The min
+    * is the reading adjudication trusts (least-contended observation),
+    * so the steal that matters for the "even the best reading was
+    * contended" flag is the steal under THAT run — a dirty pass-1 run
+    * next to a clean pass-3 min must not flag the op.
+    */
+  def stealOfMin(runs: Seq[(Double, Double)]): Double = {
+    val ok = runs.filter(_._1 >= 0)
+    if (ok.isEmpty) -1.0 else ok.minBy(_._1)._2
+  }
+
+  /** Fold an end-of-sweep re-run into the min column. A FAILED re-run
+    * is recorded as -1 and must never replace the min (round-17
+    * advisory: the old code recorded the elapsed time of the failure
+    * path, so a fast-throwing re-run — artifact race, OOM — replaced a
+    * flagged op's min with a bogus sub-second value, silently
+    * vindicating a real regression).
+    */
+  def foldMin(sweepMin: Double, rerun: Option[Double]): Double =
+    rerun.filter(_ > 0).fold(sweepMin)(r =>
+      if (sweepMin < 0) r else math.min(sweepMin, r))
+
+  /** Worst-evidence score for re-run priority; 0 = unflagged. The
+    * round-17 cap ranked by absolute median-min spread, which dropped
+    * exactly the ops the re-run exists to adjudicate when the cap
+    * bound: uniform all-runs starvation (criterion b) has near-zero
+    * spread (r17's pipeline_pii_audit: 10.2 s min, small spread, vs
+    * 0.33 s one sweep later). Ranking by the worst RATIO across
+    * criteria keeps those at the front. Criteria match rounds 16-17:
+    * (a) median/min spread > 2.5x = measured under load; (b) min > 2x
+    * the predecessor bench_full min = regressed OR contended for all
+    * runs; (c) steal > 8% under the min run = contention directly
+    * observed.
+    */
+  def flagScore(med: Double, mn: Double, steal: Double,
+      prevMin: Option[Double]): Double = {
+    val spread = if (mn > 0.05 && med / mn > 2.5) med / mn else 0.0
+    val regress = prevMin.filter(p => p > 0.15 && mn > 2 * p)
+      .map(mn / _).getOrElse(0.0)
+    val stl = if (steal > 8.0 && mn > 0.15) steal / 8.0 else 0.0
+    math.max(spread, math.max(regress, stl))
+  }
+
+  /** Whether another full pass fits the wall budget. Passes repeat the
+    * same board in the same order, so the last pass's wall is the
+    * projection for the next; 0.85 headroom leaves room for the re-run
+    * pass and the JSON emit. Chronic-steal inflation is self-limiting:
+    * a slow pass projects a slow next pass and the sweep degrades to
+    * fewer passes instead of blowing the driver's kill budget.
+    */
+  def allowNextPass(elapsedS: Double, lastPassS: Double, budgetS: Double): Boolean =
+    elapsedS + lastPassS <= 0.85 * budgetS
+
+  /** Whether one more end-of-sweep re-run fits: estimate = the op's
+    * own min with a floor (the re-run usually runs FASTER than the
+    * flagged readings — that is the point), 1.5x slack because the
+    * starvation window may not have passed.
+    */
+  def allowRerun(elapsedS: Double, opMinS: Double, budgetS: Double): Boolean =
+    elapsedS + 1.5 * math.max(opMinS, 0.3) <= 0.95 * budgetS
+}
+
 /** Benchmark entry point (driver contract): runs every registered query
   * against SPARK_GRAFT_SF_DIR and prints ONE compact JSON line.
   *
   * The line MUST stay well under 2000 characters: the driver harness
-  * captures only the tail of the sbt output, and a line carrying all ~90
-  * per-query timings at full double precision gets its head truncated
-  * and fails to parse (observed in round 1: BENCH_r01.json parsed=null).
-  * So stdout carries the total plus a fixed headline subset (the
-  * BASELINE.md anchor queries + the historically slowest ops) rounded to
-  * 3dp; the full per-query map goes to `bench_full.json` and stderr.
+  * captures only the tail of the sbt output, and a line carrying all
+  * ~640 per-query timings at full double precision gets its head
+  * truncated and fails to parse (observed in round 1: BENCH_r01.json
+  * parsed=null). So stdout carries the total plus a fixed headline
+  * subset (the BASELINE.md anchor queries + the historically slowest
+  * ops) rounded to 3dp; the full per-query map goes to
+  * `bench_full.json`.
+  *
+  * Round 18 — the artifact must be UNLOSABLE (round-17 verdict task 1:
+  * BENCH_r17.json was timeout-killed at rc=124 with parsed=null because
+  * the JSON line printed only after the full sweep + re-run pass):
+  *   - a wall BUDGET (SPARK_GRAFT_BENCH_BUDGET_S, default 1200 s of JVM
+  *     wall) degrades the sweep adaptively — runs interleave as whole-
+  *     board passes, and passes 2..N only start if the previous pass's
+  *     wall still fits; the re-run pass checks the budget before every
+  *     re-run;
+  *   - bench_full.json is CHECKPOINTED every 20 op-runs with
+  *     `"incomplete": true` + the op being run, so even a SIGKILL
+  *     leaves a parseable on-disk artifact;
+  *   - a JVM shutdown hook prints the stdout JSON line (marked
+  *     incomplete) if the sweep dies before the normal emit — a
+  *     SIGTERM'd run still hands the driver a parseable line.
   */
 object Bench {
 
@@ -39,6 +137,12 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
+    val jvmT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - jvmT0) / 1e9
+    // Budget is JVM wall, not sweep wall: the driver's kill clock
+    // started before this JVM did (sbt launch + compile ride the same
+    // timeout), so everything this process spends counts against it.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -78,15 +182,20 @@ object Bench {
         graft.Tables(spark, sfDir, t).limit(1).count())
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
-    // Median of 3 runs per query: single-run numbers jittered 2-3x
-    // round-over-round from JVM/GC/ordering noise with zero code
-    // change (round-4 verdict), so per-query deltas were not signal.
-    // One-time costs that intentionally amortize across queries (model
-    // caches, ReuseExchange) land in run 1 and the median reports the
-    // steady-state latency; the total stays the sum of medians.
-    // Clamped to >=1 (0/negative would make times(times.size/2) throw);
-    // even run counts report the upper median.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Up to N INTERLEAVED whole-board passes per query (round-17
+    // verdict task 2): the old 3-consecutive-runs design let one
+    // multi-minute hypervisor starvation window poison ALL runs of
+    // whatever ops it covered (the r16/r17 "excursion blocks" — ops
+    // reading 3-40x slow in every run, reverting fresh-JVM). With
+    // passes separated by the whole board (~6 min apart), a window
+    // must persist across the entire sweep to contaminate an op's
+    // min-of-N — so the min column is steal-robust BY CONSTRUCTION and
+    // the re-run pass becomes a backstop instead of a 64-op tail.
+    // One-time costs that intentionally amortize (/tmp layouts, model
+    // caches) land in pass 1 and the median reports steady state; the
+    // min column stays the canonical comparator (BASELINE.md round-16
+    // note). Clamped to >=1; even pass counts report the upper median.
+    val maxPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // Load self-diagnosis (round-8 lesson): the driver's sweep ran on a
     // machine busy with its own oracle work and reported a slow tail
     // 6-14x above isolation on identical code — indistinguishable from
@@ -111,6 +220,25 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => None }
     val statStart = procStat()
+    // Steal TIMELINE (round-17 verdict task 6): the 20 s /proc/stat
+    // sampler that adjudicated the r16 excursions lived only in the
+    // probe methodology; folding it into the artifact itself means the
+    // next excursion is adjudicated from bench_full.json alone —
+    // "which ops ran inside a >10% steal window" becomes one read.
+    // Daemon thread: dies with the JVM, never blocks shutdown.
+    val stealTimeline = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double)]()
+    val sampler = new Thread(() => {
+      var prev = procStat()
+      while (true) {
+        Thread.sleep(20000)
+        val cur = procStat()
+        for { (t0, s0) <- prev; (t1, s1) <- cur if t1 > t0 }
+          stealTimeline.add((elapsedS.toInt, 100.0 * (s1 - s0) / (t1 - t0)))
+        prev = cur
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     // Per-query spill + GC attribution (round-9 lesson: the driver
     // sweep read 37.7 s for a query that runs ~1 s isolated, and it
     // took a judge session of re-measurement to prove it was machine
@@ -152,7 +280,8 @@ object Bench {
     }
     // Predecessor mins from the last committed/driver bench_full.json:
     // the self-defense pass compares against them (round-16 verdict
-    // task 1b). Jackson rides Spark's classpath; absence of the file or
+    // task 1b). MUST load before the first checkpoint overwrites the
+    // file. Jackson rides Spark's classpath; absence of the file or
     // the field degrades to spread-only flagging, never a failure.
     val prevMin: Map[String, Double] = try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -167,125 +296,102 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
     def clearLeaks(): Unit = {
-      // Drop blocks the finished query leaked into the shared JVM —
+      // Drop blocks the finished run leaked into the shared JVM —
       // localCheckpoint(true) (pagerank / connected-components cut
       // their iteration lineage this way) pins its materialized RDD
-      // blocks outside the CacheManager, so 3 runs × N queries
+      // blocks outside the CacheManager, so N passes × 640 queries
       // accumulate GBs of storage and the driver's round-7 full sweep
       // ran the dedup family 10-20× slower than in isolation (16.4 s
       // vs 0.7 s for dedup_minhash_lsh). Queries never share cached
       // state across entries (disk layouts amortize via /tmp), so
-      // clearing between queries is contamination-control, not a
+      // clearing between runs is contamination-control, not a
       // benchmark cheat.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       drainBus()
     }
-    val wallT0 = System.nanoTime()
-    // Per-op CPU steal (round-17 root cause of every "excursion block"
-    // since r14: multi-minute hypervisor starvation windows where
-    // steal ≈ busy — the VM gets a small fraction of the CPU it
-    // demands, and whatever ops occupy the window read 3-40× slow in
-    // ALL their runs; two same-code sweeps produced DISJOINT
-    // contiguous slow blocks, and the drift diagnostic's engine-state
-    // counters stayed flat+bounded, exonerating the engine). Recording
-    // steal per op makes each excursion mechanically adjudicable and
-    // feeds the rerun flag below.
-    val sweep: Seq[(String, (Double, Double, Double))] = selected.map { case (name, fn) =>
-      currentQuery = name
-      val st0 = procStat()
-      val times = Seq.fill(runs) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val opSteal = (for { (t0, s0) <- st0; (t1, s1) <- procStat() }
-        yield if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0).getOrElse(-1.0)
-      clearLeaks()
-      name -> (times(times.size / 2), times.head, opSteal)
-    }
-    // Self-defending re-measure (round-16 lesson: BENCH_r16's board
-    // total doubled on 16 contiguously-swept ops that run sub-1.3 s
-    // fresh-JVM — starvation windows land on whatever happens to be
-    // running and are indistinguishable from regressions in a single
-    // pass). Flags: (a) median/min spread over 2.5x = measured under
-    // load; (b) min over 2x the bench_full predecessor min = regressed
-    // OR contended for ALL runs (2x, not 3x: a window covering all 3
-    // runs produces a uniform 3-10x min with small spread — r17's
-    // pipeline_pii_audit read 10.2 s min vs 0.33 s one sweep later);
-    // (c) per-op steal above 8% = the window is directly observed.
-    // Each flagged op gets ONE more timed run at end-of-sweep — by
-    // then the window has usually passed — and the extra observation
-    // folds into the min column (min-of-N is the least-contended
-    // reading; more N is strictly better). Both readings are recorded
-    // in bench_full.json's `rerun` map so the adjudication is visible.
-    // Capped at 64 ops (worst excess first) to bound sweep time.
-    val flagged = sweep.filter { case (name, (med, mn, steal)) =>
-      (mn > 0.05 && med / mn > 2.5) ||
-        prevMin.get(name).exists(p => p > 0.15 && mn > 2 * p) ||
-        (steal > 8.0 && mn > 0.15)
-    }.sortBy { case (_, (med, mn, _)) => -(med - mn) }.take(64).map(_._1)
-    val fnByName = selected.toMap
-    val rerun: Map[String, Double] = flagged.map { name =>
-      currentQuery = name
-      val t0 = System.nanoTime()
-      try { fnByName(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val t = (System.nanoTime() - t0) / 1e9
-      clearLeaks()
-      name -> t
-    }.toMap
-    val opSteal: Map[String, Double] = sweep.map { case (n, (_, _, s)) => n -> s }.toMap
-    val results: Map[String, (Double, Double)] = sweep.map { case (name, (med, mn, _)) =>
-      name -> (med, rerun.get(name).filter(_ > 0).fold(mn)(math.min(mn, _)))
-    }.toMap
-    currentQuery = ""
-    val wallS = (System.nanoTime() - wallT0) / 1e9
-    val loadEnd = osBean.getSystemLoadAverage
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val totalMin = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    // `queries` stays median-only (round-over-round schema stability);
-    // `queries_min` and `load` are additive diagnostics.
-    val full = results.toSeq.sortBy(-_._2._1)
-      .map { case (k, (med, _)) => s"\"$k\":${fmt(med)}" }.mkString("{", ",", "}")
-    val fullMin = results.toSeq.sortBy(-_._2._1)
-      .map { case (k, (_, mn)) => s"\"$k\":${fmt(mn)}" }.mkString("{", ",", "}")
-    val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${fmt(v._1)}"))
-      .mkString("{", ",", "}")
-    val stealPct = (for { (t0, s0) <- statStart; (t1, s1) <- procStat() }
-      yield if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0).getOrElse(-1.0)
-    val loadJson =
-      s"""{"sys_load_avg_start":${fmt(loadStart)},"sys_load_avg_end":${fmt(loadEnd)},""" +
-      s""""cpus":$cpus,"runs_per_query":$runs,"n_rerun":${rerun.size},""" +
-      s""""steal_pct":${fmt(stealPct)},""" +
-      s""""wall_s":${fmt(wallS)},"total_min_s":${fmt(totalMin)}}"""
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"load":$loadJson,"sf":"$sfDir"}"""
-    // spill/GC maps ride bench_full.json only (diagnostics, not the
-    // driver stdout contract); spill in MB (1dp), GC in whole ms,
-    // TOTALS summed across the query's runs (named _total so nobody
-    // compares them to a single run's median)
+
+    // ---- mutable sweep state, readable by the shutdown hook ----
+    // Only the main thread writes; the hook/checkpoints read. Per-op
+    // run history is (seconds-or--1, steal%-around-that-run).
+    val state = new java.util.concurrent.ConcurrentHashMap[String, Vector[(Double, Double)]]()
+    @volatile var rerunDone: Map[String, Double] = Map.empty
+    @volatile var passesDone = 0
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
     def lk(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
         k: String): Long = Option(m.get(k)).map(_.get).getOrElse(0L)
-    val fullSpill = results.toSeq.sortBy(-_._2._1)
-      .map { case (k, _) => s"\"$k\":${fmt(lk(spillBytes, k) / 1048576.0)}" }
-      .mkString("{", ",", "}")
-    val fullGc = results.toSeq.sortBy(-_._2._1)
-      .map { case (k, _) => s""""$k":${lk(gcMs, k)}""" }.mkString("{", ",", "}")
-    // rerun map records sweep-min alongside the end-of-sweep reading
-    // (queries_min already carries the fold-in of the better of the two)
-    val rerunJson = rerun.toSeq.sortBy(_._1).map { case (k, t) =>
-      val sweepMin = sweep.find(_._1 == k).map(_._2._2).getOrElse(-1.0)
-      s"\"$k\":{\"sweep_min\":${fmt(sweepMin)},\"rerun\":${fmt(t)}}"
-    }.mkString("{", ",", "}")
-    // per-op steal%, only where it matters (>2%), to keep the file lean
-    val stealJson = opSteal.toSeq.filter(_._2 > 2.0).sortBy(-_._2)
-      .map { case (k, s) => s"\"$k\":${fmt(s)}" }.mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"queries_min":$fullMin,"rerun":$rerunJson,"steal_pct_by_op":$stealJson,"spill_mb_total":$fullSpill,"gc_ms_total":$fullGc,"load":$loadJson,"sf":"$sfDir"}"""
+
+    /** (stdoutLine, fullLine) from whatever has been measured so far.
+      * Called at checkpoints (full line only), from the shutdown hook,
+      * and at the normal end-of-sweep emit.
+      */
+    def buildLines(incomplete: Boolean, diedOn: String): (String, String) = {
+      val rr = rerunDone
+      // (name, med, foldedMin, sweepMin, stealOfMinRun) in fixed order
+      val perOp = selected.flatMap { case (name, _) =>
+        Option(state.get(name)).filter(_.nonEmpty).map { runs =>
+          val (med, mn) = BenchMath.medMin(runs.map(_._1))
+          (name, med, BenchMath.foldMin(mn, rr.get(name)), mn,
+            BenchMath.stealOfMin(runs))
+        }
+      }
+      val total = perOp.collect { case (_, med, _, _, _) if med >= 0 => med }.sum
+      val totalMin = perOp.collect { case (_, _, fm, _, _) if fm >= 0 => fm }.sum
+      val ordered = perOp.sortBy(-_._2)
+      // `queries` stays median-only (round-over-round schema stability);
+      // `queries_min` and `load` are additive diagnostics.
+      val full = ordered.map { case (k, med, _, _, _) => s"\"$k\":${fmt(med)}" }
+        .mkString("{", ",", "}")
+      val fullMin = ordered.map { case (k, _, fm, _, _) => s"\"$k\":${fmt(fm)}" }
+        .mkString("{", ",", "}")
+      val medByName = perOp.map(p => p._1 -> p._2).toMap
+      val head = headline.flatMap(k => medByName.get(k).map(v => s"\"$k\":${fmt(v)}"))
+        .mkString("{", ",", "}")
+      val stealPct = (for { (t0, s0) <- statStart; (t1, s1) <- procStat() }
+        yield if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0).getOrElse(-1.0)
+      val incompleteJson =
+        if (incomplete) s""""incomplete":true,"died_on":"$diedOn",""" else ""
+      val loadJson =
+        s"""{"sys_load_avg_start":${fmt(loadStart)},"sys_load_avg_end":${fmt(osBean.getSystemLoadAverage)},""" +
+        s""""cpus":$cpus,"runs_per_query":$maxPasses,"passes_done":$passesDone,""" +
+        s""""n_rerun":${rr.size},"steal_pct":${fmt(stealPct)},"budget_s":${fmt(budgetS)},""" +
+        s""""wall_s":${fmt(elapsedS)},"total_min_s":${fmt(totalMin)}}"""
+      val line =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$incompleteJson"n_queries":${perOp.size},"queries":$head,"load":$loadJson,"sf":"$sfDir"}"""
+      // rerun map records sweep-min alongside the end-of-sweep reading
+      // (-1 = the re-run itself failed and was NOT folded into the min);
+      // queries_min already carries the fold-in of the better of the two
+      val sweepMinByName = perOp.map(p => p._1 -> p._4).toMap
+      val rerunJson = rr.toSeq.sortBy(_._1).map { case (k, t) =>
+        s"\"$k\":{\"sweep_min\":${fmt(sweepMinByName.getOrElse(k, -1.0))},\"rerun\":${fmt(t)}}"
+      }.mkString("{", ",", "}")
+      // per-op steal% around the MIN run, only where it matters (>2%),
+      // to keep the file lean
+      val stealJson = perOp.filter(_._5 > 2.0).sortBy(-_._5)
+        .map { case (k, _, _, _, s) => s"\"$k\":${fmt(s)}" }.mkString("{", ",", "}")
+      // spill/GC maps ride bench_full.json only (diagnostics, not the
+      // driver stdout contract); spill in MB (1dp), GC in whole ms,
+      // TOTALS summed across the query's runs (named _total so nobody
+      // compares them to a single run's median)
+      val fullSpill = ordered
+        .map { case (k, _, _, _, _) => s"\"$k\":${fmt(lk(spillBytes, k) / 1048576.0)}" }
+        .mkString("{", ",", "}")
+      val fullGc = ordered
+        .map { case (k, _, _, _, _) => s""""$k":${lk(gcMs, k)}""" }.mkString("{", ",", "}")
+      val timelineJson = {
+        import scala.jdk.CollectionConverters._
+        stealTimeline.iterator().asScala
+          .map { case (t, s) => s"[$t,${fmt(s)}]" }.mkString("[", ",", "]")
+      }
+      val fullLine =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$incompleteJson"n_queries":${perOp.size},"queries":$full,"queries_min":$fullMin,"rerun":$rerunJson,"steal_pct_by_op":$stealJson,"spill_mb_total":$fullSpill,"gc_ms_total":$fullGc,"steal_timeline":$timelineJson,"load":$loadJson,"sf":"$sfDir"}"""
+      (line, fullLine)
+    }
     // full sweeps only: a selective CLI run (iteration aid) must not
     // clobber the committed full-sweep snapshot
-    if (args.isEmpty) try {
+    def writeFull(fullLine: String): Unit = if (args.isEmpty) try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
@@ -294,11 +400,105 @@ object Bench {
     // the full per-query map lives in bench_full.json
     // ASCII only: this line lands verbatim in the driver's captured
     // tail and a multibyte dash renders as mojibake there
-    println("NOTE: any executor stack traces above come from the " +
-      "corrupt-file tolerance ops reading intentionally malformed " +
-      "inputs (source_ignore_corrupt, PERMISSIVE JSON parses) -- " +
-      "rc=0 and no -1 seconds in the JSON line are the success signals.")
-    println(line)
+    def emitStdout(line: String): Unit = {
+      println("NOTE: any executor stack traces above come from the " +
+        "corrupt-file tolerance ops reading intentionally malformed " +
+        "inputs (source_ignore_corrupt, PERMISSIVE JSON parses) -- " +
+        "rc=0 and no -1 seconds in the JSON line are the success signals.")
+      println(line)
+      System.out.flush()
+    }
+    // The unlosability backstop: a SIGTERM (what `timeout` sends, and
+    // what sbt forwards to this forked JVM) still prints a parseable
+    // stdout line and lands a final bench_full.json. Only a hard
+    // SIGKILL skips this — and then the 20-op checkpoint file remains.
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (emitted.compareAndSet(false, true)) {
+        val (line, fullLine) = buildLines(incomplete = true, currentQuery)
+        emitStdout(line)
+        writeFull(fullLine)
+      }
+    }))
+
+    /** One timed run: -1 seconds on failure (the timing of a failure
+      * path is not a measurement — round-17 advisory), steal% sampled
+      * around exactly this run.
+      */
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      currentQuery = name
+      val st0 = procStat()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val steal = (for { (c0, s0) <- st0; (c1, s1) <- procStat() }
+        yield if (c1 > c0) 100.0 * (s1 - s0) / (c1 - c0) else 0.0).getOrElse(-1.0)
+      clearLeaks()
+      (t, steal)
+    }
+
+    // ---- the interleaved sweep ----
+    // Hard abort only at 1.2x budget mid-pass: by then the shutdown
+    // hook story is strictly worse than stopping voluntarily with a
+    // marked-incomplete artifact. The normal degradation path is the
+    // BenchMath.allowNextPass gate between passes.
+    var aborted = false
+    var lastPassWall = 0.0
+    var opRuns = 0
+    var pass = 1
+    while (pass <= maxPasses && !aborted &&
+        (pass == 1 || BenchMath.allowNextPass(elapsedS, lastPassWall, budgetS))) {
+      val p0 = System.nanoTime()
+      val it = selected.iterator
+      while (it.hasNext && !aborted) {
+        val (name, fn) = it.next()
+        if (elapsedS > 1.2 * budgetS) aborted = true
+        else {
+          val r = runOnce(name, fn)
+          state.compute(name, (_, v) => if (v == null) Vector(r) else v :+ r)
+          opRuns += 1
+          if (opRuns % 20 == 0) writeFull(buildLines(incomplete = true, name)._2)
+        }
+      }
+      if (!aborted) passesDone = pass
+      lastPassWall = (System.nanoTime() - p0) / 1e9
+      pass += 1
+    }
+
+    // ---- self-defending re-measure (round-16 lesson, round-18 form) ----
+    // Interleaving already makes the min-of-N steal-robust; the re-run
+    // pass remains as the backstop for windows that outlasted the whole
+    // sweep and for genuine vs-predecessor regressions. Flags and
+    // ranking per BenchMath.flagScore; budget-checked before EVERY
+    // re-run so this pass can never push the sweep past the driver's
+    // kill clock (round-17: the 64-op cap was hit and the tail died).
+    if (!aborted) {
+      val flagged = selected.flatMap { case (name, _) =>
+        Option(state.get(name)).filter(_.nonEmpty).map { runs =>
+          val (med, mn) = BenchMath.medMin(runs.map(_._1))
+          (name, mn, BenchMath.flagScore(med, mn, BenchMath.stealOfMin(runs), prevMin.get(name)))
+        }
+      }.filter(_._3 > 0).sortBy(-_._3).take(64)
+      val fnByName = selected.toMap
+      val fit = flagged.iterator
+      var stop = false
+      while (fit.hasNext && !stop) {
+        val (name, mn, _) = fit.next()
+        if (!BenchMath.allowRerun(elapsedS, mn, budgetS)) stop = true
+        else {
+          val (t, _) = runOnce(name, fnByName(name))
+          rerunDone = rerunDone + (name -> t)
+          opRuns += 1
+          if (opRuns % 20 == 0) writeFull(buildLines(incomplete = true, name)._2)
+        }
+      }
+    }
+
+    currentQuery = ""
+    if (emitted.compareAndSet(false, true)) {
+      val (line, fullLine) = buildLines(incomplete = aborted, diedOn = if (aborted) "budget_abort" else "")
+      writeFull(fullLine)
+      emitStdout(line)
+    }
     spark.stop()
   }
 }

@@ -98,16 +98,21 @@ object ScaleTechniques {
       // layout is derived from data that no longer exists, so any
       // reader still on it is already reading a stale derivation;
       // deleting it is strictly better than keeping both. The stem
-      // strips the fingerprint suffix AND any _vN artifact-version
-      // segment WHEREVER it sits in the key (round-13 advisory:
-      // bumping ivf_index_v1 -> v3 stranded the v1 dirs; the round-13
-      // trailing-only _vN$ strip never fired for keys shaped
-      // name_vN_<datasetKey> because the version rides mid-key —
-      // round-17 normalizes both sides instead of pattern-matching
-      // one), so a version bump reaps the previous version's dirs the
-      // same way a fingerprint roll does.
+      // strips the fingerprint suffix AND the artifact's _vN version
+      // segment (round-13 advisory: bumping ivf_index_v1 -> v3
+      // stranded the v1 dirs; the round-13 trailing-only _vN$ strip
+      // never fired for keys shaped name_vN_<datasetKey> because the
+      // version rides mid-key), so a version bump reaps the previous
+      // version's dirs the same way a fingerprint roll does. Only the
+      // FIRST _vN segment is stripped (round-17 advisory): keys are
+      // shaped <artifact>_vN_<datasetKey> with the artifact version
+      // ahead of the dataset identity, and the round-17 strip-anywhere
+      // form also normalized version-looking segments INSIDE the
+      // datasetKey's directory-name portion — a dataset dir named
+      // events_v2_x would share a stem with one named events_x, and
+      // this GC would reap the other dataset's LIVE artifact.
       def stemOf(n: String): String = n.replaceAll("_[0-9a-f]{12}$", "")
-        .replaceAll("_v\\d+(_|$)", "$1")
+        .replaceFirst("_v\\d+(_|$)", "$1")
       val stem = stemOf(key)
       if (stem != key)
         Option(dest.getParentFile.listFiles()).foreach(_.foreach { f =>

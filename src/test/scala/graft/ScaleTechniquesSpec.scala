@@ -41,4 +41,25 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
     Seq(v1other, unrelated, v2roll).foreach(rm)
   }
+
+  test("a version-looking segment INSIDE the dataset dirname never aliases stems") {
+    // round-17 advisory: the strip-anywhere form normalized _vN_
+    // segments in the datasetKey's directory-name portion too, so the
+    // same artifact over dataset dirs `evts_v2_x` and `evts_x` shared
+    // a stem and publishing one REAPED the other's live artifact. Only
+    // the artifact's own (first) version segment may normalize.
+    val a = publish(s"gcspec_feat_v1_evts_v2_x_00000000cccc")
+    val b = publish(s"gcspec_feat_v1_evts_x_00000000dddd")
+    assert(a.exists() && b.exists(),
+      "artifacts over distinct dataset dirs coexist even when one " +
+        "dirname contains a version-looking segment")
+    // the artifact version bump still reaps ONLY its own dataset's dir
+    val a2 = publish(s"gcspec_feat_v2_evts_v2_x_00000000cccc")
+    assert(a2.exists() && !a.exists() && b.exists(),
+      "version bump reaps its own dataset's previous version only")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    Seq(b, a2).foreach(rm)
+  }
 }

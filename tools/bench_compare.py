@@ -39,7 +39,18 @@ def load(spec):
 
 def changed_ops_since(rev):
     """Map op name -> whether its defining file changed since rev,
-    using the generated inventory's file:line column in SURVEY.md."""
+    using the generated inventory's file:line column in SURVEY.md.
+
+    Round-18 fix (round-17 advisory): the inventory column already
+    carries the full repo-relative path ("src/main/scala/...") and op
+    names ride in backticks, so the old prefix-prepend + raw-name keying
+    matched NOTHING — every regression was tagged [UNCHANGED file] and
+    mechanically dismissed as measurement noise. The paths are used
+    verbatim, names are stripped of backticks, and a sanity check
+    disables the tag entirely (returns None, printing a warning) when
+    no parsed path exists on disk — a silently-broken mapping is worse
+    than no mapping.
+    """
     try:
         out = subprocess.check_output(
             ["git", "diff", "--name-only", rev, "HEAD"], text=True)
@@ -47,15 +58,22 @@ def changed_ops_since(rev):
         return None
     changed_files = set(out.split())
     ops = {}
+    paths = set()
     try:
         with open("SURVEY.md") as f:
             for line in f:
-                # inventory rows look like: | op_name | ... | path:line |
+                # inventory rows: | `op_name` | tier | src/main/scala/...:line |
                 parts = [p.strip() for p in line.split("|")]
                 if len(parts) >= 4 and ":" in parts[-2] and "/" in parts[-2]:
-                    path = "src/main/scala/" + parts[-2].rsplit(":", 1)[0]
-                    ops[parts[1]] = path in changed_files
+                    path = parts[-2].rsplit(":", 1)[0]
+                    paths.add(path)
+                    ops[parts[1].strip("`")] = path in changed_files
     except OSError:
+        return None
+    import os
+    if not any(os.path.exists(p) for p in paths):
+        print("WARNING: no inventory path exists on disk; "
+              "[changed file] tagging disabled", file=sys.stderr)
         return None
     return ops
 
