@@ -44,8 +44,11 @@ object Round11Ops2 {
 
   private val lrCache = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.ml.regression.LinearRegressionModel]
+  // (weight, mu1, mu2, s11, s12, s22) per component — the closed-form
+  // EM below owns its parameters; see mlGmmCluster for why MLlib's
+  // GaussianMixtureModel is not used
   private val gmmCache = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.ml.clustering.GaussianMixtureModel]
+    .empty[String, Array[(Double, Double, Double, Double, Double, Double)]]
 
   /** Corpus-global stopword list (top-20 tokens by frequency, token
     * tie-break) joined back as a broadcast to score per-source
@@ -285,22 +288,102 @@ object Round11Ops2 {
       .toDF("c1", "c2", "c3", "intercept", "r2")
   }
 
-  /** Seeded Gaussian-mixture clustering (k = 3) on embedding dims
-    * 1–2: per-cluster sizes and mixture weights. Deterministic under
-    * the fixed seed + fixed repartitioning (same protocol as the
-    * other MLlib learners). Scalatest-only; Round11Spec asserts
-    * re-run determinism and that sizes sum to the corpus.
+  /** Gaussian-mixture clustering (k = 3, 20 EM iterations) on
+    * embedding dims 1–2: per-cluster sizes. Scalatest-only;
+    * Round11Spec asserts re-run determinism (served by the model
+    * cache) and that sizes partition the corpus.
+    *
+    * Round 18: hand-rolled closed-form EM, NOT MLlib's
+    * GaussianMixture. The MLlib fit computes each component's
+    * covariance constants with breeze eigSym -> netlib f2j `dsyev`
+    * INSIDE executor tasks, and f2j's `dlascl` spins forever when a
+    * collapsed component hands it a NaN covariance (NaN comparisons
+    * never satisfy its scaling-loop exit). Observed in-session: one
+    * executor thread pinned a core for 40+ minutes mid-suite — an
+    * operator that can hang an entire 1000-executor job on one bad
+    * component is not scale-safe no matter how fast its happy path
+    * is. In 2-D every quantity has closed form (2x2 determinant /
+    * inverse), so EM runs as plain codegen'd Column arithmetic — one
+    * whole-stage aggregation per iteration, no LAPACK, no UDF — and
+    * the M-step ridge-floors each covariance (escalating until the
+    * determinant is strictly positive) and rebirths near-empty
+    * components, so a NaN/singular matrix cannot exist by
+    * construction. Init is data-derived and deterministic (global
+    * mean +/- 0.8 sigma along both dims), not seeded-random.
     */
   def mlGmmCluster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.ml.clustering.GaussianMixture
-    val df = embeddings(spark, sfDir).select($"vec_id",
-      toVec(slice($"embedding", 1, 2)).as("features"))
-      .repartition(8, $"vec_id")
-    val m = cachedModel(gmmCache, sfDir) {
-      new GaussianMixture().setK(3).setSeed(42L).setMaxIter(20).fit(df)
+    val pts = embeddings(spark, sfDir).select($"vec_id",
+      element_at($"embedding", 1).cast(DoubleType).as("x1"),
+      element_at($"embedding", 2).cast(DoubleType).as("x2"))
+    // log component densities as Column arithmetic; p = (w, mu1, mu2,
+    // s11, s12, s22) with det(s) > 0 guaranteed by the M-step
+    def logDens(p: (Double, Double, Double, Double, Double, Double)) = {
+      val (w, mu1, mu2, s11, s12, s22) = p
+      val det = s11 * s22 - s12 * s12
+      val (i11, i12, i22) = (s22 / det, -s12 / det, s11 / det)
+      val d1 = $"x1" - lit(mu1); val d2 = $"x2" - lit(mu2)
+      lit(math.log(w) - math.log(2 * math.Pi) - 0.5 * math.log(det)) -
+        (d1 * d1 * lit(i11) + d1 * d2 * lit(2 * i12) + d2 * d2 * lit(i22)) * 0.5
     }
-    m.transform(df)
+    val params = cachedModel(gmmCache, sfDir) {
+      val Array(n, m1, m2, v1, v2) = pts.agg(
+        count(lit(1)).cast(DoubleType), avg($"x1"), avg($"x2"),
+        var_pop($"x1"), var_pop($"x2"))
+        .as[(Double, Double, Double, Double, Double)].head()
+        .productIterator.map(_.asInstanceOf[Double]).toArray
+      val (sd1, sd2) = (math.sqrt(v1 max 1e-6), math.sqrt(v2 max 1e-6))
+      var ps = Array(-0.8, 0.0, 0.8).map(o =>
+        (1.0 / 3, m1 + o * sd1, m2 + o * sd2, v1 max 1e-6, 0.0, v2 max 1e-6))
+      for (_ <- 1 to 20) {
+        // E-step responsibilities, max-shifted for stable exp
+        val ls = ps.map(logDens)
+        val mx = greatest(ls(0), ls(1), ls(2))
+        val es = ls.map(l => exp(l - mx))
+        val tot = es(0) + es(1) + es(2)
+        // one aggregation pass: per-component weighted sufficient stats
+        val cols = es.flatMap { e =>
+          val r = e / tot
+          Seq(sum(r), sum(r * $"x1"), sum(r * $"x2"),
+            sum(r * $"x1" * $"x1"), sum(r * $"x1" * $"x2"),
+            sum(r * $"x2" * $"x2"))
+        }
+        val row = pts.agg(cols.head, cols.tail: _*).head()
+        val stats = Array.tabulate(3, 6)((k, j) => row.getDouble(6 * k + j))
+        ps = Array.tabulate(3) { k =>
+          val Array(rk, sx1, sx2, sq11, sq12, sq22) = stats(k)
+          // died OR any non-finite stat (NaN in the source column
+          // would otherwise poison the ridge loop): rebirth at the
+          // global mean — never divide by ~0, never carry NaN forward
+          if (rk < 1e-6 || !stats(k).forall(java.lang.Double.isFinite))
+            (1e-6, m1, m2, v1 max 1e-6, 0.0, v2 max 1e-6)
+          else {
+            val (mu1, mu2) = (sx1 / rk, sx2 / rk)
+            var (c11, c12, c22) = (sq11 / rk - mu1 * mu1,
+              sq12 / rk - mu1 * mu2, sq22 / rk - mu2 * mu2)
+            // ridge until strictly positive-definite — the invariant
+            // that makes the log/inverse above total functions;
+            // bounded (finite inputs + geometric ridge), but belt-and-
+            // braces capped with a spherical fallback
+            var ridge = 1e-9
+            var tries = 0
+            while ((!(c11 * c22 - c12 * c12 > 1e-12) || !(c11 > 0)) &&
+                tries < 64) {
+              c11 += ridge; c22 += ridge; ridge *= 10; tries += 1
+            }
+            if (tries >= 64) { c11 = v1 max 1e-6; c12 = 0.0; c22 = v2 max 1e-6 }
+            (rk, mu1, mu2, c11, c12, c22)
+          }
+        }
+        val wTot = ps.map(_._1).sum
+        ps = ps.map { case (w, a, b, c, d, e) => (w / wTot, a, b, c, d, e) }
+      }
+      ps
+    }
+    val ls = params.map(logDens)
+    pts.select(
+        when(ls(0) >= ls(1) && ls(0) >= ls(2), 0)
+          .when(ls(1) >= ls(2), 1).otherwise(2).as("prediction"))
       .groupBy($"prediction")
       .agg(count(lit(1)).as("n"))
       .orderBy($"prediction")
