@@ -148,6 +148,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The generated-class cache defaults to 100 entries; a 640-plan
+      // interleaved sweep cycles it completely between an op's passes,
+      // so EVERY run re-runs janino + fresh JIT (~0.3-1 s) that the
+      // old 3-consecutive-runs design amortized into run 1 — measured
+      // round 18: the dedup/analytic families' min-of-3 read a uniform
+      // 2-3x above r17 with zero steal and tight spread until this was
+      // raised. On a real cluster a plan compiles once per job, so the
+      // compile tax must not ride the min column. 4096 covers the
+      // board's ~2000 codegen stages; entries are small (compiled
+      // classes) against the 24g driver heap.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -39,6 +39,11 @@ object JvmDrift {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench: without this the 100-entry generated-class cache
+      // cycles between canary re-times and every canary run pays
+      // janino + fresh JIT — a fixed per-plan tax that reads as
+      // "drift" but is just cache sizing (round-18 measurement)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
