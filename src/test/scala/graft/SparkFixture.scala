@@ -18,6 +18,10 @@ object SparkFixture {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench/Verify: the PlanSpec full-board sweeps compile all
+      // ~640 plans in one JVM; the 100-entry generated-class cache
+      // default would cycle and re-pay janino per revisit (round 18)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
