@@ -53,6 +53,13 @@ class BenchMathSpec extends AnyFunSuite {
     assert(BenchMath.flagScore(1.0, 0.9, 12.0, None) > 0.0)
   }
 
+  test("every headline name is a registered query") {
+    // the stdout contract line carries only this subset; a renamed or
+    // mistyped entry would silently vanish from BENCH_r{N}.json
+    val missing = Bench.headline.filterNot(SparkEntry.queries.keySet)
+    assert(missing.isEmpty, s"headline names not in SparkEntry.queries: $missing")
+  }
+
   test("pass/rerun budget gates degrade before the driver kill clock") {
     // next pass projected from the last pass's wall, 0.85 headroom
     assert(BenchMath.allowNextPass(400.0, 420.0, 1200.0))
