@@ -57,6 +57,13 @@ object BenchMath {
     */
   def flagScore(med: Double, mn: Double, steal: Double,
       prevMin: Option[Double]): Double = {
+    // (d) every run failed: the only evidence is "something threw" —
+    // a transient artifact race and a real break look identical, and
+    // without a flag the adopt-a-successful-rerun branch of foldMin
+    // could never fire (round-18 advisory: it was unreachable). Fixed
+    // 3.0 ranks the adjudication above mild spread (~2.5) but below
+    // heavy starvation ratios, which carry actual slow readings.
+    if (mn < 0) return 3.0
     val spread = if (mn > 0.05 && med / mn > 2.5) med / mn else 0.0
     val regress = prevMin.filter(p => p > 0.15 && mn > 2 * p)
       .map(mn / _).getOrElse(0.0)
@@ -64,15 +71,17 @@ object BenchMath {
     math.max(spread, math.max(regress, stl))
   }
 
-  /** Whether another full pass fits the wall budget. Passes repeat the
-    * same board in the same order, so the last pass's wall is the
-    * projection for the next; 0.85 headroom leaves room for the re-run
-    * pass and the JSON emit. Chronic-steal inflation is self-limiting:
-    * a slow pass projects a slow next pass and the sweep degrades to
-    * fewer passes instead of blowing the driver's kill budget.
+  /** Whether ONE more timed run of an op fits the wall budget
+    * (round-19: replaces the all-or-nothing next-pass gate — a pass
+    * that can't finish whole is still worth STARTING, because the
+    * board is ordered headline-first and every op the budget does
+    * reach gets its warm re-measure). Estimate = the op's own best
+    * successful reading so far, 1.3x slack for steal, floored so a
+    * flood of sub-ms estimates can't pile up at the deadline edge;
+    * 0.85 headroom reserves the re-run backstop + the JSON emit.
     */
-  def allowNextPass(elapsedS: Double, lastPassS: Double, budgetS: Double): Boolean =
-    elapsedS + lastPassS <= 0.85 * budgetS
+  def allowOpRun(elapsedS: Double, estS: Double, budgetS: Double): Boolean =
+    elapsedS + 1.3 * math.max(estS, 0.05) <= 0.85 * budgetS
 
   /** Whether one more end-of-sweep re-run fits: estimate = the op's
     * own min with a floor (the re-run usually runs FASTER than the
@@ -109,6 +118,19 @@ object BenchMath {
   *   - a JVM shutdown hook prints the stdout JSON line (marked
   *     incomplete) if the sweep dies before the normal emit — a
   *     SIGTERM'd run still hands the driver a parseable line.
+  *
+  * Round 19 — the artifact must also be WARM (round-18 verdict task 1:
+  * the driver budget fits one cold pass, so BENCH_r18's min column was
+  * a single cold observation, 4x the canonical 3-pass sweep and not
+  * comparable to it):
+  *   - an UNTIMED, CONCURRENT warmup phase pre-pays every one-time
+  *     cost (fixture layouts, model caches, codegen/JIT) before pass 1;
+  *   - the board is ordered headline-first and passes 2..N gate per op,
+  *     so the gate anchors always get all N runs and the budget decides
+  *     only how far down the board the later passes reach;
+  *   - the artifact carries `min_semantics`, per-op run counts, and an
+  *     explicit cold-op list, and tools/bench_compare.py refuses the
+  *     min-column reads those fields mark as incomparable.
   */
 object Bench {
 
@@ -181,13 +203,22 @@ object Bench {
         l, org.apache.logging.log4j.Level.ERROR))
     // optional CLI args = run only these queries (iteration aid; the
     // driver invokes with no args and gets the full sweep)
-    // Sorted by name: hash-order iteration moved the shared-JVM context
-    // (GC pressure, codegen cache, ReuseExchange) onto different queries
-    // whenever an entry was added, making per-query numbers incomparable
-    // across rounds (round-6 verdict: 3-4x deltas on identical code).
-    // A fixed order times every query in the same context every round.
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Fixed deterministic order: hash-order iteration moved the
+    // shared-JVM context (GC pressure, codegen cache, ReuseExchange)
+    // onto different queries whenever an entry was added, making
+    // per-query numbers incomparable across rounds (round-6 verdict:
+    // 3-4x deltas on identical code). Round 19: HEADLINE-FIRST, then
+    // by name — when the wall budget gates a later pass mid-board, the
+    // ops it reaches first must be the 17 gate anchors, so they get
+    // all N passes even on a sweep that degrades to one-and-a-bit
+    // (round-18 verdict task 1b). Still fixed and deterministic; the
+    // r18 rebaseline already reset the predecessor chain this order
+    // change would otherwise perturb.
+    val headSet = headline.toSet
+    val byName = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => args.isEmpty || args.contains(k) }
+    val selected = headline.flatMap(h => byName.find(_._1 == h)) ++
+      byName.filterNot { case (k, _) => headSet(k) }
     // Untimed warmup: JVM/codegen/parquet-reader init otherwise lands
     // entirely on whichever query happens to run first (~4 s measured),
     // corrupting that query's number. One tiny scan per table + one
@@ -333,6 +364,12 @@ object Bench {
     val state = new java.util.concurrent.ConcurrentHashMap[String, Vector[(Double, Double)]]()
     @volatile var rerunDone: Map[String, Double] = Map.empty
     @volatile var passesDone = 0
+    @volatile var partialPassOps = 0
+    @volatile var warmupWallS = 0.0
+    // names successfully pre-run by the untimed warmup phase: an op in
+    // here has its one-time costs (fixtures, model caches, codegen)
+    // already paid, so even a single timed run of it is a WARM reading
+    val warmedSet = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     def lk(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
@@ -368,13 +405,35 @@ object Bench {
         yield if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0).getOrElse(-1.0)
       val incompleteJson =
         if (incomplete) s""""incomplete":true,"died_on":"$diedOn",""" else ""
+      // Cold ops (round-18 verdict task 2): an op whose min rests on a
+      // SINGLE run that was never warmed carries one-time fixture /
+      // codegen cost in its reading — BENCH_r18's whole min column was
+      // this (1360.6 vs the warm 336.8) and nothing on the artifact's
+      // face said so. The artifact now names its own cold ops, and
+      // tools/bench_compare.py refuses min-vs-min reads when any
+      // exist. Reruns don't clear the flag: a rerun in the same JVM IS
+      // warm, but foldMin may keep the cold sweep min.
+      val coldOps = perOp.collect {
+        case (k, _, _, _, _) if state.get(k).count(_._1 >= 0) == 1 &&
+          !warmedSet.contains(k) => k
+      }
+      val coldJson = if (coldOps.isEmpty) "" else s""""cold_only":true,"""
+      // min_semantics 2 = the round-18 rebaseline: interleaved whole-
+      // board passes with leaked state cleared between runs (and, from
+      // round 19, one-time costs pre-paid by the untimed warmup).
+      // Absent field = pre-r18 min-of-3-consecutive semantics; the
+      // comparator hard-errors across the boundary instead of leaving
+      // the rule in BASELINE.md prose (round-18 verdict task 3).
+      val semJson = s""""min_semantics":2,"""
       val loadJson =
         s"""{"sys_load_avg_start":${fmt(loadStart)},"sys_load_avg_end":${fmt(osBean.getSystemLoadAverage)},""" +
         s""""cpus":$cpus,"runs_per_query":$maxPasses,"passes_done":$passesDone,""" +
+        s""""partial_pass_ops":$partialPassOps,"warmup_ops":${warmedSet.size},""" +
+        s""""warmup_wall_s":${fmt(warmupWallS)},"n_cold_ops":${coldOps.size},""" +
         s""""n_rerun":${rr.size},"steal_pct":${fmt(stealPct)},"budget_s":${fmt(budgetS)},""" +
         s""""wall_s":${fmt(elapsedS)},"total_min_s":${fmt(totalMin)}}"""
       val line =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$incompleteJson"n_queries":${perOp.size},"queries":$head,"load":$loadJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$semJson$coldJson$incompleteJson"n_queries":${perOp.size},"queries":$head,"load":$loadJson,"sf":"$sfDir"}"""
       // rerun map records sweep-min alongside the end-of-sweep reading
       // (-1 = the re-run itself failed and was NOT folded into the min);
       // queries_min already carries the fold-in of the better of the two
@@ -400,16 +459,35 @@ object Bench {
         stealTimeline.iterator().asScala
           .map { case (t, s) => s"[$t,${fmt(s)}]" }.mkString("[", ",", "]")
       }
+      // successful-run counts per op (sweep passes only; reruns ride
+      // the rerun map) — the per-op grain behind passes_done, so a
+      // partial-pass artifact says exactly which mins are min-of-N
+      val runsJson = ordered.map { case (k, _, _, _, _) =>
+        s"\"$k\":${state.get(k).count(_._1 >= 0)}"
+      }.mkString("{", ",", "}")
+      val coldListJson = coldOps.map(k => s"\"$k\"").mkString("[", ",", "]")
       val fullLine =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$incompleteJson"n_queries":${perOp.size},"queries":$full,"queries_min":$fullMin,"rerun":$rerunJson,"steal_pct_by_op":$stealJson,"spill_mb_total":$fullSpill,"gc_ms_total":$fullGc,"steal_timeline":$timelineJson,"load":$loadJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$semJson$coldJson$incompleteJson"n_queries":${perOp.size},"queries":$full,"queries_min":$fullMin,"runs_by_op":$runsJson,"cold_ops":$coldListJson,"rerun":$rerunJson,"steal_pct_by_op":$stealJson,"spill_mb_total":$fullSpill,"gc_ms_total":$fullGc,"steal_timeline":$timelineJson,"load":$loadJson,"sf":"$sfDir"}"""
       (line, fullLine)
     }
     // full sweeps only: a selective CLI run (iteration aid) must not
-    // clobber the committed full-sweep snapshot
-    def writeFull(fullLine: String): Unit = if (args.isEmpty) try {
-      val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () }
+    // clobber the committed full-sweep snapshot. Round-19 (advisory):
+    // write-to-temp + ATOMIC_MOVE — the old truncate-in-place left an
+    // unparseable file if a SIGKILL landed mid-write, contradicting
+    // the checkpoint guarantee; and the lock serializes the one real
+    // writer race (SIGTERM: the shutdown hook's final write vs a
+    // main-thread checkpoint already in flight on the same file).
+    val writeLock = new Object
+    def writeFull(fullLine: String): Unit = if (args.isEmpty) writeLock.synchronized {
+      try {
+        val dir = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+        val tmp = java.nio.file.Files.createTempFile(dir, ".bench_full", ".tmp")
+        java.nio.file.Files.writeString(tmp, fullLine + "\n")
+        java.nio.file.Files.move(tmp, dir.resolve("bench_full.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Throwable => () }
+    }
     // stdout only — a stderr copy of the full map landed (head-truncated)
     // in the driver's tail window in round 2 and got in the parse's way;
     // the full per-query map lives in bench_full.json
@@ -451,31 +529,112 @@ object Bench {
       (t, steal)
     }
 
+    // ---- untimed concurrent warmup (round-19, verdict task 1a) ----
+    // The driver's budget fits ONE cold pass: BENCH_r18 measured
+    // 1360.6 s cold vs 336.8 s warm — ~1000 s of one-time /tmp fixture
+    // builds, model-cache fills, and first-execution codegen/JIT that
+    // the canonical 3-pass sweep amortizes out of its min column. Those
+    // costs are real but belong to NO measurement (on a cluster a
+    // layout is built once per dataset, a plan compiles once per job),
+    // so they are paid here, untimed, BEFORE pass 1 — which then
+    // produces warm, canonical-comparable readings even if it is the
+    // only pass the budget fits. Warmup runs ops CONCURRENTLY (8
+    // threads; measurement cleanliness doesn't matter here, and the
+    // fixture builds are small low-parallelism jobs that pack well on
+    // local[32] — materializeOnce's per-key locks already serialize
+    // same-fixture builders, and ops share no other mutable state:
+    // conf-touching ops use isolated newSession()s). Ordered by
+    // descending predecessor min so the expensive fixture builds start
+    // first and a budget-capped warmup strands only cheap tails.
+    // Batched with a leak-clear between batches: clearing mid-flight
+    // would evict a running op's localCheckpoint blocks (unrecoverable
+    // — lineage is truncated), while never clearing re-creates the
+    // round-7 accumulation slowdown across 640 ops.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
+      val warmT0 = elapsedS
+      val warmCapS = 0.5 * budgetS
+      val warmOrder = selected.sortBy { case (n, _) => -prevMin.getOrElse(n, 1.0) }
+      var stragglers = false
+      val groups = warmOrder.grouped(64)
+      while (groups.hasNext && !stragglers && elapsedS < warmCapS) {
+        val batch = groups.next()
+        val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+          (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+        batch.foreach(queue.add)
+        val workers = (1 to 8).map { i =>
+          val th = new Thread(() => {
+            var next = queue.poll()
+            while (next != null) {
+              if (elapsedS < warmCapS) {
+                try { next._2(spark, sfDir).count(); warmedSet.add(next._1) }
+                catch { case _: Throwable => () }
+              }
+              next = queue.poll()
+            }
+          }, s"graft-warmup-$i")
+          th.setDaemon(true); th.start(); th
+        }
+        // bounded join: a deadlocked or pathologically slow warmup op
+        // must not eat the measurement budget — past the deadline the
+        // sweep cancels the stragglers' jobs and moves on (daemon
+        // threads; their failures were going to be swallowed anyway)
+        val joinDeadline = System.nanoTime() +
+          (((1.1 * warmCapS - elapsedS) max 60.0) * 1e9).toLong
+        workers.foreach { th =>
+          th.join(((joinDeadline - System.nanoTime()) / 1e6).toLong.max(1L))
+          if (th.isAlive) stragglers = true
+        }
+        if (stragglers) {
+          spark.sparkContext.cancelAllJobs()
+          workers.foreach(_.join(10000))
+        }
+        clearLeaks()
+      }
+      warmupWallS = elapsedS - warmT0
+    }
+
     // ---- the interleaved sweep ----
-    // Hard abort only at 1.2x budget mid-pass: by then the shutdown
-    // hook story is strictly worse than stopping voluntarily with a
-    // marked-incomplete artifact. The normal degradation path is the
-    // BenchMath.allowNextPass gate between passes.
+    // Pass 1 runs the whole board unconditionally: every op must land
+    // at least one (now warm) reading; hard abort only at 1.2x budget,
+    // by which point a marked-incomplete artifact beats the shutdown-
+    // hook story. Passes 2..N are gated PER OP (BenchMath.allowOpRun)
+    // instead of the round-18 all-or-nothing next-pass gate, which
+    // refused pass 2 outright when pass 1 overran and left the driver
+    // artifact min-of-1 across the board (verdict task 1b). An op that
+    // doesn't fit is SKIPPED — cheaper ops behind it may still fit —
+    // and the sweep stops once even a floor-cost op doesn't fit, or at
+    // the end of any pass that had to skip (later passes would only
+    // re-skip with less budget).
     var aborted = false
-    var lastPassWall = 0.0
+    var budgetStop = false
     var opRuns = 0
     var pass = 1
-    while (pass <= maxPasses && !aborted &&
-        (pass == 1 || BenchMath.allowNextPass(elapsedS, lastPassWall, budgetS))) {
-      val p0 = System.nanoTime()
+    def estOf(name: String): Double = {
+      val ok = Option(state.get(name)).getOrElse(Vector.empty)
+        .map(_._1).filter(_ >= 0)
+      if (ok.nonEmpty) ok.min else prevMin.getOrElse(name, 1.0)
+    }
+    while (pass <= maxPasses && !aborted && !budgetStop) {
       val it = selected.iterator
-      while (it.hasNext && !aborted) {
+      var ranThisPass = 0
+      var skippedThisPass = 0
+      while (it.hasNext && !aborted && !budgetStop) {
         val (name, fn) = it.next()
         if (elapsedS > 1.2 * budgetS) aborted = true
-        else {
+        else if (pass > 1 && !BenchMath.allowOpRun(elapsedS, estOf(name), budgetS)) {
+          skippedThisPass += 1
+          if (!BenchMath.allowOpRun(elapsedS, 0.0, budgetS)) budgetStop = true
+        } else {
           val r = runOnce(name, fn)
           state.compute(name, (_, v) => if (v == null) Vector(r) else v :+ r)
-          opRuns += 1
-          if (opRuns % 20 == 0) writeFull(buildLines(incomplete = true, name)._2)
+          opRuns += 1; ranThisPass += 1
+          if (opRuns % 20 == 0 && !emitted.get)
+            writeFull(buildLines(incomplete = true, name)._2)
         }
       }
-      if (!aborted) passesDone = pass
-      lastPassWall = (System.nanoTime() - p0) / 1e9
+      if (!aborted && skippedThisPass == 0 && !budgetStop) passesDone = pass
+      else partialPassOps = ranThisPass
+      if (skippedThisPass > 0) budgetStop = true
       pass += 1
     }
 
@@ -498,12 +657,21 @@ object Bench {
       var stop = false
       while (fit.hasNext && !stop) {
         val (name, mn, _) = fit.next()
-        if (!BenchMath.allowRerun(elapsedS, mn, budgetS)) stop = true
-        else {
+        // an all-runs-failed op (mn = -1, flagged at 3.0) has no own
+        // reading to estimate from: predecessor min or a 1 s guess
+        val est = if (mn > 0) mn else prevMin.getOrElse(name, 1.0)
+        if (!BenchMath.allowRerun(elapsedS, est, budgetS)) {
+          // SKIP, don't stop (round-18 advisory): flagged is sorted by
+          // evidence, not cost — one expensive op at the head must not
+          // starve cheaper adjudications behind it. Stop only when
+          // even a floor-cost re-run no longer fits.
+          if (!BenchMath.allowRerun(elapsedS, 0.0, budgetS)) stop = true
+        } else {
           val (t, _) = runOnce(name, fnByName(name))
           rerunDone = rerunDone + (name -> t)
           opRuns += 1
-          if (opRuns % 20 == 0) writeFull(buildLines(incomplete = true, name)._2)
+          if (opRuns % 20 == 0 && !emitted.get)
+            writeFull(buildLines(incomplete = true, name)._2)
         }
       }
     }

@@ -53,6 +53,17 @@ class BenchMathSpec extends AnyFunSuite {
     assert(BenchMath.flagScore(1.0, 0.9, 12.0, None) > 0.0)
   }
 
+  test("flagScore flags an all-runs-failed op for one adjudicating re-run") {
+    // round-18 advisory: without this, foldMin's adopt-a-successful-
+    // rerun branch (pinned above) was unreachable — a transiently
+    // failing op landed in the round artifact as -1 with no re-run.
+    // Fixed 3.0: above mild spread (~2.5), below heavy starvation.
+    assert(BenchMath.flagScore(-1.0, -1.0, -1.0, None) == 3.0)
+    assert(BenchMath.flagScore(-1.0, -1.0, 0.0, Some(0.5)) == 3.0)
+    assert(BenchMath.flagScore(-1.0, -1.0, 0.0, None) <
+      BenchMath.flagScore(10.4, 10.2, 3.0, Some(0.33)))
+  }
+
   test("every headline name is a registered query") {
     // the stdout contract line carries only this subset; a renamed or
     // mistyped entry would silently vanish from BENCH_r{N}.json
@@ -60,14 +71,21 @@ class BenchMathSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"headline names not in SparkEntry.queries: $missing")
   }
 
-  test("pass/rerun budget gates degrade before the driver kill clock") {
-    // next pass projected from the last pass's wall, 0.85 headroom
-    assert(BenchMath.allowNextPass(400.0, 420.0, 1200.0))
-    assert(!BenchMath.allowNextPass(850.0, 430.0, 1200.0))
+  test("per-op pass/rerun budget gates degrade before the driver kill clock") {
+    // round-19: the pass gate is PER OP (headline-first board), so the
+    // budget decides how far down the board a later pass reaches
+    // instead of refusing it whole. Estimate + 1.3x slack, 0.85 headroom.
+    assert(BenchMath.allowOpRun(400.0, 2.0, 1200.0))
+    assert(BenchMath.allowOpRun(1015.0, 2.0, 1200.0))
+    assert(!BenchMath.allowOpRun(1018.0, 2.0, 1200.0))
+    // an expensive op stops fitting while cheap ones still do
+    assert(!BenchMath.allowOpRun(980.0, 40.0, 1200.0))
+    assert(BenchMath.allowOpRun(980.0, 0.5, 1200.0))
+    // the floor stops a flood of sub-ms estimates at the deadline edge
+    assert(!BenchMath.allowOpRun(1019.95, 0.0, 1200.0))
     // re-runs fit while the op's own cost (1.5x slack) stays inside
     assert(BenchMath.allowRerun(1100.0, 1.0, 1200.0))
     assert(!BenchMath.allowRerun(1139.0, 1.0, 1200.0))
-    // the floor stops a flood of sub-ms estimates at the deadline edge
     assert(!BenchMath.allowRerun(1139.8, 0.0, 1200.0))
   }
 }

@@ -90,6 +90,12 @@ def main():
                          "(sub-250ms deltas are unreadable)")
     ap.add_argument("--since", help="git rev: split report into ops whose "
                                     "defining file changed vs not")
+    ap.add_argument("--assume-semantics", action="append",
+                    type=lambda s: (s.split(":")[0], int(s.split(":")[1])),
+                    metavar="OLD|NEW:V",
+                    help="override min_semantics for an unversioned artifact "
+                         "you KNOW matches (e.g. OLD:2 for the committed r18 "
+                         "canonical interleaved sweep)")
     a = ap.parse_args()
 
     old, new = load(a.old), load(a.new)
@@ -99,6 +105,45 @@ def main():
         sys.exit("both files need a queries_min map (bench_full.json, "
                  "not the stdout headline line)")
 
+    # Min-semantics versioning (round-18 verdict task 3): the r17->r18
+    # rebaseline (min-of-3-consecutive -> interleaved state-cleared
+    # runs) changed what a min MEANS, and the do-not-compare-across rule
+    # lived only in BASELINE.md prose -- this comparator would happily
+    # min-vs-min a v1 artifact against a v2 one. Absent field = v1
+    # (pre-r19 artifacts never carried it; the r18 canonical 3-pass
+    # sweep is semantically v2 -- pass --assume-semantics OLD:2 to read
+    # it against an r19+ artifact).
+    sem_o = old.get("min_semantics", 1)
+    sem_n = new.get("min_semantics", 1)
+    for side, ver in (a.assume_semantics or []):
+        if side == "OLD":
+            sem_o = ver
+        elif side == "NEW":
+            sem_n = ver
+    if sem_o != sem_n:
+        sys.exit(f"REFUSED: min_semantics differ (old=v{sem_o}, new=v{sem_n})."
+                 " Mins across the r17->r18 rebaseline boundary measure"
+                 " different things (BASELINE.md round-18 note); re-measure"
+                 " both sides under one semantics, or pass --assume-semantics"
+                 " OLD:2 / NEW:2 if you know an unversioned artifact is the"
+                 " r18 canonical interleaved sweep.")
+
+    # Cold-only guard (round-18 verdict task 2): an artifact whose
+    # cold_ops list is non-empty has mins carrying one-time fixture /
+    # codegen cost (BENCH_r18: 1360.6 cold vs 336.8 warm on identical
+    # code) -- a min-vs-min read against it manufactures a board-wide
+    # fake regression. Refuse, loudly, instead of reporting it.
+    for label, f in (("OLD", old), ("NEW", new)):
+        cold = f.get("cold_ops", [])
+        if f.get("cold_only") or cold:
+            sys.exit(f"REFUSED: {label} artifact is cold-only"
+                     f" ({len(cold) if cold else 'all'} ops with a single"
+                     " unwarmed run -- see its cold_ops / load.warmup_ops"
+                     " fields). Cold mins include one-time fixture builds and"
+                     " first-execution codegen; they are not comparable to"
+                     " warm mins (BENCH_r18: 1360.6 vs 336.8 s on identical"
+                     " code). Re-run the sweep with warmup enabled.")
+
     tot_o, tot_n = sum(om.values()), sum(nm.values())
     print(f"total_min_s: {tot_o:.1f} -> {tot_n:.1f} "
           f"({tot_n / tot_o:.2f}x)" if tot_o else "old total 0")
@@ -107,6 +152,7 @@ def main():
 
     steal = new.get("steal_pct_by_op", {})
     rerun = new.get("rerun", {})
+    runs = new.get("runs_by_op", {})
     regress, improve, contended = [], [], []
     for k in sorted(set(om) & set(nm)):
         o, n = om[k], nm[k]
@@ -137,6 +183,8 @@ def main():
                     tag += f"  [steal {steal[k]:.0f}%]"
                 if k in rerun:
                     tag += f"  [rerun {rerun[k].get('rerun', -1):.2f}s]"
+                if runs.get(k) == 1:
+                    tag += "  [1 run]"
             if len(row) == 4:
                 print(f"  {k:45s} {row[1]:8.3f} -> {row[2]:8.3f}  "
                       f"{row[3]:5.2f}x{tag}")
