@@ -645,6 +645,7 @@ object Bench {
     // ranking per BenchMath.flagScore; budget-checked before EVERY
     // re-run so this pass can never push the sweep past the driver's
     // kill clock (round-17: the 64-op cap was hit and the tail died).
+    val fnByName = selected.toMap
     if (!aborted) {
       val flagged = selected.flatMap { case (name, _) =>
         Option(state.get(name)).filter(_.nonEmpty).map { runs =>
@@ -652,7 +653,6 @@ object Bench {
           (name, mn, BenchMath.flagScore(med, mn, BenchMath.stealOfMin(runs), prevMin.get(name)))
         }
       }.filter(_._3 > 0).sortBy(-_._3).take(64)
-      val fnByName = selected.toMap
       val fit = flagged.iterator
       var stop = false
       while (fit.hasNext && !stop) {
@@ -669,6 +669,38 @@ object Bench {
         } else {
           val (t, _) = runOnce(name, fnByName(name))
           rerunDone = rerunDone + (name -> t)
+          opRuns += 1
+          if (opRuns % 20 == 0 && !emitted.get)
+            writeFull(buildLines(incomplete = true, name)._2)
+        }
+      }
+    }
+
+    // ---- opportunistic min hardening (round-19) ----
+    // Whatever budget survives the re-run backstop goes to the MOST
+    // EXPENSIVE under-measured ops: total_min_s is dominated by the
+    // multi-second tail, and a min-of-1 on a 5 s iterative op carries
+    // more absolute noise than fifty sub-second ops combined (measured
+    // this round: the graph family read 2x canonical on min-of-2 while
+    // the sub-second board matched). One extra timed run each, by
+    // descending current min, until even a floor-cost run no longer
+    // fits — capped at maxPasses runs per op so the min column never
+    // mixes more observations than the canonical sweep's.
+    if (!aborted) {
+      val byCost = selected.flatMap { case (name, _) =>
+        Option(state.get(name)).map(v => (name, v.count(_._1 >= 0)))
+      }.collect { case (name, n) if n > 0 && n < maxPasses =>
+        (name, estOf(name))
+      }.sortBy(-_._2)
+      val hit = byCost.iterator
+      var hstop = false
+      while (hit.hasNext && !hstop) {
+        val (name, est) = hit.next()
+        if (!BenchMath.allowRerun(elapsedS, est, budgetS)) {
+          if (!BenchMath.allowRerun(elapsedS, 0.0, budgetS)) hstop = true
+        } else {
+          val r = runOnce(name, fnByName(name))
+          state.compute(name, (_, v) => if (v == null) Vector(r) else v :+ r)
           opRuns += 1
           if (opRuns % 20 == 0 && !emitted.get)
             writeFull(buildLines(incomplete = true, name)._2)
