@@ -41,6 +41,20 @@ object Graph {
       .localCheckpoint(true)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    // Round 19: attach the out-degree to the edge list ONCE — the loop
+    // previously re-ran edges⨝deg every round (5 identical joins of
+    // the full edge list; the board's biggest per-op shuffle at 52 MB/
+    // 5.1M records). Co-partitioned build (edges is hash(src) from the
+    // repartition above, deg is hash(src) from its groupBy), so the
+    // hoisted join itself adds no exchange; each round now shuffles
+    // only the per-node rank frame.
+    val edgesDeg = edges.join(deg, "src")
+      .select($"src", $"dst", $"deg")
+      .localCheckpoint(true)
+    // edges' blocks are dead weight once edgesDeg is materialized
+    val sc0 = spark.sparkContext
+    ScaleTechniques.checkpointRddId(edges).foreach(id =>
+      sc0.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val nodes = deg.select($"src".as("node"))
     val n = nodes.count()
     var ranks = nodes.select($"node", lit(1.0 / n).as("r"))
@@ -54,7 +68,7 @@ object Graph {
     val sc = spark.sparkContext
     var prevCkpt: Option[Int] = None
     for (_ <- 1 to 5) {
-      val contrib = edges.join(deg, "src")
+      val contrib = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select($"dst", ($"r" / $"deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("contrib"))

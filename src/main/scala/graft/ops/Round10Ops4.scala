@@ -89,11 +89,22 @@ object Round10Ops4 {
       .agg(min($"node").as("node"))
       .withColumn("dist", lit(0))
     var dist = seed
+    val sc = spark.sparkContext
+    var prevCkpt: Option[Int] = None
     for (_ <- 1 to 4) {
       val next = dist.join(adj, $"node" === $"src")
         .select($"dst".as("node"), ($"dist" + 1).as("dist"))
+      // truncate lineage each round (round 19, pseudo-diameter's fix):
+      // dist appears twice per round (join input + union), so the
+      // uncut plan doubled per hop — 2^4 copies of the seed subtree,
+      // re-planned and re-codegen'd on every action
       dist = dist.union(next)
         .groupBy($"node").agg(min($"dist").as("dist"))
+        .localCheckpoint(true)
+      val newCkpt = ScaleTechniques.checkpointRddId(dist)
+      prevCkpt.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkpt = newCkpt
     }
     dist.orderBy($"node")
   }

@@ -95,18 +95,38 @@ object Round11Ops {
     * Every round is two semi-join-shaped hash joins against a
     * node list that only shrinks; at scale each round is one shuffle
     * of the surviving edge list.
+    *
+    * Round 19: each round's surviving edge list is localCheckpoint'd
+    * (pagerank's pattern). adj appears twice per round (degree count +
+    * join input), so the uncut lineage DOUBLED per round — the final
+    * plan carried 324 Exchange nodes over ~7000 formatted-plan lines,
+    * cost ~15 s cold to plan+codegen, and its generated-class flood
+    * degraded every op sharing the JVM (the build.sbt code-cache
+    * lesson). Checkpointing makes the plan linear: one groupBy + two
+    * joins per round, 10 Exchanges total end-to-end.
     */
   def graphKcorePeel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val und = Round10Ops4.thinnedGraph(spark, sfDir)
     var adj = und.select($"u".as("a"), $"v".as("b"))
       .union(und.select($"v".as("a"), $"u".as("b")))
+      .localCheckpoint(true)
+    val sc = spark.sparkContext
+    var prevCkpt: Option[Int] = ScaleTechniques.checkpointRddId(adj)
     for (_ <- 1 to 4) {
       val keep = adj.groupBy($"a").agg(count(lit(1)).as("d"))
         .filter($"d" >= 2).select($"a".as("kn"))
       adj = adj
         .join(keep, adj("a") === $"kn").drop("kn")
         .join(keep.withColumnRenamed("kn", "kn2"), $"b" === $"kn2").drop("kn2")
+        .localCheckpoint(true)
+      // free the previous round's blocks once this round's are
+      // materialized — only ids THIS loop checkpointed, never a
+      // registry diff (graphPagerank's discipline)
+      val newCkpt = ScaleTechniques.checkpointRddId(adj)
+      prevCkpt.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkpt = newCkpt
     }
     adj.groupBy($"a".as("node")).agg(count(lit(1)).as("degree"))
       .orderBy($"node")

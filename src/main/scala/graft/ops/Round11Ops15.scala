@@ -37,21 +37,33 @@ object Round11Ops15 {
         $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("c"), $"l_partkey".as("p"))
       .distinct()
-      .localCheckpoint(true) // reused by all 6 half-rounds
+      .localCheckpoint(true)
+    // Round 19: the distinct leaves edges hash(c,p)-partitioned, so
+    // EVERY half-round reshuffled the full edge list to its join key
+    // (6 edge-list exchanges, 47 MB/4.9M records — the board's #1
+    // op). Two pre-partitioned copies (GraphX's routing-table move,
+    // space for shuffles) make each half-round's join exchange-free
+    // on the edge side: the score frames already arrive hash(c)/
+    // hash(p)-partitioned from their groupBys, so the only remaining
+    // per-half-round exchange is the aggregation's own.
+    val eC = edges.repartition($"c").localCheckpoint(true)
+    val eP = edges.repartition($"p").localCheckpoint(true)
+    val sc = spark.sparkContext
+    ScaleTechniques.checkpointRddId(edges).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // h0 = 1 for every customer; alternate a/h updates, all integer
-    var h = edges.select($"c").distinct()
+    var h = eC.select($"c").distinct()
       .withColumn("h", lit(1L).cast(dec))
     var a: DataFrame = null
-    val sc = spark.sparkContext
     var prevCkpts: Seq[Int] = Nil
     for (_ <- 1 to 3) {
-      val araw = edges.join(h, Seq("c"))
+      val araw = eC.join(h, Seq("c"))
         .groupBy($"p").agg(sum($"h").cast(dec).as("araw"))
         .localCheckpoint(true)
       a = araw.crossJoin(broadcast(araw.agg(max($"araw").as("amax"))))
         .select($"p",
           expr("CAST((araw * 1000000) DIV amax AS DECIMAL(38,0))").as("a"))
-      val hraw = edges.join(a, Seq("p"))
+      val hraw = eP.join(a, Seq("p"))
         .groupBy($"c").agg(sum($"a").cast(dec).as("hraw"))
         .localCheckpoint(true)
       h = hraw.crossJoin(broadcast(hraw.agg(max($"hraw").as("hmax"))))

@@ -43,27 +43,45 @@ object Round11Ops21 {
   /** Nearest-centroid classification on the embedding table (train =
     * even ids, test = odd): per-label centroids from a columnar
     * posexplode — component sums frozen at 6 dp as DECIMAL, ONE
-    * division per component — then test×centroid scores as a
-    * dim-keyed join whose per-dim products freeze at 9 dp before the
-    * exact sum, so the argmax compares exact decimals. The centroid
-    * side is labels×dims and broadcasts; the test side explodes to
-    * corpus×dims rows — the shape that survives any corpus size
-    * because nothing pairwise ever materializes.
+    * division per component — then test×centroid scores with the SAME
+    * per-dim 9 dp freeze-then-exact-sum arithmetic, folded per row.
+    * The centroid side is labels×dims and broadcasts.
+    *
+    * Round 19: the scoring side no longer explodes — the old shape
+    * shipped test-corpus × dims × labels rows through a dim-keyed
+    * join into a composite-key hash aggregate; the centroids now
+    * collapse to one ordered array per label (labels × 1 rows,
+    * broadcast) and each test vector scores against each label with
+    * one codegen'd zip_with/aggregate fold over the arrays — the same
+    * round(x·c, 9)::DECIMAL(28,9) per-element values, folded as their
+    * exact ×10⁹ BIGINT unscaling (the decimal HOF fold itself is
+    * unusable: DECIMAL(38,9)+DECIMAL(28,9) loses a scale digit under
+    * Spark's precision-loss rule, while the BIGINT fold is the same
+    * numbers ×10⁹ — |x·c| < 1 here so 64 terms sum < 10¹¹, and the
+    * scores are ONLY compared, so a strictly order-isomorphic exact
+    * integer is argmax-identical). 64× fewer rows and zero scoring
+    * shuffle (mlPermutationImportance's shape).
     */
   def mlCentroidClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dims = embeddings(spark, sfDir)
+    val emb = embeddings(spark, sfDir)
       .select($"vec_id", $"label",
-        posexplode($"embedding".cast(ArrayType(DoubleType))))
-      .select($"vec_id", $"label", ($"pos" + 1).as("dim"), $"col".as("xv"))
-    val cent = dims.filter($"vec_id" % 2 === 0)
+        $"embedding".cast(ArrayType(DoubleType)).as("e"))
+    val cent = emb.filter($"vec_id" % 2 === 0)
+      .select($"vec_id", $"label", posexplode($"e"))
+      .select($"label", ($"pos" + 1).as("dim"), $"col".as("xv"))
       .groupBy($"label".as("clabel"), $"dim")
       .agg((sum(round($"xv", 6).cast(DecimalType(18, 6))).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("cv"))
-    val scores = dims.filter($"vec_id" % 2 =!= 0)
-      .join(broadcast(cent), "dim")
-      .groupBy($"vec_id", $"label", $"clabel")
-      .agg(sum(round($"xv" * $"cv", 9).cast(DecimalType(28, 9))).as("score"))
+    val centArr = cent.groupBy($"clabel")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), p -> p.cv)")
+        .as("cvs"))
+    val scores = emb.filter($"vec_id" % 2 =!= 0)
+      .crossJoin(broadcast(centArr))
+      .select($"vec_id", $"label", $"clabel", expr(
+        "aggregate(zip_with(e, cvs, (x, c) -> " +
+          "CAST(CAST(round(x * c, 9) AS DECIMAL(28, 9)) * 1000000000 AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (s, t) -> s + t)").as("score"))
     val pred = scores.withColumn("rk", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"score".desc, $"clabel")))
       .filter($"rk" === 1)

@@ -44,20 +44,32 @@ object Round11Ops31 {
       .unionAll(und.select($"v".as("a"), $"u".as("b")))
       .localCheckpoint()
     val deg = adj.groupBy($"a").agg(count(lit(1)).as("d"))
-    val nodes = deg.select($"a".as("node"), $"d")
-    val seed = nodes.agg(min($"node")).head().getLong(0)
-    var x = nodes.withColumn("x",
-      when($"node" === seed, lit(1.0)).otherwise(lit(0.0)))
+    // Round 19: the degree rides the adjacency (attached ONCE) instead
+    // of riding x through a per-round nodes⨝pushed rebuild — that
+    // rebuild was a second full join every round whose only job was to
+    // re-attach d and carry all-zero rows. The mass vector x now holds
+    // ONLY nodes the walk has reached (absent ≡ x = 0: an absent node
+    // pushes nothing, exactly like a zero row; the final ppr > 0
+    // filter dropped the zero rows anyway), so early rounds join a
+    // frontier-sized frame, not the whole node set.
+    val adjD = adj.join(deg, "a").select($"a", $"b", $"d")
+      .localCheckpoint(true)
+    val seed = deg.agg(min($"a")).head().getLong(0)
+    var x: DataFrame = adjD.sparkSession.range(1)
+      .select(lit(seed).as("node"), lit(1.0).as("x"))
     for (_ <- 1 to 6) {
-      val pushed = adj.join(x.select($"node", $"x", $"d"), $"a" === $"node")
+      val pushed = adjD.join(x, $"a" === $"node")
         .select($"b",
           round(lit(0.85) * $"x" / $"d".cast(DoubleType), 9)
             .cast(DecimalType(28, 9)).as("m"))
         .groupBy($"b").agg(sum($"m").as("inflow"))
-      x = nodes.join(pushed, $"node" === $"b", "left")
-        .select($"node", $"d",
-          (coalesce($"inflow".cast(DoubleType), lit(0.0)) +
-            when($"node" === seed, lit(0.15)).otherwise(lit(0.0))).as("x"))
+      // the seed's 0.15 teleport folds in via a 1-row union — same two
+      // operands as the old coalesce(inflow)+0.15 (double addition is
+      // commutative; groups here have at most 2 rows)
+      x = pushed.select($"b".as("node"), $"inflow".cast(DoubleType).as("x"))
+        .unionAll(adjD.sparkSession.range(1)
+          .select(lit(seed).as("node"), lit(0.15).as("x")))
+        .groupBy($"node").agg(sum($"x").as("x"))
         .localCheckpoint()
     }
     x.select($"node", round($"x", 6).as("ppr"))

@@ -32,13 +32,22 @@ object Round13Ops23 {
       .localCheckpoint(true)
     val ws = edges.groupBy($"src").agg(sum($"w").as("wsum"))
       .localCheckpoint(true)
-    val n = ws.count()
+    // Round 19: attach wsum to the edge list ONCE (graphPagerank's
+    // hoist) — the loop re-ran edges⨝ws every round, shuffling the
+    // full weighted edge list 3× (47 MB/4.7M records). Both sides are
+    // hash(src)-partitioned, so the hoisted join adds no exchange.
+    val edgesW = edges.join(ws, "src")
+      .select($"src", $"dst", $"w", $"wsum")
+      .localCheckpoint(true)
     val sc = spark.sparkContext
+    ScaleTechniques.checkpointRddId(edges).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val n = ws.count()
     var prevCkpt: Option[Int] = None
     var ranks = ws.select($"src".as("node"),
       lit(1000000000000L / n).as("rr"))
     for (_ <- 1 to 3) {
-      val contrib = edges.join(ws, "src")
+      val contrib = edgesW
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select($"dst", expr("(rr * w) div wsum").as("m"))
         .groupBy($"dst").agg(sum($"m").as("sm"))
