@@ -100,10 +100,15 @@ object Round10Ops6 {
     val nn = documents(spark, sfDir)
       .agg(count(lit(1)).cast(DoubleType).as("nn"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfq"))
+    // round 19: materialized once — w feeds THREE consumers (norms,
+    // wa, wb) and its tf⨝dfreq lineage re-planned per consumer;
+    // whether the runtime deduped the repeated subtree was left to
+    // AQE stage reuse, which is not guaranteed across separate jobs
     val w = tf.join(dfreq, "term").crossJoin(broadcast(nn))
       .withColumn("w",
         ($"tf" * round(log($"nn" / $"dfq".cast(DoubleType)), 9)
           .cast(DecimalType(13, 9))).cast(DecimalType(16, 9)))
+      .localCheckpoint(true)
     val norms = w.groupBy($"doc_id")
       .agg(sum($"w" * $"w").as("n2"))
     // candidate generation indexes rare BIGRAMS (df 2..5): this corpus

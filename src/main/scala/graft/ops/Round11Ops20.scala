@@ -145,7 +145,11 @@ object Round11Ops20 {
     import spark.implicits._
     val dir = "/tmp/graft_r11_glob_" + runTag(spark, sfDir)
     events(spark, sfDir)
-      .select($"event_id", (money($"value") * 100).cast(LongType).as("cents"),
+      // round 19: event_id was written but never read back — the
+      // glob-read aggregate touches only (event_type, dom, cents), so
+      // the id column was pure shuffle+write weight (guide: project
+      // before the exchange). Result-identical.
+      .select((money($"value") * 100).cast(LongType).as("cents"),
         $"event_type", dayofmonth($"ts").as("dom"))
       // cluster rows into their partition before the write: without
       // this every task writes a sliver into every directory — the

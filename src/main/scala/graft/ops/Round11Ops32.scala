@@ -11,12 +11,21 @@ import org.apache.spark.sql.types._
   */
 object Round11Ops32 {
 
-  /** LDA topic modeling (MLlib EM, fixed seed) over the document
-    * term-count matrix — the corpus-exploration staple. Emits each
-    * topic's top-5 term indices and weights. No oracle: the EM fit
-    * is engine-specific; the spec pins determinism, topic count, and
-    * weight normalization. Shape: the term matrix is
-    * vocabulary-bounded per doc; fitting is MLlib's distributed EM.
+  /** LDA topic modeling (MLlib online variational Bayes, fixed seed)
+    * over the document term-count matrix — the corpus-exploration
+    * staple. Emits each topic's top-5 term indices and weights. No
+    * oracle: the fit is engine-specific; the spec pins determinism,
+    * topic count, and weight normalization.
+    *
+    * Round 19: optimizer em → online. EM rides GraphX and
+    * materializes per-(doc, term) edge state with k-dim attributes —
+    * at corpus scale that is a second copy of the corpus per
+    * iteration, plus the netlib surface the GMM rewrite engineered
+    * out. Online VB (Hoffman et al. 2010, the MLlib default) keeps
+    * only the k×V topic matrix as driver/executor state and streams
+    * seeded minibatches — the 100 TB-shaped optimizer. Same seeded
+    * determinism (Round11Spec29 pins two identical fits), same
+    * output shape.
     */
   def mlLdaTopics(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -28,7 +37,7 @@ object Round11Ops32 {
       .setVocabSize(64).fit(docs)
     val tf = cv.transform(docs)
     val lda = new LDA().setK(4).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("tf").setOptimizer("em")
+      .setFeaturesCol("tf").setOptimizer("online")
     val model = lda.fit(tf)
     val topics = model.describeTopics(5)
     topics.select($"topic",
