@@ -502,6 +502,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "analytic_mann_whitney_u" -> "value-domain bucket offsets triangular join (ml_ks_test shape)",
       "ml_threshold_sweep" -> "score-bin rollup triangular join (fixed bin count)",
       "ml_permutation_importance" -> "per-language centroid table broadcast (5 rows)",
+      "ml_centroid_classifier" -> "per-label centroid array table (label-domain rows, one row per label) broadcast",
       "pipeline_cross_source_overlap" -> "source-pair grid (~20 sources, feed-count bounded)",
       "text_style_similarity" -> "source-profile pair grid (~20 sources)",
       "ts_decompose_additive" -> "calendar-day rollup band self-join (wall-clock bounded)",
