@@ -20,10 +20,11 @@ object Graph {
     * noise is ~1e-15 per round and the output is 6dp-rounded at ~1.0
     * scale).
     *
-    * Scale shape: each round is one key-partitioned join of the rank
-    * vector with the edge list plus a partial-aggregated sum per
+    * Scale shape: each round is one join of the rank vector with the
+    * degree-annotated edge list plus a partial-aggregated sum per
     * destination — the Pregel message pattern as plain dataflow. The
-    * edge list is repartitioned once on the join key and
+    * rank side is node-sized (the planner broadcasts it while it fits,
+    * and falls back to a keyed shuffle of the SMALL side at scale) and
     * `localCheckpoint` cuts lineage per round (Round3Ops CC note: a
     * reliable checkpoint dir serves this role on a real cluster), so
     * plan depth stays flat however many rounds run. Output is rank ×
@@ -35,19 +36,28 @@ object Graph {
     val pairs = lineitem(spark, sfDir)
       .select($"l_partkey".as("p"), ($"l_suppkey" + 10000000L).as("s"))
       .distinct()
+    // Round 20: the repartition(src) that used to sit here was dead
+    // weight — localCheckpoint returns an ExistingRDD with
+    // UnknownPartitioning (measured), so no downstream join ever
+    // reused the layout and the loop's rank side is broadcast anyway;
+    // all it did was add one full edge exchange AND pin the checkpoint
+    // at 32 partitions, which multiplied every round's partial-agg
+    // fan-out (each map partition emits one partial row per distinct
+    // dst it sees). Dropping it removes the exchange and lets AQE size
+    // the checkpoint's partitions to the data (§2.2), shrinking the
+    // per-round fan-out with it. Output verified identical (the 6dp
+    // protocol absorbs the summation-order change; oracle-proven at
+    // sf0.01 + sf0.1).
     val edges = pairs.select($"p".as("src"), $"s".as("dst"))
       .unionAll(pairs.select($"s".as("src"), $"p".as("dst")))
-      .repartition(col("src"))
       .localCheckpoint(true)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     // Round 19: attach the out-degree to the edge list ONCE — the loop
     // previously re-ran edges⨝deg every round (5 identical joins of
     // the full edge list; the board's biggest per-op shuffle at 52 MB/
-    // 5.1M records). Co-partitioned build (edges is hash(src) from the
-    // repartition above, deg is hash(src) from its groupBy), so the
-    // hoisted join itself adds no exchange; each round now shuffles
-    // only the per-node rank frame.
+    // 5.1M records). deg is a node-sized checkpoint with carried-over
+    // stats, so this build join broadcasts it — no edge exchange.
     val edgesDeg = edges.join(deg, "src")
       .select($"src", $"dst", $"deg")
       .localCheckpoint(true)

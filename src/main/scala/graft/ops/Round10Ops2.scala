@@ -74,10 +74,21 @@ object Round10Ops2 {
     */
   def mlFpmFrequentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Round 20: materialize the basket table ONCE — the threshold's
+    // count and the census both consume it, and without this the whole
+    // scan + broadcast join + collect_set exchange ran TWICE per
+    // execution (PlanDump r19: two identical 15-node subtrees, 6.9 MB
+    // shuffled where one build is ~3.5). localCheckpoint, not persist:
+    // an eager raw-block checkpoint has no cache-fill race between the
+    // broadcast threshold subquery and the census (a lazy .persist()
+    // here measured 2.9–19 s warm across runs — both consumers racing
+    // to fill the same columnar cache), and blocks are freed by the
+    // harness like every other checkpoint.
     val sets = lineitem(spark, sfDir)
       .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
       .groupBy($"l_orderkey")
       .agg(array_sort(collect_set($"p_brand")).as("bs"))
+      .localCheckpoint(true)
     // threshold rides a 1-row broadcast; ceil(double) matches the
     // oracle bit-for-bit because 1/64 is a binary-exact literal
     // (one row per basket here, so count(1) == countDistinct(o))

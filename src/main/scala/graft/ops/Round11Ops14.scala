@@ -33,10 +33,15 @@ object Round11Ops14 {
     */
   def mlKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val lab = LlmOps.embeddingsWithNorm(spark, sfDir)
-      .join(documents(spark, sfDir).select($"doc_id", $"lang"),
-        $"vec_id" === $"doc_id")
-      .select($"vec_id", $"lang", $"embedding", $"nrm")
+    // Round 20: the single-split embeddings scan serialized the
+    // probe-dot stage (n·256 64-dim dot products on ONE task, 2.2 s
+    // warm, 0.03 MB shuffle) — guard its parallelism
+    // (ScaleTechniques.ensureParallelism; no-op when the scan splits)
+    val lab = ScaleTechniques.ensureParallelism(
+      LlmOps.embeddingsWithNorm(spark, sfDir)
+        .join(documents(spark, sfDir).select($"doc_id", $"lang"),
+          $"vec_id" === $"doc_id")
+        .select($"vec_id", $"lang", $"embedding", $"nrm"))
     val cap = lab.agg(ceil(count(lit(1)) / 256.0).cast(LongType).as("p"))
     val probes = lab.crossJoin(broadcast(cap))
       .filter(pmod(u24($"vec_id"), $"p") === 0)

@@ -38,32 +38,36 @@ object Round11Ops15 {
       .select($"o_custkey".as("c"), $"l_partkey".as("p"))
       .distinct()
       .localCheckpoint(true)
-    // Round 19: the distinct leaves edges hash(c,p)-partitioned, so
-    // EVERY half-round reshuffled the full edge list to its join key
-    // (6 edge-list exchanges, 47 MB/4.9M records — the board's #1
-    // op). Two pre-partitioned copies (GraphX's routing-table move,
-    // space for shuffles) make each half-round's join exchange-free
-    // on the edge side: the score frames already arrive hash(c)/
-    // hash(p)-partitioned from their groupBys, so the only remaining
-    // per-half-round exchange is the aggregation's own.
-    val eC = edges.repartition($"c").localCheckpoint(true)
-    val eP = edges.repartition($"p").localCheckpoint(true)
+    // Round 19 pre-partitioned two edge copies (eC = hash(c), eP =
+    // hash(p)) assuming each half-round join would reuse the layout —
+    // but a local checkpoint is an ExistingRDD with UnknownPartitioning
+    // (measured this round: even repartition(col).localCheckpoint
+    // reports UnknownPartitioning(0)), so the copies ADDED two full
+    // edge shuffles and eliminated none (PlanDump r19: 46.77 →
+    // 57.05 MB, +22% — the r19 verdict's item 2). Round 20: the
+    // half-round joins never needed the edge layout in the first place
+    // — the score frame is the node-sized side and the planner
+    // broadcasts it, streaming the edge checkpoint unshuffled — so the
+    // right fix is to DROP the copies and join both half-rounds
+    // against the single edge checkpoint. Measured min-of-3: 4.96 →
+    // 4.09 s, output identical, two edge exchanges (~11 MB/1.6 M rec)
+    // gone. (A persist()'d partitioned copy was also measured and
+    // lost: columnar encode+decode costs more than the exchanges it
+    // saves — see OPTIMIZATION_r20.md.)
     val sc = spark.sparkContext
-    ScaleTechniques.checkpointRddId(edges).foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // h0 = 1 for every customer; alternate a/h updates, all integer
-    var h = eC.select($"c").distinct()
+    var h = edges.select($"c").distinct()
       .withColumn("h", lit(1L).cast(dec))
     var a: DataFrame = null
     var prevCkpts: Seq[Int] = Nil
     for (_ <- 1 to 3) {
-      val araw = eC.join(h, Seq("c"))
+      val araw = edges.join(h, Seq("c"))
         .groupBy($"p").agg(sum($"h").cast(dec).as("araw"))
         .localCheckpoint(true)
       a = araw.crossJoin(broadcast(araw.agg(max($"araw").as("amax"))))
         .select($"p",
           expr("CAST((araw * 1000000) DIV amax AS DECIMAL(38,0))").as("a"))
-      val hraw = eP.join(a, Seq("p"))
+      val hraw = edges.join(a, Seq("p"))
         .groupBy($"c").agg(sum($"a").cast(dec).as("hraw"))
         .localCheckpoint(true)
       h = hraw.crossJoin(broadcast(hraw.agg(max($"hraw").as("hmax"))))
@@ -77,6 +81,10 @@ object Round11Ops15 {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevCkpts = newCkpts
     }
+    // eager loop done; free the edge checkpoint — h/a read only the
+    // final half-round checkpoints
+    ScaleTechniques.checkpointRddId(edges).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val hubs = h.orderBy($"h".desc, $"c").limit(20)
       .select($"c".as("node"), lit("hub").as("hits_role"),
         $"h".cast(StringType).as("score"))
@@ -120,13 +128,20 @@ object Round11Ops15 {
     */
   def fnXpath(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    orders(spark, sfDir)
+    // Round 20: the whole op ran as ONE task (4 jobs, ZERO shuffle in
+    // the r20 before-dump — the 2.7 MB orders file is a single split,
+    // so the ~37.5k JDK XML parses were serial at 2.9 s while 31 cores
+    // idled). Guard the parse stage's parallelism AFTER projecting to
+    // the two columns it needs — the exchange moves (priority, cents),
+    // never the XML (§2.3 project-before-exchange + §2.5 input splits).
+    ScaleTechniques.ensureParallelism(orders(spark, sfDir)
       // deterministic 1-in-4 slice (mirrored in the oracle): the JDK
       // XML parse is ~17 µs/doc and was 7% of the whole board's wall
       // time — a surface demo doesn't need every order to prove the
       // roundtrip semantics
       .filter(pmod($"o_orderkey", lit(4)) === 0)
-      .withColumn("cents", (money($"o_totalprice") * 100).cast(LongType))
+      .select($"o_orderpriority",
+        (money($"o_totalprice") * 100).cast(LongType).as("cents")))
       .withColumn("xml", concat(lit("<o><p>"), $"o_orderpriority",
         lit("</p><t>"), $"cents".cast(StringType), lit("</t></o>")))
       // one xpath() array extraction instead of the xpath_string +

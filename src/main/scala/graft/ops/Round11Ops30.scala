@@ -16,15 +16,17 @@ object Round11Ops30 {
     * the IN-list generalized to a broadcast join — same idf/tfn
     * algebra, same freeze lanes).
     */
-  private def bm25For(spark: SparkSession, sfDir: String,
+  private def bm25For(spark: SparkSession, toks: DataFrame, dl: DataFrame,
       terms: DataFrame): DataFrame = {
     import spark.implicits._
-    val toks = documents(spark, sfDir)
-      .select($"doc_id", explode(split($"text", " ")).as("term"))
-    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val tot = dl.agg(sum($"dl").as("t"), count(lit(1)).as("n"))
+    // tf feeds both the df rollup and the score join — checkpoint so
+    // the toks scan + broadcast join + aggregate runs once per pass
+    // (eager raw blocks; a lazy persist measured SLOWER — cache-fill
+    // races between the broadcast subqueries and the main stage)
     val tf = toks.join(broadcast(terms), "term")
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dft = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     tf.join(dl, Seq("doc_id"))
       .join(broadcast(dft), Seq("term"))
@@ -53,18 +55,31 @@ object Round11Ops30 {
     import spark.implicits._
     val q = Round11Ops3.queryTerms
     val qdf = q.toDF("term")
-    val top5 = bm25For(spark, sfDir, qdf)
-      .orderBy($"bm25".desc, $"doc_id").limit(5)
-      .select($"doc_id")
+    // Round 20: the corpus token explode ran up to five times per
+    // execution (each bm25 pass consumed it for dl and tf, plus the
+    // expansion rollup — 23 jobs, warm 1.9 s). Materialize the token
+    // table and the doc-length rollup ONCE (the r19
+    // sim_sparse_tfidf_pairs lesson); localCheckpoint, not persist —
+    // eager raw blocks have no cache-fill race between the nested
+    // broadcast subqueries and the main stages (the persist form
+    // measured slower and unstable). Values are untouched — same
+    // expressions over the same rows; the harness frees leaked blocks
+    // between ops.
     val toks = documents(spark, sfDir)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .localCheckpoint(true)
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val top5 = bm25For(spark, toks, dl, qdf)
+      .orderBy($"bm25".desc, $"doc_id").limit(5)
+      .select($"doc_id")
     val expansion = toks.join(broadcast(top5), "doc_id")
       .filter(!$"term".isin(q: _*))
       .groupBy($"term").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"term").limit(3)
       .select($"term")
     val expanded = qdf.unionAll(expansion)
-    bm25For(spark, sfDir, expanded)
+    bm25For(spark, toks, dl, expanded)
       .orderBy($"bm25".desc, $"doc_id").limit(10)
   }
 

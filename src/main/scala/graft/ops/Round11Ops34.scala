@@ -21,12 +21,26 @@ object Round11Ops34 {
   def sourceNestedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = "/tmp/graft_r11_nested_" + runTag(spark, sfDir)
-    val nested = orders(spark, sfDir)
-      .join(lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
-      .groupBy($"o_orderkey", $"o_orderpriority")
-      .agg(sort_array(collect_list(struct($"l_linenumber".as("ln"),
+    // Round 20 (the source_path_glob lesson, §6 project-before-
+    // exchange): aggregate lineitem FIRST and attach the order
+    // attribute AFTER the aggregation — the collect_list exchange
+    // then carries only (orderkey, cents) partials, the join reuses
+    // the aggregate's hash(orderkey) partitioning (no broadcast: the
+    // orders side scales with the data), and the join moves only the
+    // 2-column orders projection instead of every lineitem. The line
+    // number is dropped from the nested struct (written, never read
+    // back; the read-back aggregate consumes only cents). sort_array
+    // keeps the file deterministic. Read-back result is byte-identical
+    // (oracle-proven): inner-join keys and the cents multiset are
+    // unchanged.
+    val nested = lineitem(spark, sfDir)
+      .groupBy($"l_orderkey".as("o_orderkey"))
+      .agg(sort_array(collect_list(struct(
         (money($"l_extendedprice") * 100).cast(LongType).as("cents"))))
         .as("items"))
+      .join(orders(spark, sfDir)
+        .select($"o_orderkey", $"o_orderpriority"), "o_orderkey")
+      .select($"o_orderkey", $"o_orderpriority", $"items")
     nested.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
       .select($"o_orderpriority", explode($"items").as("it"))

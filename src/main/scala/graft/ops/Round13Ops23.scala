@@ -26,16 +26,22 @@ object Round13Ops23 {
     val pairs = lineitem(spark, sfDir)
       .groupBy($"l_partkey".as("p"), ($"l_suppkey" + 10000000L).as("s"))
       .agg(count(lit(1)).as("w"))
+    // Round 20: repartition(src) dropped — dead weight pre-checkpoint
+    // (UnknownPartitioning after localCheckpoint; see graphPagerank's
+    // note): one full weighted-edge exchange gone and the checkpoint's
+    // partition count now follows the data, shrinking each round's
+    // partial-agg fan-out. Integer-exact protocol: output unchanged by
+    // construction.
     val edges = pairs.select($"p".as("src"), $"s".as("dst"), $"w")
       .unionAll(pairs.select($"s".as("src"), $"p".as("dst"), $"w"))
-      .repartition(col("src"))
       .localCheckpoint(true)
     val ws = edges.groupBy($"src").agg(sum($"w").as("wsum"))
       .localCheckpoint(true)
     // Round 19: attach wsum to the edge list ONCE (graphPagerank's
     // hoist) — the loop re-ran edges⨝ws every round, shuffling the
-    // full weighted edge list 3× (47 MB/4.7M records). Both sides are
-    // hash(src)-partitioned, so the hoisted join adds no exchange.
+    // full weighted edge list 3× (47 MB/4.7M records). ws is a node-
+    // sized checkpoint with carried stats, so this build join
+    // broadcasts it — no edge exchange.
     val edgesW = edges.join(ws, "src")
       .select($"src", $"dst", $"w", $"wsum")
       .localCheckpoint(true)

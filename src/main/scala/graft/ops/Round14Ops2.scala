@@ -59,10 +59,15 @@ object Round14Ops2 {
     */
   def mlFpmFrequentTriples(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Round 20: materialize the basket table once (localCheckpoint —
+    // see the pair tier's note on why not persist): threshold count +
+    // triple census otherwise each rebuild the scan + join +
+    // collect_set exchange.
     val sets = lineitem(spark, sfDir)
       .join(part(spark, sfDir), $"l_partkey" === $"p_partkey")
       .groupBy($"l_orderkey")
       .agg(array_sort(collect_set($"p_brand")).as("bs"))
+      .localCheckpoint(true)
     val th = sets.agg(ceil(lit(0.00390625) * count(lit(1))).as("t"))
     // 0-based outer index i, then j within the post-i tail, then the
     // post-(i, j) tail — 1-based slice starts i + 2 and i + j + 3

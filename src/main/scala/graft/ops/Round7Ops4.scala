@@ -157,8 +157,14 @@ object Round7Ops4 {
     */
   def textCharNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val grams = documents(spark, sfDir)
+    // Round 20: the 0.6 MB documents file is ONE scan split, so the
+    // trigram explode (≈1.5 M substring allocations) + partial count
+    // ran serial at 2.5 s with 0.03 MB shuffle. Guard the stage's
+    // parallelism (one narrow (lang, text) exchange, no-op when the
+    // scan splits naturally — ScaleTechniques.ensureParallelism).
+    val grams = ScaleTechniques.ensureParallelism(documents(spark, sfDir)
       .filter(length($"text") >= 3)
+      .select($"lang", $"text"))
       .select($"lang", explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
       )).as("gram"))

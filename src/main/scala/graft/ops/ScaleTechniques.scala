@@ -54,6 +54,25 @@ object ScaleTechniques {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
   }
 
+  /** Parallelism guard for per-row-HEAVY pre-shuffle stages (round 20,
+    * guide §2.5/§2.6): a stage's task count is the SCAN's split count,
+    * and a small-but-expensive input (one sub-128 MB parquet file
+    * carrying XML to parse, text to n-gram, vectors to dot) serializes
+    * the whole stage on one core while the rest of the cluster idles —
+    * measured on the board: fn_xpath 2.9 s with 0 shuffle = one task.
+    * Repartition to the session's parallelism ONLY when the scan
+    * under-splits (at real scale parquet splits naturally and this is
+    * a no-op — the check keeps the exchange from riding along where it
+    * would be pure payload movement); round-robin with Spark's
+    * sort-before-repartition default keeps the row→partition map
+    * deterministic under retries. Results are unaffected by
+    * construction: callers' downstream aggregates are order-free.
+    */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** RDD id backing a `localCheckpoint(true)`'d Dataset (its plan is a
     * LogicalRDD over the materialized blocks). The iterative loops
     * (pagerank, connected components) use this to free EXACTLY their
