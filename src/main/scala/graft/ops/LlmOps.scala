@@ -248,7 +248,15 @@ object LlmOps {
     * scales as sqrt(cluster parallelism). Every non-id column of the
     * input is emitted twice, suffixed `_a` / `_b`.
     */
-  private[ops] def gridPairs(df: DataFrame, idCol: String, g: Int): DataFrame = {
+  private[ops] def gridPairs(df0: DataFrame, idCol: String, g: Int): DataFrame = {
+    // Round 20: the O(n²) compare work happens INSIDE this join, and a
+    // single-split input serialized it — at bench scale the planner
+    // broadcasts the (small) b side, so the stream side's task count IS
+    // the scan's split count: ONE (measured: sim_euclidean_topk 1.1 s,
+    // 3 jobs, ZERO shuffle records). Guard the stream side's
+    // parallelism before the explode (no-op once the scan splits;
+    // ScaleTechniques.ensureParallelism).
+    val df = ScaleTechniques.ensureParallelism(df0)
     val payload = df.columns.filter(_ != idCol)
     val cells = array((0 until g).map(lit): _*)
     val a = df.withColumn("gc", explode(cells))

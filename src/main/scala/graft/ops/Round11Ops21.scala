@@ -64,9 +64,15 @@ object Round11Ops21 {
     */
   def mlCentroidClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val emb = embeddings(spark, sfDir)
+    // Round 20: the centroid explode (train half × 64 dims) and the
+    // broadcast scoring fold (test half × 5 labels × 64-dim decimal
+    // zip_with) are per-row-heavy pre-shuffle stages, and the
+    // single-split embeddings scan serialized both (r20 before-dump:
+    // 1.48 s, 0.05 MB shuffle). Guard the parallelism once here — both
+    // halves inherit it (ScaleTechniques.ensureParallelism).
+    val emb = ScaleTechniques.ensureParallelism(embeddings(spark, sfDir)
       .select($"vec_id", $"label",
-        $"embedding".cast(ArrayType(DoubleType)).as("e"))
+        $"embedding".cast(ArrayType(DoubleType)).as("e")))
     val cent = emb.filter($"vec_id" % 2 === 0)
       .select($"vec_id", $"label", posexplode($"e"))
       .select($"label", ($"pos" + 1).as("dim"), $"col".as("xv"))

@@ -79,7 +79,14 @@ object Round13Ops34 {
     var df = base(spark, sfDir)
     val picked = (1 to 3).map { _ =>
       val (s, next) = boostRound(df)
-      df = next
+      // Round 20: cut lineage per round (the kcore/BFS lesson) — the
+      // frame is o_orderkey<500-bounded (tiny at any SF) but each
+      // round's plan embedded ALL previous rounds' crossJoin(broadcast
+      // (agg)) subtrees, and every one of the ~5 scalar aggregates per
+      // round re-planned and re-executed the whole chain (r20
+      // before-dump: 15 jobs, 1.48 s for ~125 rows of actual data —
+      // all planning/scheduling)
+      df = next.localCheckpoint(true)
       s
     }
     (picked, df)

@@ -109,6 +109,11 @@ object Round13Ops7 {
     // point identity is the FULL tuple: the synthetic corpus reuses
     // (orderkey, linenumber) pairs, but (okey, lnum, x, y) is unique
     // at every SF (asserted in Round13Spec7 via the partition count)
+    // Round 20: a parallelism guard (repartition the single-split scan
+    // to 32) was measured here and REVERTED — the per-row work (three
+    // squared distances + a CASE) is too cheap: shuffling the 600 k-row
+    // point set (read twice, once per assignment pass) cost more than
+    // the serialized map it parallelized (warm 1.25 s → 1.64 s).
     val pts = lineitem(spark, sfDir)
       .select($"l_orderkey".as("okey"), $"l_linenumber".as("lnum"),
         $"l_quantity".cast(IntegerType).as("x"),

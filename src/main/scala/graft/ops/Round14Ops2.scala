@@ -103,12 +103,16 @@ object Round14Ops2 {
     */
   def mlPermutationImportance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val lab = embeddings(spark, sfDir)
+    // Round 20: the 5-variant × n × 64-dim integer scoring folds are
+    // per-row-heavy pre-shuffle work over a single-split scan (r20
+    // before-dump: 2.25 s, 1.5 MB shuffle) — guard the parallelism once
+    // on the labeled frame (ScaleTechniques.ensureParallelism)
+    val lab = ScaleTechniques.ensureParallelism(embeddings(spark, sfDir)
       .join(documents(spark, sfDir).select($"doc_id", $"lang"),
         $"vec_id" === $"doc_id")
       .select($"vec_id", $"lang", expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT))")
-        .as("xi"))
+        .as("xi")))
     val nn = lab.agg(count(lit(1)).as("n"))
     val don = lab.crossJoin(broadcast(nn))
       .join(lab.select($"vec_id".as("did"), $"xi".as("xj")),
